@@ -1,0 +1,30 @@
+"""safe_learning_tpu: TPU-native safe model-based RL with stability guarantees.
+
+A brand-new JAX/XLA/Pallas framework with the capabilities of
+``befelix/safe_learning`` (NeurIPS-17 / CoRL-18): Lyapunov stability
+verification of uncertain (GP) dynamics on discretized state spaces, safe
+active exploration, and stability-constrained approximate dynamic
+programming — redesigned TPU-first (sharded grid sweeps, fused kernels,
+functional pytree state) rather than ported from the reference's TF1 stack.
+"""
+
+from .config import config
+from .grids import DimensionError, GridWorld
+from .functions import (AddedFunction, ConstantFunction,
+                        DeterministicFunction, Function, FunctionStack,
+                        LambdaFunction, LinearSystem, LyapunovNetwork,
+                        MeanFunction, MultipliedFunction, NeuralNetwork,
+                        PiecewiseConstant, QuadraticFunction, RBFNetwork,
+                        Saturation, Triangulation, UncertainFunction)
+from . import utils
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "config", "GridWorld", "DimensionError", "AddedFunction",
+    "ConstantFunction", "DeterministicFunction", "Function", "FunctionStack",
+    "LambdaFunction", "LinearSystem", "LyapunovNetwork", "MeanFunction",
+    "MultipliedFunction", "NeuralNetwork", "PiecewiseConstant",
+    "QuadraticFunction", "RBFNetwork", "Saturation", "Triangulation",
+    "UncertainFunction", "utils",
+]

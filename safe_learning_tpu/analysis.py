@@ -1,0 +1,135 @@
+"""Closed-loop analysis tools: ROA estimation, reward rollouts, responses.
+
+TPU-native equivalents of the reference's example-layer tooling
+(``/root/reference/examples/utilities.py:522-686``). The reference forward-
+simulates grids with one Python loop step per ``session.run``; here whole
+grids roll out inside a single ``lax.fori_loop``/``lax.scan`` program.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import config
+from .grids import GridWorld
+
+__all__ = ["compute_roa", "reward_rollout", "compute_closedloop_response",
+           "gridify"]
+
+
+def _grid_points(grid):
+    if isinstance(grid, GridWorld):
+        return jnp.asarray(grid.all_points)
+    return jnp.atleast_2d(jnp.asarray(grid))
+
+
+def _simulate(closed_loop_dynamics, points, horizon,
+              return_trajectories=False):
+    def step(states, _):
+        nxt = closed_loop_dynamics(states)
+        if isinstance(nxt, tuple):
+            nxt = nxt[0]
+        return nxt, (nxt if return_trajectories else None)
+
+    end_states, traj = jax.lax.scan(step, points, None, length=horizon - 1)
+    return end_states, traj
+
+
+def compute_roa(grid, closed_loop_dynamics, horizon=100, tol=1e-3,
+                equilibrium=None, no_traj=True):
+    """Brute-force region of attraction: simulate every grid point and keep
+    those ending within ``tol`` of the equilibrium
+    (reference ``examples/utilities.py:654-686``)."""
+    points = _grid_points(grid)
+    end_states, traj = _simulate(closed_loop_dynamics, points, horizon,
+                                 return_trajectories=not no_traj)
+    if equilibrium is None:
+        equilibrium = jnp.zeros((1, points.shape[1]), dtype=points.dtype)
+    dists = jnp.linalg.norm(end_states - equilibrium, axis=1)
+    roa = np.asarray(dists <= tol)
+    if no_traj:
+        return roa
+    # (nindex, ndim, horizon) with the initial states first, matching the
+    # reference layout.
+    trajectories = jnp.concatenate(
+        [points[:, :, None], jnp.moveaxis(traj, 0, 2)], axis=2)
+    return roa, np.asarray(trajectories)
+
+
+def reward_rollout(grid, closed_loop_dynamics, reward_function, discount,
+                   horizon=250, tol=1e-3):
+    """Discounted finite-horizon reward sums over a discretization
+    (reference ``examples/utilities.py:522-545``).
+
+    The rollout runs fully on device with a convergence flag computed in
+    the same program (early exit is not free under ``jit``; the horizon
+    bounds the work instead).
+    """
+    points = _grid_points(grid)
+
+    def step(carry, t):
+        states, rollout = carry
+        contrib = (discount ** t) * reward_function(states).reshape(-1)
+        rollout = rollout + contrib
+        max_contrib = jnp.max(jnp.abs(contrib))
+        nxt = closed_loop_dynamics(states)
+        if isinstance(nxt, tuple):
+            nxt = nxt[0]
+        return (nxt, rollout), max_contrib
+
+    init = (points, jnp.zeros(points.shape[0], dtype=points.dtype))
+    (_, rollout), max_contribs = jax.lax.scan(
+        step, init, jnp.arange(horizon))
+    converged = bool(np.asarray(max_contribs)[-1] < tol)
+    if converged:
+        steps = int(np.argmax(np.asarray(max_contribs) < tol)) + 1
+        print("Reward sums converged after {} steps!".format(steps))
+    else:
+        print("Reward sums did not converge!")
+    return np.asarray(rollout)
+
+
+def compute_closedloop_response(dynamics, policy, state_dim, steps, dt,
+                                reference="zero", const=1.0, ic=None):
+    """Closed-loop response to impulse/step/zero reference signals
+    (reference ``examples/utilities.py:602-636``)."""
+    action_dim = policy.output_dim
+
+    if reference == "impulse":
+        r = np.zeros((steps + 1, action_dim))
+        r[0, :] = 1.0 / dt
+    elif reference == "step":
+        r = const * np.ones((steps + 1, action_dim))
+    elif reference == "zero":
+        r = np.zeros((steps + 1, action_dim))
+    else:
+        raise ValueError("unknown reference {!r}".format(reference))
+    r = jnp.asarray(r, dtype=config.dtype)
+
+    x0 = jnp.zeros((1, state_dim), dtype=config.dtype)
+    if ic is not None:
+        x0 = jnp.asarray(ic, dtype=config.dtype).reshape(1, state_dim)
+
+    def step(state, ref):
+        action = policy(state)
+        nxt = dynamics(state, action + ref[None, :])
+        if isinstance(nxt, tuple):
+            nxt = nxt[0]
+        return nxt, (state[0], action[0])
+
+    _, (states, actions) = jax.lax.scan(step, x0, r)
+    times = dt * np.arange(steps + 1, dtype=config.np_dtype).reshape(-1, 1)
+    return (np.asarray(states), np.asarray(actions), times, np.asarray(r))
+
+
+def gridify(norms, maxes=None, num_points=25):
+    """Construct a normalized GridWorld from per-dimension scales
+    (reference ``examples/utilities.py:639-651``)."""
+    norms = np.asarray(norms).ravel()
+    maxes = norms if maxes is None else np.asarray(maxes).ravel()
+    limits = np.column_stack((-maxes / norms, maxes / norms))
+    if isinstance(num_points, int):
+        num_points = [num_points] * len(norms)
+    return GridWorld(limits, num_points)

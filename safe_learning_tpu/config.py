@@ -1,0 +1,64 @@
+"""Global configuration for the TPU-native safe-learning framework.
+
+Replaces the reference's mutable ``config`` singleton
+(``/root/reference/safe_learning/configuration.py:8-32``) with a dtype policy
+that is aware of TPU hardware: float32 by default (MXU/VPU native), float64
+only when JAX's x64 mode is enabled (used for high-precision CPU parity
+tests; on TPU f64 is emulated and slow).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["Configuration", "config"]
+
+
+class Configuration:
+    """Global configuration singleton.
+
+    Attributes
+    ----------
+    dtype : jnp.dtype
+        Default floating dtype. If not explicitly set, follows JAX's x64
+        flag: float64 when ``jax_enable_x64`` is on, float32 otherwise.
+    gp_batch_size : int
+        Number of grid points evaluated per device dispatch during safe-set
+        verification (reference: ``configuration.py:19`` uses 10 000 on CPU;
+        a TPU core wants much larger batches to keep the MXU busy).
+    solve_dtype : jnp.dtype or None
+        Optional higher-precision dtype island for Cholesky factorizations
+        (``None`` means "same as dtype").
+    """
+
+    def __init__(self):
+        self._dtype = None
+        self.gp_batch_size = 2 ** 16
+        self.solve_dtype = None
+
+    @property
+    def dtype(self):
+        """Return the default floating dtype."""
+        if self._dtype is not None:
+            return self._dtype
+        if jax.config.jax_enable_x64:
+            return jnp.float64
+        return jnp.float32
+
+    @dtype.setter
+    def dtype(self, value):
+        self._dtype = None if value is None else jnp.dtype(value)
+
+    @property
+    def np_dtype(self):
+        """Return the numpy equivalent of the default dtype."""
+        return np.dtype(self.dtype)
+
+    def __repr__(self):
+        return ("Configuration(dtype={}, gp_batch_size={})"
+                .format(np.dtype(self.dtype).name, self.gp_batch_size))
+
+
+config = Configuration()

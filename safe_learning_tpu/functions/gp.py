@@ -1,0 +1,434 @@
+"""Gaussian-process regression, TPU-native.
+
+Replaces the reference's gpflow-0.4 stack (``GPRCached`` and
+``GaussianProcess``, ``/root/reference/safe_learning/functions.py:357-546``)
+with an in-house exact GP designed for TPU:
+
+- kernel matrices are assembled as matmul-dominated expressions (the
+  squared-distance cross term rides the MXU);
+- the Cholesky factor **and its explicit triangular inverse** are cached so
+  the per-query hot path (millions of grid points per sweep) is a pure
+  matmul chain with no triangular solves;
+- the training set lives in fixed-capacity buffers with a dynamic count so
+  online learning (``add_data_point``) never changes compiled shapes — the
+  reference instead re-feeds growing arrays through placeholders
+  (``functions.py:525-546``);
+- the reference's internal ``scale`` conditioning trick
+  (``functions.py:399-411, 454-456``) is kept for small noise variances.
+
+All state is an immutable pytree; ``add_data_point`` returns a new instance.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import config
+from ..grids import GridWorld
+from .base import (DeterministicFunction, Function, UncertainFunction,
+                   register_pytree)
+
+__all__ = [
+    "Kernel", "RBF", "Matern12", "Matern32", "Matern52", "LinearKernel",
+    "SumKernel", "ProductKernel", "GaussianProcess", "sample_gp_function",
+    "GPSampledFunction",
+]
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+class Kernel:
+    """Base class for covariance functions (pytree nodes)."""
+
+    _data_fields = ()
+    _meta_fields = ()
+
+    def __call__(self, x, z=None):
+        """Full covariance matrix ``K(x, z)``, shape ``(len(x), len(z))``."""
+        raise NotImplementedError
+
+    def diag(self, x):
+        """Diagonal of ``K(x, x)``, shape ``(len(x),)``."""
+        raise NotImplementedError
+
+    def __add__(self, other):
+        return SumKernel(self, other)
+
+    def __mul__(self, other):
+        return ProductKernel(self, other)
+
+
+def _sqdist(x, z):
+    """Pairwise squared distances with the cross term as a matmul (MXU)."""
+    xx = jnp.sum(x * x, axis=1, keepdims=True)
+    zz = jnp.sum(z * z, axis=1, keepdims=True)
+    cross = jnp.dot(x, z.T, preferred_element_type=jnp.float32).astype(
+        x.dtype)
+    return jnp.maximum(xx - 2.0 * cross + zz.T, 0.0)
+
+
+class _StationaryKernel(Kernel):
+    """Shared scaffolding for stationary kernels with ARD lengthscales."""
+
+    _data_fields = ("variance", "lengthscales")
+
+    def __init__(self, variance=1.0, lengthscales=1.0, input_dim=1):
+        dtype = config.dtype
+        self.variance = jnp.asarray(variance, dtype=dtype)
+        ls = jnp.asarray(lengthscales, dtype=dtype)
+        self.lengthscales = jnp.broadcast_to(jnp.atleast_1d(ls),
+                                             (input_dim,))
+
+    _meta_fields = ()
+
+    def _scaled(self, x):
+        return jnp.atleast_2d(jnp.asarray(x)) / self.lengthscales
+
+    def __call__(self, x, z=None):
+        x = self._scaled(x)
+        z = x if z is None else self._scaled(z)
+        return self.variance * self._from_sqdist(_sqdist(x, z))
+
+    def diag(self, x):
+        x = jnp.atleast_2d(jnp.asarray(x))
+        return jnp.broadcast_to(self.variance, (x.shape[0],))
+
+    def _from_sqdist(self, r2):
+        raise NotImplementedError
+
+
+@register_pytree
+class RBF(_StationaryKernel):
+    """Squared-exponential kernel ``v * exp(-r^2 / 2)``."""
+
+    def _from_sqdist(self, r2):
+        return jnp.exp(-0.5 * r2)
+
+
+@register_pytree
+class Matern12(_StationaryKernel):
+    """Matern-1/2 (exponential) kernel."""
+
+    def _from_sqdist(self, r2):
+        return jnp.exp(-jnp.sqrt(r2 + 1e-36))
+
+
+@register_pytree
+class Matern32(_StationaryKernel):
+    """Matern-3/2 kernel."""
+
+    def _from_sqdist(self, r2):
+        r = jnp.sqrt(3.0 * r2 + 1e-36)
+        return (1.0 + r) * jnp.exp(-r)
+
+
+@register_pytree
+class Matern52(_StationaryKernel):
+    """Matern-5/2 kernel."""
+
+    def _from_sqdist(self, r2):
+        r = jnp.sqrt(5.0 * r2 + 1e-36)
+        return (1.0 + r + r * r / 3.0) * jnp.exp(-r)
+
+
+@register_pytree
+class LinearKernel(Kernel):
+    """Dot-product kernel ``K(x, z) = x diag(v) z^T`` (gpflow ``Linear``)."""
+
+    _data_fields = ("variances",)
+
+    def __init__(self, variances=1.0, input_dim=1):
+        v = jnp.asarray(variances, dtype=config.dtype)
+        self.variances = jnp.broadcast_to(jnp.atleast_1d(v), (input_dim,))
+
+    def __call__(self, x, z=None):
+        x = jnp.atleast_2d(jnp.asarray(x))
+        z = x if z is None else jnp.atleast_2d(jnp.asarray(z))
+        return jnp.dot(x * self.variances, z.T,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+
+    def diag(self, x):
+        x = jnp.atleast_2d(jnp.asarray(x))
+        return jnp.sum(x * x * self.variances, axis=1)
+
+
+@register_pytree
+class SumKernel(Kernel):
+    _data_fields = ("k1", "k2")
+
+    def __init__(self, k1, k2):
+        self.k1, self.k2 = k1, k2
+
+    def __call__(self, x, z=None):
+        return self.k1(x, z) + self.k2(x, z)
+
+    def diag(self, x):
+        return self.k1.diag(x) + self.k2.diag(x)
+
+
+@register_pytree
+class ProductKernel(Kernel):
+    _data_fields = ("k1", "k2")
+
+    def __init__(self, k1, k2):
+        self.k1, self.k2 = k1, k2
+
+    def __call__(self, x, z=None):
+        return self.k1(x, z) * self.k2(x, z)
+
+    def diag(self, x):
+        return self.k1.diag(x) * self.k2.diag(x)
+
+
+# ---------------------------------------------------------------------------
+# Exact GP regression with cached Cholesky
+# ---------------------------------------------------------------------------
+def _round_capacity(n):
+    return max(8, int(2 ** np.ceil(np.log2(max(n, 1)))))
+
+
+@register_pytree
+class GaussianProcess(UncertainFunction):
+    """Exact GP posterior exposing ``(mean, beta * std)`` confidence bounds.
+
+    Parameters
+    ----------
+    kernel : Kernel
+    x : (n, input_dim) array of observed inputs
+    y : (n, output_dim) array of observed outputs
+    noise_variance : float
+    beta : float
+        Confidence-interval scaling (reference ``functions.py:480-487``).
+    mean_function : Function, optional
+        Prior mean (defaults to zero).
+    capacity : int, optional
+        Fixed buffer capacity for online learning; grows (with one retrace)
+        when exceeded.
+    scale : float, optional
+        Internal conditioning factor (reference ``functions.py:399-411``).
+    """
+
+    _data_fields = ("kernel", "X_buf", "Y_buf", "count", "noise_variance",
+                    "chol", "chol_inv", "alpha", "mean_function")
+    _meta_fields = ("beta", "scale", "input_dim", "output_dim")
+
+    def __init__(self, kernel, x, y, noise_variance, beta=2.0,
+                 mean_function=None, capacity=None, scale=1.0):
+        x = np.atleast_2d(np.asarray(x, dtype=config.np_dtype))
+        y = np.atleast_2d(np.asarray(y, dtype=config.np_dtype))
+        if len(x) != len(y):
+            raise ValueError("x and y must have the same number of rows")
+        n, d = x.shape
+        cap = _round_capacity(n) if capacity is None else int(capacity)
+
+        self.kernel = kernel
+        self.beta = float(beta)
+        self.scale = float(scale)
+        self.input_dim = d
+        self.output_dim = y.shape[1]
+        self.mean_function = mean_function
+        self.noise_variance = jnp.asarray(noise_variance,
+                                          dtype=config.dtype)
+
+        dtype = config.np_dtype
+        x_buf = np.zeros((cap, d), dtype=dtype)
+        y_buf = np.zeros((cap, y.shape[1]), dtype=dtype)
+        x_buf[:n] = x
+        y_buf[:n] = y
+        self.X_buf = jnp.asarray(x_buf)
+        self.Y_buf = jnp.asarray(y_buf)
+        self.count = jnp.asarray(n, dtype=jnp.int32)
+        self.chol = None
+        self.chol_inv = None
+        self.alpha = None
+        chol, chol_inv, alpha = _gp_cache(self)
+        self.chol, self.chol_inv, self.alpha = chol, chol_inv, alpha
+
+    # -- data views -------------------------------------------------------
+    @property
+    def capacity(self):
+        return int(self.X_buf.shape[0])
+
+    @property
+    def X(self):
+        """Active observed inputs (host view)."""
+        return np.asarray(self.X_buf)[:int(self.count)]
+
+    @property
+    def Y(self):
+        """Active observed outputs (host view)."""
+        return np.asarray(self.Y_buf)[:int(self.count)]
+
+    def _mask(self):
+        return (jnp.arange(self.capacity) < self.count).astype(
+            self.X_buf.dtype)
+
+    def _prior_mean(self, points):
+        if self.mean_function is None:
+            return 0.0
+        return self.mean_function(points)
+
+    # -- prediction ---------------------------------------------------------
+    def predict(self, points, full_cov=False):
+        """Posterior mean and (co)variance at query points.
+
+        The hot path is a pure matmul chain against the cached scaled
+        Cholesky inverse (reference ``functions.py:417-458`` instead does a
+        triangular solve per batch).
+        """
+        points = jnp.atleast_2d(jnp.asarray(points))
+        mask = self._mask()
+        s2 = self.scale ** 2
+        kx = s2 * self.kernel(self.X_buf, points) * mask[:, None]
+        a = jnp.dot(self.chol_inv, kx,
+                    preferred_element_type=jnp.float32).astype(kx.dtype)
+        mean = (jnp.dot(a.T, self.alpha,
+                        preferred_element_type=jnp.float32).astype(kx.dtype)
+                / self.scale) + self._prior_mean(points)
+        if full_cov:
+            knn = self.kernel(points, points)
+            cov = knn - jnp.dot(a.T, a,
+                                preferred_element_type=jnp.float32).astype(
+                                    kx.dtype) / s2
+            return mean, cov
+        var = self.kernel.diag(points) - jnp.sum(a * a, axis=0) / s2
+        var = jnp.maximum(var, 1e-12)[:, None]
+        var = jnp.broadcast_to(var, (points.shape[0], self.output_dim))
+        return mean, var
+
+    def evaluate(self, points):
+        """Return ``(mean, beta * std)`` (reference ``functions.py:507-515``)."""
+        mean, var = self.predict(points)
+        return mean, self.beta * jnp.sqrt(var)
+
+    # -- online learning ----------------------------------------------------
+    def add_data_point(self, x, y):
+        """Return a new GP with the observation(s) appended and the
+        Cholesky cache refreshed (reference ``functions.py:525-546``)."""
+        x = np.atleast_2d(np.asarray(x, dtype=config.np_dtype))
+        y = np.atleast_2d(np.asarray(y, dtype=config.np_dtype))
+        n_new = len(x)
+        n = int(self.count)
+        if n + n_new > self.capacity:
+            # Grow the buffers on the host (one retrace per doubling).
+            return GaussianProcess(
+                self.kernel, np.vstack([self.X, x]), np.vstack([self.Y, y]),
+                self.noise_variance, beta=self.beta,
+                mean_function=self.mean_function,
+                capacity=_round_capacity(n + n_new), scale=self.scale)
+        new = self.replace(
+            X_buf=jax.lax.dynamic_update_slice(
+                self.X_buf, jnp.asarray(x), (n, 0)),
+            Y_buf=jax.lax.dynamic_update_slice(
+                self.Y_buf, jnp.asarray(y), (n, 0)),
+            count=jnp.asarray(n + n_new, dtype=jnp.int32))
+        chol, chol_inv, alpha = _gp_cache(new)
+        return new.replace(chol=chol, chol_inv=chol_inv, alpha=alpha)
+
+
+@jax.jit
+def _gp_cache(gp):
+    """Masked, scaled Cholesky factorization of ``K(X, X) + noise I``.
+
+    Inactive buffer rows are replaced by identity rows so the factor of the
+    fixed-capacity matrix agrees with the factor of the active block.
+    Returns ``(L, L^{-1}, alpha)`` with ``alpha = L^{-1} scale (Y - m(X))``
+    (reference ``functions.py:395-411``).
+    """
+    cap = gp.X_buf.shape[0]
+    dtype = gp.X_buf.dtype
+    mask = gp._mask()
+    outer = mask[:, None] * mask[None, :]
+    eye = jnp.eye(cap, dtype=dtype)
+    s2 = gp.scale ** 2
+    k = gp.kernel(gp.X_buf, gp.X_buf)
+    a = s2 * (k + gp.noise_variance * eye)
+    a = jnp.where(outer > 0, a, eye)
+    chol = jnp.linalg.cholesky(a)
+    chol_inv = jax.scipy.linalg.solve_triangular(chol, eye, lower=True)
+    target = gp.scale * (gp.Y_buf - gp._prior_mean(gp.X_buf)) * mask[:, None]
+    alpha = jnp.dot(chol_inv, target,
+                    preferred_element_type=jnp.float32).astype(dtype)
+    return chol, chol_inv, alpha
+
+
+# ---------------------------------------------------------------------------
+# Posterior function sampling
+# ---------------------------------------------------------------------------
+@register_pytree
+class GPSampledFunction(DeterministicFunction):
+    """A consistent posterior sample, evaluable anywhere.
+
+    Kernel regression through sampled values on a discretization, matching
+    the reference's closure (``functions.py:1638-1662``). Calling the
+    function returns noiseless values; pass ``noise_key`` for a noisy
+    measurement.
+    """
+
+    _data_fields = ("kernel", "points", "alpha", "noise_variance",
+                    "mean_function")
+    _meta_fields = ("input_dim",)
+
+    output_dim = 1
+
+    def __init__(self, kernel, points, alpha, noise_variance,
+                 mean_function=None):
+        self.kernel = kernel
+        self.points = jnp.asarray(points)
+        self.alpha = jnp.asarray(alpha)
+        self.noise_variance = jnp.asarray(noise_variance)
+        self.mean_function = mean_function
+        self.input_dim = int(self.points.shape[1])
+
+    def __call__(self, *points, noise_key=None):
+        from .base import concatenate_inputs
+
+        merged = concatenate_inputs(*points)
+        values = self.evaluate(merged)
+        if noise_key is not None:
+            values = values + (jnp.sqrt(self.noise_variance)
+                               * jax.random.normal(noise_key, values.shape,
+                                                   values.dtype))
+        return values
+
+    def evaluate(self, points):
+        k = self.kernel(points, self.points)
+        values = jnp.dot(k, self.alpha,
+                         preferred_element_type=jnp.float32).astype(k.dtype)
+        if self.mean_function is not None:
+            values = values + self.mean_function(points)
+        return values
+
+
+def sample_gp_function(discretization, gp, key, number=1,
+                       return_function=True, jitter=1e-8):
+    """Draw exact posterior sample(s) of a GP on a discretization.
+
+    Reference ``functions.py:1586-1662``: full-covariance posterior predict,
+    multivariate-normal draw via Cholesky, and (optionally) a callable that
+    interpolates the sample consistently by kernel regression.
+    """
+    if isinstance(discretization, GridWorld):
+        discretization = discretization.all_points
+    discretization = jnp.asarray(discretization)
+
+    mean, cov = gp.predict(discretization, full_cov=True)
+    mean = mean[:, 0]
+    cov = cov + jitter * jnp.eye(cov.shape[0], dtype=cov.dtype)
+    chol = jnp.linalg.cholesky(cov)
+    normal = jax.random.normal(key, (number, cov.shape[0]), mean.dtype)
+    samples = mean[None, :] + normal @ chol.T
+
+    if not return_function:
+        return np.asarray(samples)
+
+    functions = []
+    for i in range(number):
+        alpha = jax.scipy.linalg.cho_solve((chol, True), samples[i][:, None])
+        functions.append(GPSampledFunction(
+            gp.kernel, discretization, alpha, gp.noise_variance,
+            mean_function=gp.mean_function))
+    return functions

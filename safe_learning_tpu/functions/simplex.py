@@ -1,0 +1,349 @@
+"""Piecewise-linear simplex interpolation on regular grids.
+
+TPU-native re-design of the reference's ``_Triangulation``/``Triangulation``
+(``/root/reference/safe_learning/functions.py:981-1510``). The reference
+Delaunay-triangulates one unit hyperrectangle with scipy Qhull and locates
+simplices through a ``tf.py_func`` host round-trip. Here the unit cell is
+triangulated with the *Kuhn (Freudenthal) triangulation*, whose containing
+simplex for a point is simply the descending ``argsort`` of its fractional
+coordinates — so simplex location, barycentric weights, and vertex-index
+arithmetic are all branch-free vectorized device ops (gathers + integer
+math), differentiable end-to-end with respect to both inputs and the vertex
+values.
+
+Semantics notes vs the reference:
+- For 1-D and 2-D grids the triangulations coincide up to the choice of cell
+  diagonal; values at grid vertices are always exact.
+- ``project=False`` extrapolates linearly outside the domain using the
+  boundary cell's hyperplane, exactly like the reference
+  (``functions.py:1190-1202``); ``project=True`` clips points to the limits.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import config
+from ..grids import GridWorld
+from .base import DeterministicFunction, register_pytree
+
+__all__ = ["Triangulation", "PiecewiseConstant"]
+
+
+def _cell_shape(grid):
+    return tuple(int(n) - 1 for n in grid.shape)
+
+
+def _vertex_strides(grid):
+    """Flat-index stride of +1 step along each dimension, vertex indexing."""
+    shape = np.asarray(grid.shape, dtype=np.int64)
+    return np.concatenate([np.cumprod(shape[1:][::-1])[::-1], [1]])
+
+
+@register_pytree
+class Triangulation(DeterministicFunction):
+    """Efficient piecewise-linear interpolation on a regular grid.
+
+    Parameters
+    ----------
+    discretization : GridWorld
+    vertex_values : array-like, optional
+        ``(nindex, output_dim)`` values at the grid vertices (the trainable
+        parameters). Defaults to zeros with one output dimension.
+    project : bool, optional
+        Clip query points onto the domain instead of extrapolating.
+    """
+
+    _data_fields = ("parameters",)
+    _meta_fields = ("discretization", "project")
+    _param_fields = ("parameters",)
+
+    def __init__(self, discretization, vertex_values=None, project=False):
+        if not isinstance(discretization, GridWorld):
+            raise TypeError("discretization must be a GridWorld")
+        self.discretization = discretization
+        self.project = bool(project)
+        if vertex_values is None:
+            vertex_values = jnp.zeros((discretization.nindex, 1),
+                                      dtype=config.dtype)
+        vertex_values = jnp.asarray(vertex_values)
+        self.parameters = vertex_values.reshape(discretization.nindex, -1)
+
+    # -- shape info -------------------------------------------------------
+    @property
+    def input_dim(self):
+        return self.discretization.ndim
+
+    @property
+    def output_dim(self):
+        return int(self.parameters.shape[1])
+
+    @property
+    def nindex(self):
+        return self.discretization.nindex
+
+    @property
+    def nsimplex(self):
+        """Total number of simplices: d! per cell."""
+        d = self.discretization.ndim
+        return math.factorial(d) * self.discretization.nrectangles
+
+    @property
+    def limits(self):
+        return self.discretization.limits
+
+    # -- core geometry ------------------------------------------------------
+    def _locate(self, points):
+        """Locate points: cell corner index, coordinate order, weights.
+
+        Returns
+        -------
+        vertices : (N, d+1) int array of flat vertex indices (simplex chain)
+        weights : (N, d+1) barycentric weights
+        order : (N, d) descending argsort of the fractional coordinates
+        """
+        grid = self.discretization
+        d = grid.ndim
+        points = jnp.atleast_2d(jnp.asarray(points))
+        grid._check_dimensions(points)
+
+        frac = (points - grid.offset) / grid.unit_maxes
+        # Containing cell (clipped to the grid, like the reference's
+        # digitize-based state_to_rectangle, functions.py:754-776).
+        cell = jnp.clip(jnp.floor(frac), 0, grid.num_points - 2)
+        cell = cell.astype(jnp.int32)
+        z_raw = frac - cell
+        z_clip = jnp.clip(z_raw, 0.0, 1.0)
+
+        # The Kuhn simplex containing z is given by the descending order of
+        # its coordinates; ties broken stably for determinism.
+        order = jnp.argsort(-z_clip, axis=-1, stable=True)
+
+        z = z_clip if self.project else z_raw
+        z_sorted = jnp.take_along_axis(z, order, axis=-1)
+
+        # Barycentric weights along the vertex chain
+        # v_0 = corner, v_k = v_{k-1} + e_{order[k-1]}:
+        #   w_0 = 1 - z_(1),  w_k = z_(k) - z_(k+1),  w_d = z_(d)
+        first = 1.0 - z_sorted[:, :1]
+        if d > 1:
+            mids = z_sorted[:, :-1] - z_sorted[:, 1:]
+        else:
+            mids = jnp.zeros((points.shape[0], 0), dtype=z_sorted.dtype)
+        last = z_sorted[:, -1:]
+        weights = jnp.concatenate([first, mids, last], axis=1)
+
+        strides = jnp.asarray(_vertex_strides(grid), dtype=jnp.int32)
+        corner = jnp.sum(cell * strides, axis=-1, keepdims=True)
+        step = jnp.take_along_axis(jnp.broadcast_to(strides, order.shape),
+                                   order, axis=-1)
+        vertices = jnp.concatenate(
+            [corner, corner + jnp.cumsum(step, axis=-1)], axis=1)
+        return vertices, weights, order
+
+    def interpolation_weights(self, points):
+        """Return ``(vertices, weights)`` such that
+        ``evaluate(points) == sum(weights * parameters[vertices], axis=1)``.
+
+        Device-side sparse form of the reference's ``parameter_derivative``
+        COO matrix (``functions.py:1228-1259``): each row has exactly
+        ``ndim + 1`` non-zeros.
+        """
+        vertices, weights, _ = self._locate(points)
+        return vertices, weights
+
+    def evaluate(self, points):
+        """Barycentric interpolation (reference ``functions.py:1473-1499``)."""
+        vertices, weights, _ = self._locate(points)
+        vertex_values = self.parameters[vertices]  # (N, d+1, out)
+        return jnp.sum(weights[:, :, None] * vertex_values, axis=1)
+
+    def gradient(self, points):
+        """Piecewise-constant spatial gradient.
+
+        Shape ``(N, output_dim, ndim)``; squeezed to ``(N, ndim)`` for
+        single-output functions (reference ``functions.py:1302-1326``).
+        """
+        grid = self.discretization
+        d = grid.ndim
+        vertices, _, order = self._locate(points)
+        vals = self.parameters[vertices]  # (N, d+1, out)
+        # Along the vertex chain, moving from v_{k-1} to v_k steps in
+        # dimension order[k-1]; the directional derivative is the value
+        # difference over the cell edge length.
+        diffs = vals[:, 1:, :] - vals[:, :-1, :]  # (N, d, out)
+        inv_order = jnp.argsort(order, axis=-1)
+        per_dim = jnp.take_along_axis(diffs, inv_order[:, :, None], axis=1)
+        grad = per_dim / jnp.asarray(grid.unit_maxes,
+                                     dtype=per_dim.dtype)[None, :, None]
+        grad = jnp.swapaxes(grad, 1, 2)  # (N, out, d)
+        if grad.shape[1] == 1:
+            grad = grad[:, 0, :]
+        return grad
+
+    # -- simplex bookkeeping (API parity with the reference) ---------------
+    def find_simplex(self, points):
+        """Global simplex index: ``cell_index * d! + permutation_rank``.
+
+        Mirrors the reference's tiling scheme (``functions.py:1103-1130``)
+        with the Kuhn local triangulation.
+        """
+        grid = self.discretization
+        d = grid.ndim
+        points = jnp.atleast_2d(jnp.asarray(points))
+        rect = grid.state_to_rectangle(points)
+        _, _, order = self._locate(points)
+        local = _permutation_rank(order, d)
+        return rect * math.factorial(d) + local
+
+    def simplices(self, indices):
+        """Vertex indices of the given global simplices
+        (reference ``functions.py:1132-1158``)."""
+        grid = self.discretization
+        d = grid.ndim
+        indices = jnp.atleast_1d(jnp.asarray(indices))
+        nlocal = math.factorial(d)
+        local = indices % nlocal
+        rect = indices // nlocal
+        order = _permutation_unrank(local, d)
+        corner = grid.rectangle_corner_index(rect)[:, None]
+        strides = jnp.asarray(_vertex_strides(grid), dtype=jnp.int32)
+        step = jnp.take_along_axis(jnp.broadcast_to(strides, order.shape),
+                                   order, axis=-1)
+        return jnp.concatenate([corner, corner + jnp.cumsum(step, axis=-1)],
+                               axis=1)
+
+    # -- host-side sparse matrices (for tests / cross-validation) ----------
+    def parameter_derivative(self, points):
+        """Sparse matrix ``B`` with ``evaluate(points) == B @ parameters``.
+
+        Host-side scipy COO (reference ``functions.py:1228-1259``); the
+        device path is :meth:`interpolation_weights`.
+        """
+        from scipy import sparse
+
+        vertices, weights = map(np.asarray,
+                                self.interpolation_weights(points))
+        npoints, nsimp = vertices.shape
+        rows = np.repeat(np.arange(npoints), nsimp)
+        return sparse.coo_matrix(
+            (weights.ravel(), (rows, vertices.ravel())),
+            shape=(npoints, self.nindex))
+
+    def gradient_parameter_derivative(self, points):
+        """Sparse matrix mapping vertex values to stacked gradients.
+
+        ``grad(points).reshape(-1) == B @ parameters`` with gradients laid
+        out point-major, dimension-minor
+        (reference ``functions.py:1328-1369``).
+        """
+        from scipy import sparse
+
+        grid = self.discretization
+        d = grid.ndim
+        vertices, _, order = map(np.asarray, self._locate(points))
+        npoints = len(vertices)
+        h = np.asarray(grid.unit_maxes)
+
+        # Gradient weight of vertex k for dimension i:
+        #   +1/h_i if order[k-1] == i, -1/h_i if order[k] == i (chain rule
+        #   on the telescoping barycentric weights).
+        rows, cols, data = [], [], []
+        for i in range(d):
+            pos = np.argmax(np.asarray(order) == i, axis=-1)  # (N,)
+            row = np.arange(npoints) * d + i
+            rows.extend([row, row])
+            cols.extend([vertices[np.arange(npoints), pos + 1],
+                         vertices[np.arange(npoints), pos]])
+            data.extend([np.full(npoints, 1.0 / h[i]),
+                         np.full(npoints, -1.0 / h[i])])
+        return sparse.coo_matrix(
+            (np.concatenate(data),
+             (np.concatenate(rows), np.concatenate(cols))),
+            shape=(npoints * d, self.nindex))
+
+
+def _permutation_rank(order, d):
+    """Lexicographic rank of each permutation row (Lehmer code)."""
+    rank = jnp.zeros(order.shape[:-1], dtype=jnp.int32)
+    for k in range(d - 1):
+        smaller_after = jnp.sum(
+            (order[..., k + 1:] < order[..., k:k + 1]).astype(jnp.int32),
+            axis=-1)
+        rank = rank + smaller_after * math.factorial(d - 1 - k)
+    return rank
+
+
+def _permutation_unrank(rank, d):
+    """Inverse of :func:`_permutation_rank` (static unroll, d is small)."""
+    n = rank.shape[0]
+    remaining = jnp.broadcast_to(jnp.arange(d, dtype=jnp.int32),
+                                 (n, d)).copy()
+    out = []
+    r = rank.astype(jnp.int32)
+    for k in range(d):
+        f = math.factorial(d - 1 - k)
+        idx = r // f
+        r = r % f
+        chosen = jnp.take_along_axis(remaining, idx[:, None], axis=1)[:, 0]
+        out.append(chosen)
+        # Remove the chosen element by shifting the tail left.
+        mask = jnp.arange(d)[None, :] >= idx[:, None]
+        shifted = jnp.roll(remaining, -1, axis=1)
+        remaining = jnp.where(mask, shifted, remaining)
+    return jnp.stack(out, axis=-1)
+
+
+@register_pytree
+class PiecewiseConstant(DeterministicFunction):
+    """Nearest-vertex piecewise-constant approximator
+    (reference ``functions.py:820-932``)."""
+
+    _data_fields = ("parameters",)
+    _meta_fields = ("discretization",)
+    _param_fields = ("parameters",)
+
+    def __init__(self, discretization, vertex_values=None):
+        self.discretization = discretization
+        if vertex_values is None:
+            vertex_values = jnp.zeros((discretization.nindex, 1),
+                                      dtype=config.dtype)
+        vertex_values = jnp.asarray(vertex_values)
+        self.parameters = vertex_values.reshape(discretization.nindex, -1)
+
+    @property
+    def input_dim(self):
+        return self.discretization.ndim
+
+    @property
+    def output_dim(self):
+        return int(self.parameters.shape[1])
+
+    @property
+    def nindex(self):
+        return self.discretization.nindex
+
+    def evaluate(self, points):
+        nodes = self.discretization.state_to_index(points)
+        return self.parameters[nodes]
+
+    def parameter_derivative(self, points):
+        """Sparse selection matrix (reference ``functions.py:889-913``)."""
+        from scipy import sparse
+
+        points = np.atleast_2d(points)
+        npoints = len(points)
+        cols = np.asarray(self.discretization.state_to_index(points))
+        rows = np.arange(npoints)
+        return sparse.coo_matrix(
+            (np.ones(npoints), (rows, cols)),
+            shape=(npoints, self.nindex))
+
+    def gradient(self, points):
+        """Zero gradient (reference ``functions.py:915-932``)."""
+        points = jnp.atleast_2d(points)
+        return jnp.zeros((points.shape[0], self.input_dim),
+                         dtype=points.dtype)

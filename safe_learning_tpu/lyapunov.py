@@ -1,0 +1,490 @@
+"""Lyapunov stability verification on discretized state spaces.
+
+TPU-native re-design of ``/root/reference/safe_learning/lyapunov.py``. The
+reference streams 10 000-point batches through ``session.run`` with a Python
+early-exit loop (``lyapunov.py:512-595``); here the decrease condition for an
+entire (padded) batch of grid points — policy, dynamics (possibly GP
+posterior), Lyapunov values, Lipschitz threshold — is a single fused jitted
+program, and the certified level ``c_max`` is found with a prefix reduction
+over the value-sorted order instead of a sequential scan. Batches are only
+used to bound device memory on huge grids; each keeps one compiled shape.
+
+Semantics deviations from the reference (documented intentionally):
+- If *no* sorted prefix is safe, ``c_max`` is ``-inf`` (the reference
+  wraps ``max_index = -1`` and silently reports the *largest* value,
+  ``lyapunov.py:589-595``).
+- With ``can_shrink=False``, previously-safe states are always kept (the
+  reference drops the tail of the first failing batch, a batch-size
+  dependent artifact of ``lyapunov.py:583-587``).
+- The adaptive refinement check evaluates the dynamics *at the refined
+  sub-grid points* (the reference's ``refined_safety_check`` builds the
+  sub-grid but compares the coarse-state decrease against the refined
+  threshold, ``lyapunov.py:459-478``; we implement the paper's intent).
+"""
+
+from __future__ import annotations
+
+import heapq
+import itertools
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import config
+from .functions.base import Function, as_deterministic
+from .grids import GridWorld
+
+__all__ = ["Lyapunov", "smallest_boundary_value", "get_lyapunov_region"]
+
+
+def _as_lipschitz(lip):
+    """Normalize a Lipschitz spec: scalar stays scalar, callable becomes a
+    Function (reference ``lyapunov.py:227-263``)."""
+    if lip is None:
+        return None
+    if callable(lip) or isinstance(lip, Function):
+        return as_deterministic(lip)
+    return float(lip)
+
+
+def _eval_lipschitz(lip, states):
+    if isinstance(lip, Function) or callable(lip):
+        return lip(states)
+    return lip
+
+
+def _lv_threshold_term(lipschitz_lyapunov, states):
+    """L_v factor of the threshold; vector-valued local constants are
+    reduced with the L1 norm (reference ``lyapunov.py:282-288``)."""
+    lv = _eval_lipschitz(lipschitz_lyapunov, states)
+    if isinstance(lipschitz_lyapunov, Function) or callable(
+            lipschitz_lyapunov):
+        lv = jnp.atleast_2d(lv)
+        if lv.shape[1] > 1:
+            lv = jnp.sum(jnp.abs(lv), axis=1, keepdims=True)
+    return lv
+
+
+def _threshold(lipschitz_lyapunov, lipschitz_dynamics, states, tau):
+    """``-L_v (1 + L_f) tau`` (reference ``lyapunov.py:265-288``)."""
+    lv = _lv_threshold_term(lipschitz_lyapunov, states)
+    lf = _eval_lipschitz(lipschitz_dynamics, states)
+    return -lv * (1.0 + lf) * tau
+
+
+def _decrease_bound(lyapunov_function, lipschitz_lyapunov, states,
+                    next_states):
+    """Upper confidence bound on ``v(f(x)) - v(x)``
+    (reference ``lyapunov.py:324-376``)."""
+    if isinstance(next_states, (tuple, list)):
+        next_states, error = next_states
+        lv = _eval_lipschitz(lipschitz_lyapunov, next_states)
+        bound = jnp.sum(jnp.atleast_2d(lv) * error, axis=1, keepdims=True)
+    else:
+        bound = 0.0
+    v_decrease = (lyapunov_function(next_states).reshape(-1, 1)
+                  - lyapunov_function(states).reshape(-1, 1))
+    return v_decrease + bound
+
+
+@jax.jit
+def _negative_batch(policy, dynamics, lyapunov_function, lipschitz_lyapunov,
+                    lipschitz_dynamics, tau, states):
+    """Fused decrease-condition check for one batch of grid states.
+
+    Computes ``v(f(x, pi(x))) - v(x) + L_v sigma < -L_v (1 + L_f) tau``
+    (the whole pipeline of reference ``lyapunov.py:429-441`` in one
+    compiled program)."""
+    actions = policy(states)
+    next_states = dynamics(states, actions)
+    decrease = _decrease_bound(lyapunov_function, lipschitz_lyapunov,
+                               states, next_states)
+    threshold = _threshold(lipschitz_lyapunov, lipschitz_dynamics, states,
+                           tau)
+    negative = jnp.squeeze(decrease < threshold, axis=1)
+    return negative, jnp.squeeze(decrease, axis=1), \
+        jnp.squeeze(jnp.broadcast_to(threshold, decrease.shape), axis=1)
+
+
+@partial(jax.jit, static_argnames=("max_refinement", "ndim"))
+def _refined_negative_batch(policy, dynamics, lyapunov_function,
+                            lipschitz_lyapunov, lipschitz_dynamics, tau,
+                            states, n_req, unit_maxes, max_refinement, ndim):
+    """Decrease check on per-state refined sub-grids.
+
+    For each state with required refinement ``n`` in ``[1, max_refinement]``
+    the decrease condition is verified on an ``n^d`` sub-grid covering its
+    cell at discretization ``tau / n``. Shapes are static: the sub-grid is
+    embedded into a ``max_refinement^d`` buffer with duplicated points for
+    ``n < max_refinement`` (duplicates are harmless under ``all``).
+    """
+    r = int(max_refinement)
+    d = int(ndim)
+    n = jnp.maximum(n_req.astype(states.dtype), 1.0)  # (B,)
+
+    # Slot indices for the static R^d sub-grid.
+    combos = jnp.asarray(np.stack(np.meshgrid(
+        *[np.arange(r)] * d, indexing="ij"), axis=-1).reshape(-1, d),
+        dtype=states.dtype)  # (R^d, d)
+    k = jnp.minimum(combos[None, :, :], (n - 1.0)[:, None, None])
+    denom = jnp.maximum(n - 1.0, 1.0)[:, None, None]
+    unit = jnp.where((n > 1.0)[:, None, None],
+                     -1.0 + 2.0 * k / denom, 0.0)  # (B, R^d, d) in [-1, 1]
+    half_width = (0.5 * (1.0 - 1.0 / n))[:, None, None] * unit_maxes
+    points = states[:, None, :] + half_width * unit  # (B, R^d, d)
+    flat = points.reshape(-1, d)
+
+    actions = policy(flat)
+    next_states = dynamics(flat, actions)
+    decrease = _decrease_bound(lyapunov_function, lipschitz_lyapunov, flat,
+                               next_states)
+    decrease = decrease.reshape(states.shape[0], -1)
+
+    thresholds = _threshold(lipschitz_lyapunov, lipschitz_dynamics, states,
+                            tau / n[:, None])
+    return jnp.all(decrease < thresholds, axis=1)
+
+
+@jax.jit
+def _values_batch(fun, points):
+    """Evaluate a scalar function on a batch of points, flattened."""
+    return fun(points).reshape(-1)
+
+
+class Lyapunov:
+    """A Lyapunov function certificate over a discretized domain.
+
+    Parameters mirror the reference class (``lyapunov.py:142-225``):
+
+    Parameters
+    ----------
+    discretization : GridWorld
+    lyapunov_function : Function or callable
+        The candidate ``v(x)``.
+    dynamics : Function or callable
+        Closed-form or uncertain dynamics; uncertain dynamics return
+        ``(mean, error_bound)`` tuples.
+    lipschitz_dynamics : float or callable
+        Closed-loop Lipschitz constant of the dynamics (global scalar or
+        local values per state).
+    lipschitz_lyapunov : float or callable
+        Lipschitz constant of ``v`` (global or local).
+    tau : float
+        Discretization constant.
+    policy : Function or callable
+    initial_set : ndarray or index list, optional
+        States known to be safe a priori.
+    adaptive : bool, optional
+        Enable adaptive refinement in :meth:`update_safe_set`.
+    """
+
+    def __init__(self, discretization, lyapunov_function, dynamics,
+                 lipschitz_dynamics, lipschitz_lyapunov, tau, policy,
+                 initial_set=None, adaptive=False):
+        if not isinstance(discretization, GridWorld):
+            raise TypeError("discretization must be a GridWorld")
+        self.discretization = discretization
+        self.policy = as_deterministic(policy)
+        self.dynamics = dynamics if isinstance(dynamics, Function) \
+            else as_deterministic(dynamics)
+        self.lyapunov_function = as_deterministic(lyapunov_function)
+        self.tau = float(tau)
+        self.adaptive = bool(adaptive)
+
+        self._lipschitz_dynamics = _as_lipschitz(lipschitz_dynamics)
+        self._lipschitz_lyapunov = _as_lipschitz(lipschitz_lyapunov)
+
+        nindex = discretization.nindex
+        self.safe_set = np.zeros(nindex, dtype=bool)
+        self.initial_safe_set = None
+        if initial_set is not None:
+            mask = np.zeros(nindex, dtype=bool)
+            mask[np.asarray(initial_set)] = True
+            self.initial_safe_set = mask
+            self.safe_set |= mask
+
+        self.c_max = 0.0
+        self.values = None
+        self._refinement = np.zeros(nindex, dtype=int)
+        if self.initial_safe_set is not None:
+            self._refinement[self.initial_safe_set] = 1
+
+        self.update_values()
+
+    # ------------------------------------------------------------------
+    def lipschitz_dynamics(self, states):
+        """Global or local dynamics Lipschitz constant
+        (reference ``lyapunov.py:227-244``)."""
+        return _eval_lipschitz(self._lipschitz_dynamics, states)
+
+    def lipschitz_lyapunov(self, states):
+        """Global or local Lyapunov Lipschitz constant
+        (reference ``lyapunov.py:246-263``)."""
+        return _eval_lipschitz(self._lipschitz_lyapunov, states)
+
+    def threshold(self, states, tau=None):
+        """Safety threshold ``-L_v (1 + L_f) tau``
+        (reference ``lyapunov.py:265-288``)."""
+        tau = self.tau if tau is None else tau
+        return _threshold(self._lipschitz_lyapunov,
+                          self._lipschitz_dynamics, states, tau)
+
+    def is_safe(self, state):
+        """Whether states lie in the current safe set
+        (reference ``lyapunov.py:290-303``)."""
+        idx = np.asarray(self.discretization.state_to_index(state))
+        return self.safe_set[idx]
+
+    def update_values(self, batch_size=None):
+        """Re-evaluate ``v`` on the whole grid
+        (reference ``lyapunov.py:305-322``)."""
+        grid = self.discretization
+        points = grid.all_points
+        batch = batch_size or max(int(config.gp_batch_size), 1)
+        fun = _values_batch
+        out = np.empty(grid.nindex, dtype=points.dtype)
+        for i in range(0, grid.nindex, batch):
+            chunk = points[i:i + batch]
+            pad = batch - len(chunk)
+            if pad:
+                chunk = np.vstack([chunk, np.broadcast_to(chunk[-1:],
+                                                          (pad,
+                                                           grid.ndim))])
+            vals = np.asarray(fun(self.lyapunov_function, chunk))
+            out[i:i + batch] = vals[:len(points[i:i + batch])]
+        self.values = out
+
+    def v_decrease_confidence(self, states, next_states):
+        """Mean decrease and error bound (reference ``lyapunov.py:324-354``)."""
+        if isinstance(next_states, (tuple, list)):
+            next_states, error = next_states
+            lv = self.lipschitz_lyapunov(next_states)
+            bound = jnp.sum(jnp.atleast_2d(lv) * error, axis=1,
+                            keepdims=True)
+        else:
+            bound = jnp.zeros((), dtype=config.dtype)
+        v_decrease = (self.lyapunov_function(next_states).reshape(-1, 1)
+                      - self.lyapunov_function(states).reshape(-1, 1))
+        return v_decrease, bound
+
+    def v_decrease_bound(self, states, next_states):
+        """Upper bound on the decrease (reference ``lyapunov.py:356-376``)."""
+        v_dot, error = self.v_decrease_confidence(states, next_states)
+        return v_dot + error
+
+    def safety_constraint(self, policy, include_initial=True):
+        """Pointwise safety constraint for a policy's actions on the grid
+        (reference ``lyapunov.py:378-405``)."""
+        points = jnp.asarray(self.discretization.all_points)
+        prediction = self.dynamics(points, policy)
+        bound = self.v_decrease_bound(points, prediction)
+        negative = np.asarray(
+            jnp.squeeze(bound < self.threshold(points), axis=1))
+        if include_initial and self.initial_safe_set is not None:
+            negative |= self.initial_safe_set
+        return negative
+
+    # ------------------------------------------------------------------
+    def update_safe_set(self, can_shrink=True, max_refinement=1,
+                        safety_factor=1.0, batch_size=None):
+        """Compute the largest certified level set and update ``safe_set``.
+
+        TPU formulation of reference ``lyapunov.py:407-606``: grid points
+        are processed in value-sorted order in large fused device batches;
+        the certified level is the value at the end of the longest verified
+        prefix. Optional adaptive refinement re-checks failing states on
+        locally refined sub-grids (``N(x) <= max_refinement``).
+        """
+        grid = self.discretization
+        nindex = grid.nindex
+        safety_factor = max(float(safety_factor), 1.0)
+        batch = batch_size or max(int(config.gp_batch_size), 1)
+
+        values = np.asarray(self.values)
+        order = np.argsort(values, kind="stable")
+        all_points = grid.all_points
+
+        initial = (self.initial_safe_set
+                   if self.initial_safe_set is not None
+                   else np.zeros(nindex, dtype=bool))
+        prev_safe = self.safe_set.copy()
+
+        # Points that count as safe without passing the decrease check.
+        exempt = initial.copy()
+        if not can_shrink:
+            exempt |= prev_safe
+        exempt_sorted = exempt[order]
+
+        refinement_sorted = np.zeros(nindex, dtype=int)
+        tau = self.tau
+        unit_maxes = jnp.asarray(grid.unit_maxes, dtype=config.dtype)
+
+        max_index = -1  # last sorted position of the verified prefix
+        for i in range(0, nindex, batch):
+            idx = order[i:i + batch]
+            n_valid = len(idx)
+            states = all_points[idx]
+            if n_valid < batch:
+                states = np.vstack([
+                    states,
+                    np.broadcast_to(states[-1:], (batch - n_valid,
+                                                  grid.ndim))])
+            states_dev = jnp.asarray(states)
+            negative, decrease, threshold = map(
+                np.asarray,
+                _negative_batch(self.policy, self.dynamics,
+                                self.lyapunov_function,
+                                self._lipschitz_lyapunov,
+                                self._lipschitz_dynamics, tau, states_dev))
+            negative = negative[:n_valid]
+            safe_b = negative | exempt_sorted[i:i + n_valid]
+            refinement_sorted[i:i + n_valid][safe_b] = 1
+
+            if safe_b.all():
+                max_index = i + n_valid - 1
+                continue
+
+            bound = int(np.argmin(safe_b))  # first failing position
+            refine_bound = 0
+
+            if self.adaptive and max_refinement > 1:
+                # Required refinement N(x) = ceil(sf * threshold / decrease)
+                # (reference lyapunov.py:445-454).
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    ratio = (safety_factor * threshold[:n_valid]
+                             / decrease[:n_valid])
+                ratio = np.where(np.isnan(ratio), 0.0, ratio)
+                n_req = np.ceil(np.maximum(ratio, 0.0))
+                n_req = np.where(np.isfinite(n_req), n_req, 0.0).astype(int)
+                n_req[safe_b] = 1
+
+                checkable = (n_req >= 1) & (n_req <= max_refinement)
+                suffix = checkable[bound:]
+                stop = len(suffix) if suffix.all() else int(
+                    np.argmin(suffix))
+
+                if stop > 0:
+                    check_states = states[bound:bound + stop]
+                    check_n = n_req[bound:bound + stop]
+                    pad = batch - len(check_states)
+                    if pad:
+                        check_states = np.vstack([
+                            check_states,
+                            np.broadcast_to(check_states[-1:],
+                                            (pad, grid.ndim))])
+                        check_n = np.concatenate(
+                            [check_n, np.ones(pad, dtype=int)])
+                    refined = np.asarray(_refined_negative_batch(
+                        self.policy, self.dynamics, self.lyapunov_function,
+                        self._lipschitz_lyapunov, self._lipschitz_dynamics,
+                        tau, jnp.asarray(check_states),
+                        jnp.asarray(check_n), unit_maxes,
+                        int(max_refinement), grid.ndim))[:stop]
+                    refine_bound = (len(refined) if refined.all()
+                                    else int(np.argmin(refined)))
+                    seg = slice(i + bound, i + bound + refine_bound)
+                    refinement_sorted[seg] = n_req[bound:bound
+                                                   + refine_bound]
+
+                max_index = i + bound + refine_bound - 1
+                if stop < len(suffix) or refine_bound < stop:
+                    break
+                # The whole failing suffix was rescued by refinement.
+                continue
+
+            max_index = i + bound - 1
+            break
+
+        # Certified level set (deviation: -inf instead of the reference's
+        # wrapped index when nothing verifies, lyapunov.py:589-595).
+        if max_index >= 0:
+            self.c_max = float(values[order[max_index]])
+        else:
+            self.c_max = -np.inf
+
+        safe = np.zeros(nindex, dtype=bool)
+        safe[order[:max_index + 1]] = True
+        refinement = np.zeros(nindex, dtype=int)
+        refinement[order] = refinement_sorted
+        refinement[~safe] = 0
+        if not can_shrink:
+            safe |= prev_safe
+            refinement[prev_safe & (refinement == 0)] = \
+                np.maximum(self._refinement[prev_safe & (refinement == 0)],
+                           1)
+        if self.initial_safe_set is not None:
+            safe |= initial
+            refinement[initial] = np.maximum(refinement[initial], 1)
+
+        self.safe_set = safe
+        self._refinement = refinement
+
+
+def smallest_boundary_value(fun, discretization):
+    """Smallest value of ``fun`` on the discretization boundary
+    (reference ``lyapunov.py:22-56``)."""
+    fun = as_deterministic(fun)
+    min_value = np.inf
+    for i in range(discretization.ndim):
+        axes = list(discretization.discrete_points)
+        axes[i] = axes[i][[0, -1]]
+        mesh = np.meshgrid(*axes, indexing="ij")
+        points = np.column_stack([col.ravel() for col in mesh])
+        smallest = float(jnp.min(fun(jnp.asarray(points))))
+        min_value = min(min_value, smallest)
+    return min_value
+
+
+def get_lyapunov_region(lyapunov, discretization, init_node):
+    """Region on which a function decreases monotonically toward a point.
+
+    Priority-queue flood fill from ``init_node`` in increasing-value order,
+    stopping at the domain boundary or at non-monotonicity (reference
+    ``lyapunov.py:59-139``; also fixes its py2-only ``tiebreaker.next()``
+    bug at ``lyapunov.py:101``).
+    """
+    fun = as_deterministic(lyapunov)
+    values = np.asarray(fun(jnp.asarray(discretization.all_points)))
+    lyapunov_values = values.reshape(discretization.shape)
+
+    init_node = tuple(init_node)
+    init_value = lyapunov_values[init_node]
+    ndim = discretization.ndim
+    num_points = np.asarray(discretization.shape)
+
+    neighbor_offsets = np.array(
+        list(itertools.product(*[(0, -1, 1)] * ndim))[1:])
+
+    visited = np.zeros(discretization.shape, dtype=bool)
+    visited[init_node] = True
+
+    tiebreaker = itertools.count()
+    last_value = init_value
+    priority_queue = [(init_value, next(tiebreaker), np.asarray(init_node))]
+
+    while priority_queue:
+        value, _, node = heapq.heappop(priority_queue)
+        if np.any(node == 0) or np.any(node == num_points - 1):
+            visited[tuple(node)] = False
+            break
+        if value < last_value:
+            break
+        last_value = value
+
+        neighbors = node + neighbor_offsets
+        keys = tuple(neighbors.T)
+        is_new = ~visited[keys]
+        neighbors = neighbors[is_new]
+        if neighbors.size:
+            keys = tuple(neighbors.T)
+            visited[keys] = True
+            for val, neighbor in zip(lyapunov_values[keys], neighbors):
+                heapq.heappush(priority_queue,
+                               (val, next(tiebreaker), neighbor))
+
+    for _, _, node in priority_queue:
+        visited[tuple(node)] = False
+
+    return visited

@@ -1,0 +1,207 @@
+"""General utilities: parameter grids, LQR solvers, batching, rollouts.
+
+TPU-native equivalents of ``/root/reference/safe_learning/utilities.py`` and
+parts of ``/root/reference/examples/utilities.py``. The TF-bridge machinery
+of the reference (``make_tf_fun``, scopes, storage cache, feed dict;
+``utilities.py:37-159, 411-493``) has no equivalent here — JAX's functional
+``jit`` model makes it unnecessary.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg
+
+from .config import config
+
+__all__ = [
+    "batchify", "combinations", "linearly_spaced_combinations", "lqr",
+    "dlqr", "ellipse_bounds", "unique_rows", "compute_trajectory",
+    "get_parameter_change", "find_nearest", "balanced_class_weights",
+    "balanced_confusion_weights", "monomials", "derivative_monomials",
+]
+
+
+def batchify(arrays, batch_size):
+    """Yield ``(start_index, batches)`` slices of the arrays in order.
+
+    Mirrors reference ``utilities.py:224-249``.
+    """
+    if not isinstance(arrays, (list, tuple)):
+        arrays = (arrays,)
+    for i in itertools.count(start=0, step=batch_size):
+        batches = [array[i:i + batch_size] for array in arrays]
+        if len(batches[0]):
+            yield i, batches
+        else:
+            break
+
+
+def combinations(arrays):
+    """All combinations of the input arrays, one per row
+    (reference ``utilities.py:252-264``)."""
+    return np.array(np.meshgrid(*arrays)).T.reshape(-1, len(arrays))
+
+
+def linearly_spaced_combinations(bounds, num_samples):
+    """2-D array of all linearly spaced combinations within the bounds
+    (reference ``utilities.py:267-296``)."""
+    bounds = np.atleast_2d(bounds)
+    num_samples = np.broadcast_to(num_samples, len(bounds))
+    inputs = [np.linspace(b[0], b[1], n) for b, n in zip(bounds,
+                                                         num_samples)]
+    return combinations(inputs)
+
+
+def lqr(a, b, q, r):
+    """Continuous-time LQR: ``u = -k @ x``
+    (reference ``utilities.py:299-324``). Host-side setup code."""
+    a, b, q, r = map(np.atleast_2d, (a, b, q, r))
+    p = scipy.linalg.solve_continuous_are(a, b, q, r)
+    k = np.linalg.solve(r, b.T.dot(p))
+    return k, p
+
+
+def dlqr(a, b, q, r):
+    """Discrete-time LQR: ``u = -k @ x``
+    (reference ``utilities.py:327-357``). Host-side setup code."""
+    a, b, q, r = map(np.atleast_2d, (a, b, q, r))
+    p = scipy.linalg.solve_discrete_are(a, b, q, r)
+    bp = b.T.dot(p)
+    k = np.linalg.solve(bp.dot(b) + r, bp.dot(a))
+    return k, p
+
+
+def ellipse_bounds(p, level, n=100):
+    """Upper/lower bounds of the 2-D ellipse ``x' P x = level``
+    (reference ``utilities.py:360-408``)."""
+    n += n % 2
+    eigval, eigvec = np.linalg.eig(p)
+    eigvec = eigvec * np.sqrt(level / eigval)
+    angle = np.linspace(0, 2 * np.pi, n)[:, None]
+    angle += np.arctan(eigvec[0, 1] / eigvec[0, 0])
+    pos = np.cos(angle) * eigvec[:, 0] + np.sin(angle) * eigvec[:, 1]
+    n = n // 2
+    return pos[:n, 0], pos[:n, 1], pos[:n - 1:-1, 1]
+
+
+def unique_rows(array):
+    """Unique rows of a 2-D array (reference ``utilities.py:496-516``)."""
+    return np.unique(np.ascontiguousarray(array), axis=0)
+
+
+def compute_trajectory(dynamics, policy, initial_state, num_steps):
+    """Roll out a closed-loop system for ``num_steps``.
+
+    The reference loops ``session.run`` one step at a time
+    (``utilities.py:519-583``); here the whole rollout is a single
+    ``lax.scan`` compiled once.
+
+    Returns
+    -------
+    states : (num_steps, state_dim)
+    actions : (num_steps - 1, action_dim)
+    """
+    initial_state = jnp.atleast_2d(jnp.asarray(initial_state,
+                                               dtype=config.dtype))
+
+    def step(state, _):
+        action = policy(state)
+        next_state = dynamics(state, action)
+        if isinstance(next_state, tuple):
+            next_state = next_state[0]
+        return next_state, (next_state, action)
+
+    _, (states, actions) = jax.lax.scan(step, initial_state, None,
+                                        length=num_steps - 1)
+    states = jnp.concatenate([initial_state, states[:, 0, :]], axis=0)
+    return states, actions[:, 0, :]
+
+
+def get_parameter_change(old_params, new_params, ord="inf"):
+    """Norm of the flattened parameter difference
+    (reference ``examples/utilities.py:570-599``)."""
+    if ord == "inf":
+        ord = np.inf
+    elif ord == "-inf":
+        ord = -np.inf
+    old_flat = np.concatenate([np.asarray(p).ravel()
+                               for p in jax.tree_util.tree_leaves(old_params)])
+    new_flat = np.concatenate([np.asarray(p).ravel()
+                               for p in jax.tree_util.tree_leaves(new_params)])
+    return np.linalg.norm(new_flat - old_flat, ord=ord)
+
+
+def find_nearest(array, value, sorted_1d=True):
+    """Nearest value and index in a sorted 1-D array
+    (reference ``examples/utilities.py:703-710``)."""
+    if not sorted_1d:
+        array = np.sort(array)
+    idx = np.searchsorted(array, value, side="left")
+    if idx > 0 and (idx == len(array)
+                    or np.abs(value - array[idx - 1])
+                    < np.abs(value - array[idx])):
+        idx -= 1
+    return idx, array[idx]
+
+
+def balanced_class_weights(y_true, scale_by_total=True):
+    """Per-sample weights balancing class label counts
+    (reference ``examples/utilities.py:737-750``)."""
+    y = np.asarray(y_true).astype(bool)
+    n_pos = y.sum()
+    n_neg = y.size - n_pos
+    class_counts = np.array([n_neg, n_pos])
+    weights = np.ones_like(y, dtype=float)
+    weights[y] /= n_pos
+    weights[~y] /= n_neg
+    if scale_by_total:
+        weights *= y.size
+    return weights, class_counts
+
+
+def balanced_confusion_weights(y, y_true, scale_by_total=True):
+    """Per-sample weights from the confusion matrix
+    (reference ``examples/utilities.py:713-734``)."""
+    y = np.asarray(y).astype(bool)
+    y_true = np.asarray(y_true).astype(bool)
+    tp = (y & y_true).sum()
+    tn = (~y & ~y_true).sum()
+    fp = (y & ~y_true).sum()
+    fn = (~y & y_true).sum()
+    confusion_counts = np.array([[tn, fn], [fp, tp]])
+    weights = np.ones_like(y, dtype=float)
+    weights[y & y_true] /= tp
+    weights[~y & ~y_true] /= tn
+    weights[y & ~y_true] /= fp
+    weights[~y & y_true] /= fn
+    if scale_by_total:
+        weights *= y.size
+    return weights, confusion_counts
+
+
+def monomials(x, deg):
+    """2-D monomial features up to degree ``deg``
+    (reference ``examples/utilities.py:753-782``)."""
+    x = jnp.atleast_2d(jnp.asarray(x))
+    feats = [x]
+    for d in range(2, deg + 1):
+        feats.append(jnp.stack(
+            [x[:, 0] ** (d - k) * x[:, 1] ** k for k in range(d + 1)],
+            axis=1))
+    return jnp.concatenate(feats, axis=1)
+
+
+def derivative_monomials(x, deg):
+    """Derivatives of 2-D monomial features up to degree ``deg``
+    (reference ``examples/utilities.py:785-811``).
+
+    Returns an array of shape ``(N, n_features, 2)``.
+    """
+    x = jnp.atleast_2d(jnp.asarray(x))
+    jac = jax.vmap(jax.jacobian(lambda p: monomials(p[None, :], deg)[0]))
+    return jac(x)

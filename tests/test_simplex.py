@@ -1,0 +1,218 @@
+"""Tests for the Kuhn-triangulation PWL interpolant.
+
+Mirrors the reference's dual-implementation cross-checks
+(test_functions.py:454-761): exactness at vertices, exact reproduction of
+affine functions, hand-computed 2-D cases, gradient consistency (closed form
+vs autodiff), and sparse parameter derivatives.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose, assert_array_equal
+
+from safe_learning_tpu import GridWorld, PiecewiseConstant, Triangulation
+
+
+def test_1d_interpolation():
+    grid = GridWorld([[0.0, 1.0]], 3)
+    fun = Triangulation(grid, np.array([0.0, 1.0, 4.0]))
+    x = np.array([[0.0], [0.25], [0.5], [0.75], [1.0]])
+    assert_allclose(np.asarray(fun(x)),
+                    [[0.0], [0.5], [1.0], [2.5], [4.0]])
+    assert fun.nsimplex == 2
+
+
+def test_1d_extrapolation_and_projection():
+    grid = GridWorld([[0.0, 1.0]], 2)
+    fun = Triangulation(grid, np.array([0.0, 1.0]))
+    x = np.array([[-0.5], [1.5]])
+    # Linear extrapolation by default (reference functions.py:1190-1202).
+    assert_allclose(np.asarray(fun(x)), [[-0.5], [1.5]])
+    proj = Triangulation(grid, np.array([0.0, 1.0]), project=True)
+    assert_allclose(np.asarray(proj(x)), [[0.0], [1.0]])
+
+
+def test_vertex_exactness_random():
+    rng = np.random.default_rng(42)
+    grid = GridWorld([[-1, 1], [0, 3], [-2, -1]], [3, 4, 3])
+    values = rng.normal(size=(grid.nindex, 2))
+    fun = Triangulation(grid, values)
+    out = np.asarray(fun(grid.all_points))
+    assert_allclose(out, values, atol=1e-10)
+
+
+def test_affine_reproduction():
+    """PWL interpolation reproduces affine functions exactly, independent
+    of the cell triangulation."""
+    rng = np.random.default_rng(1)
+    grid = GridWorld([[-1, 1], [0, 2], [5, 6]], [4, 3, 5])
+    w = rng.normal(size=(3, 1))
+    b = 0.7
+    values = grid.all_points @ w + b
+    fun = Triangulation(grid, values)
+    queries = np.column_stack([
+        rng.uniform(lo, hi, 200) for lo, hi in grid.limits])
+    assert_allclose(np.asarray(fun(queries)), queries @ w + b, atol=1e-9)
+
+
+def test_2d_hand_computed():
+    """Kuhn triangulation of the unit square: diagonal from (0,0) to (1,1).
+
+    For z1 >= z2 (lower-right triangle) the vertex chain is
+    (0,0) -> (1,0) -> (1,1).
+    """
+    grid = GridWorld([[0, 1], [0, 1]], 2)
+    # Vertex order (row-major): (0,0), (0,1), (1,0), (1,1)
+    values = np.array([0.0, 10.0, 1.0, 11.0])
+    fun = Triangulation(grid, values)
+    # Point with x > y: on the lower-right triangle.
+    out = float(fun(np.array([[0.75, 0.25]]))[0, 0])
+    # w = (1 - 0.75, 0.75 - 0.25, 0.25) on vertices (0,0), (1,0), (1,1)
+    assert_allclose(out, 0.25 * 0.0 + 0.5 * 1.0 + 0.25 * 11.0)
+    # Point with y > x: upper-left triangle, chain (0,0) -> (0,1) -> (1,1).
+    out = float(fun(np.array([[0.25, 0.75]]))[0, 0])
+    assert_allclose(out, 0.25 * 0.0 + 0.5 * 10.0 + 0.25 * 11.0)
+    # On the diagonal both agree.
+    out = float(fun(np.array([[0.5, 0.5]]))[0, 0])
+    assert_allclose(out, 0.5 * (0.0 + 11.0))
+
+
+def test_weights_sum_to_one():
+    rng = np.random.default_rng(3)
+    grid = GridWorld([[-1, 1], [-1, 1]], [5, 7])
+    fun = Triangulation(grid)
+    pts = rng.uniform(-1, 1, size=(100, 2))
+    vertices, weights = fun.interpolation_weights(pts)
+    assert_allclose(np.asarray(weights).sum(axis=1), 1.0, atol=1e-12)
+    assert np.asarray(weights).min() >= -1e-12
+    assert (np.asarray(vertices) >= 0).all()
+    assert (np.asarray(vertices) < grid.nindex).all()
+
+
+def test_find_simplex_and_simplices_consistency():
+    rng = np.random.default_rng(4)
+    grid = GridWorld([[0, 1], [0, 1], [0, 1]], 3)
+    fun = Triangulation(grid)
+    pts = rng.uniform(0, 1, size=(50, 3))
+    simplex_ids = fun.find_simplex(pts)
+    assert (np.asarray(simplex_ids) < fun.nsimplex).all()
+    verts_from_ids = np.asarray(fun.simplices(simplex_ids))
+    verts_direct, _ = map(np.asarray, fun.interpolation_weights(pts))
+    assert_array_equal(verts_from_ids, verts_direct)
+
+
+def test_gradient_matches_autodiff():
+    rng = np.random.default_rng(5)
+    grid = GridWorld([[-1, 1], [0, 2]], [4, 5])
+    values = rng.normal(size=(grid.nindex, 1))
+    fun = Triangulation(grid, values)
+    # Strictly interior points away from simplex boundaries.
+    pts = jnp.asarray(rng.uniform(-0.95, 0.95, size=(30, 2))
+                      * np.array([1.0, 1.0]) + np.array([0.0, 1.0]))
+    closed = np.asarray(fun.gradient(pts))
+    auto = np.asarray(jax.vmap(
+        jax.grad(lambda p: fun(p[None, :])[0, 0]))(pts))
+    assert_allclose(closed, auto, atol=1e-9)
+
+
+def test_gradient_multi_output_shape():
+    grid = GridWorld([[0, 1], [0, 1]], 3)
+    values = np.arange(grid.nindex * 3, dtype=float).reshape(-1, 3)
+    fun = Triangulation(grid, values)
+    grad = np.asarray(fun.gradient(np.array([[0.3, 0.4]])))
+    assert grad.shape == (1, 3, 2)
+
+
+def test_parameter_derivative():
+    rng = np.random.default_rng(6)
+    grid = GridWorld([[-1, 1], [-1, 1]], [4, 4])
+    values = rng.normal(size=(grid.nindex, 1))
+    fun = Triangulation(grid, values)
+    pts = rng.uniform(-1, 1, size=(40, 2))
+    b = fun.parameter_derivative(pts)
+    assert b.shape == (40, grid.nindex)
+    assert_allclose(b.toarray() @ np.asarray(fun.parameters),
+                    np.asarray(fun(pts)), atol=1e-10)
+
+
+def test_gradient_parameter_derivative():
+    rng = np.random.default_rng(7)
+    grid = GridWorld([[-1, 1], [-1, 1]], [4, 4])
+    values = rng.normal(size=(grid.nindex, 1))
+    fun = Triangulation(grid, values)
+    pts = rng.uniform(-0.99, 0.99, size=(25, 2))
+    b = fun.gradient_parameter_derivative(pts)
+    grads = (b.toarray() @ np.asarray(fun.parameters)).reshape(25, 2)
+    assert_allclose(grads, np.asarray(fun.gradient(pts)), atol=1e-10)
+
+
+def test_parameter_gradient_autodiff():
+    """Gradients w.r.t. vertex values flow through the gather."""
+    grid = GridWorld([[0, 1]], 3)
+    values = jnp.array([[0.0], [1.0], [4.0]])
+    pts = jnp.array([[0.25]])
+
+    def loss(v):
+        return Triangulation(grid, v)(pts).sum()
+
+    g = np.asarray(jax.grad(loss)(values))
+    # f(0.25) = 0.5 * v0 + 0.5 * v1
+    assert_allclose(g, [[0.5], [0.5], [0.0]])
+
+
+def test_jit_and_vmap():
+    grid = GridWorld([[0, 1], [0, 1]], 4)
+    rng = np.random.default_rng(8)
+    fun = Triangulation(grid, rng.normal(size=(grid.nindex, 1)))
+    pts = jnp.asarray(rng.uniform(0, 1, size=(10, 2)))
+
+    @jax.jit
+    def apply(f, x):
+        return f(x)
+
+    assert_allclose(np.asarray(apply(fun, pts)), np.asarray(fun(pts)),
+                    atol=1e-12)
+
+
+def test_piecewise_constant():
+    grid = GridWorld([[0.0, 1.0]], 3)
+    fun = PiecewiseConstant(grid, np.array([1.0, 2.0, 3.0]))
+    x = np.array([[0.0], [0.2], [0.3], [0.8], [1.0]])
+    assert_allclose(np.asarray(fun(x)), [[1.0], [1.0], [2.0], [3.0], [3.0]])
+    assert_allclose(np.asarray(fun.gradient(x)), 0.0)
+    b = fun.parameter_derivative(x)
+    assert_allclose(b.toarray() @ np.asarray(fun.parameters),
+                    np.asarray(fun(x)))
+
+
+def test_against_explicit_barycentric_solve():
+    """Brute-force oracle: solve the barycentric system per point with
+    numpy linear algebra on the explicit Kuhn simplex vertices.
+
+    This is the analogue of the reference's numpy-vs-TF dual implementation
+    check (test_functions.py:658-761).
+    """
+    rng = np.random.default_rng(9)
+    grid = GridWorld([[-1, 1], [0, 2], [3, 5]], [3, 4, 3])
+    values = rng.normal(size=(grid.nindex, 1))
+    fun = Triangulation(grid, values)
+
+    pts = np.column_stack([rng.uniform(lo, hi, 100)
+                           for lo, hi in grid.limits])
+    ours = np.asarray(fun(pts))[:, 0]
+
+    vertices, _ = map(np.asarray, fun.interpolation_weights(pts))
+    expected = np.empty(len(pts))
+    for i, (p, vtx) in enumerate(zip(pts, vertices)):
+        corners = np.asarray(grid.index_to_state(vtx))  # (d+1, d)
+        d = corners.shape[1]
+        # Solve sum(w_k * corner_k) = p with sum(w) = 1.
+        a = np.vstack([corners.T, np.ones(d + 1)])
+        rhs = np.concatenate([p, [1.0]])
+        w = np.linalg.lstsq(a, rhs, rcond=None)[0]
+        # The point must actually lie in its simplex.
+        assert w.min() > -1e-9
+        expected[i] = w @ values[vtx, 0]
+    assert_allclose(ours, expected, atol=1e-9)
