@@ -16,6 +16,15 @@ from .functions import (AddedFunction, ConstantFunction,
                         MeanFunction, MultipliedFunction, NeuralNetwork,
                         PiecewiseConstant, QuadraticFunction, RBFNetwork,
                         Saturation, Triangulation, UncertainFunction)
+from .functions.gp import (GaussianProcess, GPSampledFunction, LinearKernel,
+                           Matern12, Matern32, Matern52, RBF,
+                           sample_gp_function)
+from .lyapunov import Lyapunov, get_lyapunov_region, smallest_boundary_value
+from .explore import get_safe_sample, perturb_actions
+from .rl import OptimizationError, PolicyIteration
+from .dynamics import CartPole, InvertedPendulum, VanDerPol
+from .analysis import (compute_roa, compute_closedloop_response, gridify,
+                       reward_rollout)
 from . import utils
 
 __version__ = "0.1.0"
@@ -26,5 +35,11 @@ __all__ = [
     "LambdaFunction", "LinearSystem", "LyapunovNetwork", "MeanFunction",
     "MultipliedFunction", "NeuralNetwork", "PiecewiseConstant",
     "QuadraticFunction", "RBFNetwork", "Saturation", "Triangulation",
-    "UncertainFunction", "utils",
+    "UncertainFunction", "GaussianProcess", "GPSampledFunction",
+    "LinearKernel", "Matern12", "Matern32", "Matern52", "RBF",
+    "sample_gp_function", "Lyapunov", "get_lyapunov_region",
+    "smallest_boundary_value", "get_safe_sample", "perturb_actions",
+    "OptimizationError", "PolicyIteration", "CartPole", "InvertedPendulum",
+    "VanDerPol", "compute_roa", "compute_closedloop_response", "gridify",
+    "reward_rollout", "utils",
 ]

@@ -128,7 +128,7 @@ def _evaluate_candidates(lyapunov, state_actions, positive):
         lyapunov._lipschitz_lyapunov, lyapunov.c_max,
         jnp.asarray(state_actions))
     bound = np.asarray(bound)
-    maps_inside = np.asarray(maps_inside)
+    maps_inside = np.array(maps_inside)  # writable copy
 
     if not positive:
         # Mean next state must lie in the current safe set

@@ -75,6 +75,17 @@ def register_pytree(cls):
     return cls
 
 
+def mxu_dot(a, b):
+    """Matmul with f32 (or wider) accumulation on the MXU.
+
+    For bf16/f16 inputs the MXU accumulates in f32; for f32/f64 inputs the
+    accumulator matches the input dtype (never downcasts).
+    """
+    acc = jnp.promote_types(jnp.result_type(a, b), jnp.float32)
+    out = jnp.dot(a, b, preferred_element_type=acc)
+    return out.astype(jnp.result_type(a, b))
+
+
 def concatenate_inputs(*args):
     """Concatenate positional inputs along axis 1.
 

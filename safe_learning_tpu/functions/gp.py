@@ -28,7 +28,7 @@ import numpy as np
 from ..config import config
 from ..grids import GridWorld
 from .base import (DeterministicFunction, Function, UncertainFunction,
-                   register_pytree)
+                   mxu_dot, register_pytree)
 
 __all__ = [
     "Kernel", "RBF", "Matern12", "Matern32", "Matern52", "LinearKernel",
@@ -65,8 +65,7 @@ def _sqdist(x, z):
     """Pairwise squared distances with the cross term as a matmul (MXU)."""
     xx = jnp.sum(x * x, axis=1, keepdims=True)
     zz = jnp.sum(z * z, axis=1, keepdims=True)
-    cross = jnp.dot(x, z.T, preferred_element_type=jnp.float32).astype(
-        x.dtype)
+    cross = mxu_dot(x, z.T)
     return jnp.maximum(xx - 2.0 * cross + zz.T, 0.0)
 
 
@@ -147,8 +146,7 @@ class LinearKernel(Kernel):
     def __call__(self, x, z=None):
         x = jnp.atleast_2d(jnp.asarray(x))
         z = x if z is None else jnp.atleast_2d(jnp.asarray(z))
-        return jnp.dot(x * self.variances, z.T,
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+        return mxu_dot(x * self.variances, z.T)
 
     def diag(self, x):
         x = jnp.atleast_2d(jnp.asarray(x))
@@ -283,16 +281,12 @@ class GaussianProcess(UncertainFunction):
         mask = self._mask()
         s2 = self.scale ** 2
         kx = s2 * self.kernel(self.X_buf, points) * mask[:, None]
-        a = jnp.dot(self.chol_inv, kx,
-                    preferred_element_type=jnp.float32).astype(kx.dtype)
-        mean = (jnp.dot(a.T, self.alpha,
-                        preferred_element_type=jnp.float32).astype(kx.dtype)
-                / self.scale) + self._prior_mean(points)
+        a = mxu_dot(self.chol_inv, kx)
+        mean = mxu_dot(a.T, self.alpha) / self.scale \
+            + self._prior_mean(points)
         if full_cov:
             knn = self.kernel(points, points)
-            cov = knn - jnp.dot(a.T, a,
-                                preferred_element_type=jnp.float32).astype(
-                                    kx.dtype) / s2
+            cov = knn - mxu_dot(a.T, a) / s2
             return mean, cov
         var = self.kernel.diag(points) - jnp.sum(a * a, axis=0) / s2
         var = jnp.maximum(var, 1e-12)[:, None]
@@ -350,8 +344,7 @@ def _gp_cache(gp):
     chol = jnp.linalg.cholesky(a)
     chol_inv = jax.scipy.linalg.solve_triangular(chol, eye, lower=True)
     target = gp.scale * (gp.Y_buf - gp._prior_mean(gp.X_buf)) * mask[:, None]
-    alpha = jnp.dot(chol_inv, target,
-                    preferred_element_type=jnp.float32).astype(dtype)
+    alpha = mxu_dot(chol_inv, target)
     return chol, chol_inv, alpha
 
 
@@ -362,26 +355,33 @@ def _gp_cache(gp):
 class GPSampledFunction(DeterministicFunction):
     """A consistent posterior sample, evaluable anywhere.
 
-    Kernel regression through sampled values on a discretization, matching
-    the reference's closure (``functions.py:1638-1662``). Calling the
-    function returns noiseless values; pass ``noise_key`` for a noisy
-    measurement.
+    The reference interpolates the sampled values with *prior*-kernel
+    regression against the posterior covariance
+    (``functions.py:1638-1662``), which is only consistent for data-free
+    GPs. Here the sample is interpolated with the *posterior* covariance:
+
+        ``f(x) = m_post(x) + Cov_post(x, D) Cov_post(D, D)^{-1} (s - m_post(D))``
+
+    which exactly reproduces the sampled values on the discretization and
+    respects the GP's observed data everywhere. Calling the function
+    returns noiseless values; pass ``noise_key`` for a noisy measurement.
     """
 
-    _data_fields = ("kernel", "points", "alpha", "noise_variance",
-                    "mean_function")
+    _data_fields = ("gp", "points", "a_disc", "alpha")
     _meta_fields = ("input_dim",)
 
     output_dim = 1
 
-    def __init__(self, kernel, points, alpha, noise_variance,
-                 mean_function=None):
-        self.kernel = kernel
+    def __init__(self, gp, points, a_disc, alpha):
+        self.gp = gp
         self.points = jnp.asarray(points)
+        self.a_disc = jnp.asarray(a_disc)
         self.alpha = jnp.asarray(alpha)
-        self.noise_variance = jnp.asarray(noise_variance)
-        self.mean_function = mean_function
         self.input_dim = int(self.points.shape[1])
+
+    @property
+    def noise_variance(self):
+        return self.gp.noise_variance
 
     def __call__(self, *points, noise_key=None):
         from .base import concatenate_inputs
@@ -395,12 +395,17 @@ class GPSampledFunction(DeterministicFunction):
         return values
 
     def evaluate(self, points):
-        k = self.kernel(points, self.points)
-        values = jnp.dot(k, self.alpha,
-                         preferred_element_type=jnp.float32).astype(k.dtype)
-        if self.mean_function is not None:
-            values = values + self.mean_function(points)
-        return values
+        gp = self.gp
+        points = jnp.atleast_2d(jnp.asarray(points))
+        s2 = gp.scale ** 2
+        mask = gp._mask()
+        kx = s2 * gp.kernel(gp.X_buf, points) * mask[:, None]
+        a_x = mxu_dot(gp.chol_inv, kx)
+        mean = mxu_dot(a_x.T, gp.alpha) / gp.scale \
+            + gp._prior_mean(points)
+        cross = gp.kernel(points, self.points) \
+            - mxu_dot(a_x.T, self.a_disc) / s2
+        return mean + mxu_dot(cross, self.alpha)
 
 
 def sample_gp_function(discretization, gp, key, number=1,
@@ -409,7 +414,7 @@ def sample_gp_function(discretization, gp, key, number=1,
 
     Reference ``functions.py:1586-1662``: full-covariance posterior predict,
     multivariate-normal draw via Cholesky, and (optionally) a callable that
-    interpolates the sample consistently by kernel regression.
+    interpolates each sample consistently (see :class:`GPSampledFunction`).
     """
     if isinstance(discretization, GridWorld):
         discretization = discretization.all_points
@@ -425,10 +430,16 @@ def sample_gp_function(discretization, gp, key, number=1,
     if not return_function:
         return np.asarray(samples)
 
+    # Posterior cross-covariance helper term for the discretization.
+    s2 = gp.scale ** 2
+    mask = gp._mask()
+    k_disc = s2 * gp.kernel(gp.X_buf, discretization) * mask[:, None]
+    a_disc = mxu_dot(gp.chol_inv, k_disc)
+
     functions = []
     for i in range(number):
-        alpha = jax.scipy.linalg.cho_solve((chol, True), samples[i][:, None])
-        functions.append(GPSampledFunction(
-            gp.kernel, discretization, alpha, gp.noise_variance,
-            mean_function=gp.mean_function))
+        deviation = (samples[i] - mean)[:, None]
+        alpha = jax.scipy.linalg.cho_solve((chol, True), deviation)
+        functions.append(GPSampledFunction(gp, discretization, a_disc,
+                                           alpha))
     return functions

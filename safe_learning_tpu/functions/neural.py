@@ -18,7 +18,7 @@ import numpy as np
 
 from ..config import config
 from ..grids import GridWorld
-from .base import DeterministicFunction, register_pytree
+from .base import DeterministicFunction, mxu_dot, register_pytree
 
 __all__ = ["NeuralNetwork", "LyapunovNetwork", "RBFNetwork"]
 
@@ -49,7 +49,7 @@ def _xavier(key, shape, dtype):
 
 
 def _dot(x, w):
-    return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+    return mxu_dot(x, w)
 
 
 @register_pytree

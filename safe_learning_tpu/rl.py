@@ -1,0 +1,232 @@
+"""Approximate dynamic programming / safe policy iteration.
+
+TPU-native re-design of
+``/root/reference/safe_learning/reinforcement_learning.py``. Differences by
+construction:
+
+- ``optimize_value_function``: the reference ships the sparse interpolation
+  matrix to a host cvxpy LP (``reinforcement_learning.py:142-211``). For a
+  piecewise-linear value function with discount ``gamma < 1`` the LP
+  ``max sum(v) s.t. v <= r + gamma B v`` has the unique fixed point of the
+  monotone contraction ``T(v) = r + gamma B v`` as its solution (B has
+  nonnegative rows summing to one — barycentric weights), so we solve it
+  on device with a ``lax.while_loop`` fixed-point iteration over a gather
+  -weighted segment sum. ``OptimizationError`` is raised on non-convergence.
+- ``discrete_policy_optimization`` evaluates the whole action space with one
+  ``vmap`` instead of a Python loop re-feeding one cached graph
+  (``reinforcement_learning.py:213-279``).
+- Everything is functional: methods return updated parameters / functions.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import config
+from .functions.base import Function, as_deterministic
+from .lyapunov import _decrease_bound, _threshold
+
+__all__ = ["PolicyIteration", "OptimizationError"]
+
+
+class OptimizationError(Exception):
+    """Raised when the value-function solve fails
+    (reference ``reinforcement_learning.py:22``)."""
+
+
+@jax.jit
+def _future_values_core(policy, dynamics, reward_function, value_function,
+                        gamma, states, actions):
+    """``r + gamma * v(f(x, u))`` (reference ``:65-105``)."""
+    if actions is None:
+        actions = policy(states)
+    next_states = dynamics(states, actions)
+    rewards = reward_function(states, actions).reshape(-1, 1)
+    if isinstance(next_states, (tuple, list)):
+        next_states, _ = next_states
+    expected = value_function(next_states).reshape(-1, 1)
+    return rewards + gamma * expected
+
+
+@jax.jit
+def _future_values_lyapunov(policy, dynamics, reward_function,
+                            value_function, gamma, states, actions,
+                            lyapunov_function, lipschitz_lyapunov,
+                            lipschitz_dynamics, tau, lagrange_multiplier):
+    """Future values with the Lyapunov decrease condition as a Lagrangian
+    penalty (reference ``:107-112``)."""
+    if actions is None:
+        actions = policy(states)
+    next_states = dynamics(states, actions)
+    rewards = reward_function(states, actions).reshape(-1, 1)
+    decrease = _decrease_bound(lyapunov_function, lipschitz_lyapunov,
+                               states, next_states)
+    if isinstance(next_states, (tuple, list)):
+        next_states, _ = next_states
+    expected = value_function(next_states).reshape(-1, 1)
+    updated = rewards + gamma * expected
+    constraint = decrease - _threshold(lipschitz_lyapunov,
+                                       lipschitz_dynamics, states, tau)
+    return updated - lagrange_multiplier * constraint
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def _pwl_fixed_point(vertices, weights, rewards, gamma, init_values, tol,
+                     max_iter):
+    """Solve ``v = r + gamma * B v`` on device.
+
+    ``B`` is the sparse barycentric interpolation operator represented as
+    ``(vertices, weights)`` with ``ndim + 1`` entries per row — the matvec
+    is a gather + weighted sum, never a dense matrix.
+    Returns ``(values, delta, iterations)``.
+    """
+    def body(carry):
+        v, _, it = carry
+        bv = jnp.sum(weights * v[vertices, 0], axis=1, keepdims=True)
+        v_new = rewards + gamma * bv
+        delta = jnp.max(jnp.abs(v_new - v))
+        return v_new, delta, it + 1
+
+    def cond(carry):
+        _, delta, it = carry
+        return jnp.logical_and(delta > tol, it < max_iter)
+
+    init = (init_values, jnp.asarray(jnp.inf, dtype=init_values.dtype),
+            jnp.asarray(0, dtype=jnp.int32))
+    values, delta, iterations = jax.lax.while_loop(cond, body, init)
+    return values, delta, iterations
+
+
+class PolicyIteration:
+    """Safe approximate policy iteration
+    (reference ``reinforcement_learning.py:26-279``).
+
+    Parameters
+    ----------
+    policy : Function
+    dynamics : Function
+    reward_function : Function or callable
+    value_function : Triangulation (or any DeterministicFunction with a
+        ``discretization``)
+    gamma : float
+        Discount factor.
+    """
+
+    def __init__(self, policy, dynamics, reward_function, value_function,
+                 gamma=0.98):
+        self.policy = as_deterministic(policy)
+        self.dynamics = dynamics if isinstance(dynamics, Function) \
+            else as_deterministic(dynamics)
+        self.reward_function = as_deterministic(reward_function)
+        self.value_function = value_function
+        self.gamma = float(gamma)
+        self.state_space = jnp.asarray(
+            value_function.discretization.all_points)
+
+    # ------------------------------------------------------------------
+    def future_values(self, states, policy=None, actions=None,
+                      lyapunov=None, lagrange_multiplier=1.0):
+        """Expected one-step lookahead values, optionally penalized by the
+        Lyapunov decrease constraint (reference ``:65-114``)."""
+        states = jnp.atleast_2d(jnp.asarray(states))
+        pol = self.policy if policy is None else as_deterministic(policy)
+        if actions is not None:
+            actions = jnp.atleast_2d(jnp.asarray(actions))
+        if lyapunov is None:
+            return _future_values_core(pol, self.dynamics,
+                                       self.reward_function,
+                                       self.value_function, self.gamma,
+                                       states, actions)
+        return _future_values_lyapunov(
+            pol, self.dynamics, self.reward_function, self.value_function,
+            self.gamma, states, actions, lyapunov.lyapunov_function,
+            lyapunov._lipschitz_lyapunov, lyapunov._lipschitz_dynamics,
+            lyapunov.tau, lagrange_multiplier)
+
+    def bellmann_error(self, states):
+        """Squared Bellman error with a stop-gradient target
+        (reference ``:116-133``)."""
+        states = jnp.atleast_2d(jnp.asarray(states))
+        target = jax.lax.stop_gradient(self.future_values(states))
+        residual = target - self.value_function(states).reshape(-1, 1)
+        return jnp.sum(jnp.square(residual))
+
+    def value_iteration(self):
+        """One synchronous value-iteration sweep; updates the value
+        function in place functionally (reference ``:135-140``)."""
+        new_values = self.future_values(self.state_space)
+        self.value_function = self.value_function.replace(
+            parameters=new_values)
+        return new_values
+
+    # ------------------------------------------------------------------
+    def optimize_value_function(self, tol=None, max_iter=20000):
+        """Exact PWL value solve: fixed point of ``v = r + gamma B v``.
+
+        Replaces the reference's host cvxpy LP
+        (``reinforcement_learning.py:142-211``) with an on-device
+        contraction iteration reaching the same solution.
+        """
+        actions = self.policy(self.state_space)
+        next_states = self.dynamics(self.state_space, actions)
+        if isinstance(next_states, (tuple, list)):
+            next_states, _ = next_states
+        rewards = self.reward_function(self.state_space,
+                                       actions).reshape(-1, 1)
+
+        vertices, weights = self.value_function.interpolation_weights(
+            next_states)
+        init = jnp.asarray(self.value_function.parameters[:, :1])
+        if tol is None:
+            tol = 1e-9 if init.dtype == jnp.float64 else 1e-5
+        tol = jnp.asarray(tol, dtype=init.dtype)
+        values, delta, iterations = _pwl_fixed_point(
+            vertices, weights, rewards, self.gamma, init, tol,
+            int(max_iter))
+        if not bool(np.isfinite(np.asarray(delta))) or \
+                float(np.asarray(delta)) > float(np.asarray(tol)):
+            raise OptimizationError(
+                "PWL value iteration did not converge: delta={} after {} "
+                "iterations".format(np.asarray(delta),
+                                    int(np.asarray(iterations))))
+        self.value_function = self.value_function.replace(parameters=values)
+        return values
+
+    # ------------------------------------------------------------------
+    def discrete_policy_optimization(self, action_space, constraint=None):
+        """Exhaustive policy improvement over a discrete action set.
+
+        One ``vmap`` over the action space replaces the reference's Python
+        loop (``reinforcement_learning.py:213-279``); unsafe actions are
+        masked to ``-inf`` before the argmax.
+        """
+        action_space = jnp.atleast_2d(jnp.asarray(action_space,
+                                                  dtype=config.dtype))
+        states = jnp.asarray(self.policy.discretization.all_points)
+        n_states = states.shape[0]
+
+        def values_for(action):
+            actions = jnp.broadcast_to(action, (n_states,
+                                                action_space.shape[1]))
+            return self.future_values(states, actions=actions)[:, 0]
+
+        values = jax.vmap(values_for)(action_space)  # (n_options, n_states)
+
+        if constraint is not None:
+            def slack_for(action):
+                actions = jnp.broadcast_to(action,
+                                           (n_states,
+                                            action_space.shape[1]))
+                return jnp.asarray(constraint(actions)).reshape(-1)
+
+            slack = jax.vmap(slack_for)(action_space)
+            values = jnp.where(slack < 0, -jnp.inf, values)
+
+        best = jnp.argmax(values, axis=0)  # (n_states,)
+        best_actions = action_space[best]
+        self.policy = self.policy.replace(parameters=best_actions)
+        return best_actions

@@ -1,0 +1,118 @@
+"""Tests for safe exploration (get_safe_sample / perturb_actions) —
+coverage the reference lacked entirely (SURVEY.md section 4)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose, assert_array_equal
+
+import safe_learning_tpu as sl
+from safe_learning_tpu import (GaussianProcess, GridWorld, LambdaFunction,
+                               LinearSystem, Lyapunov, RBF, get_safe_sample,
+                               perturb_actions)
+
+
+def test_perturb_actions_layout():
+    states = np.array([[0.0], [1.0]])
+    actions = np.array([[0.5], [-0.5]])
+    perturbations = np.array([[-0.1], [0.0], [0.1]])
+    sa = perturb_actions(states, actions, perturbations)
+    assert sa.shape == (6, 2)
+    assert_allclose(sa[:3, 0], 0.0)
+    assert_allclose(sa[:3, 1], [0.4, 0.5, 0.6])
+    assert_allclose(sa[3:, 1], [-0.6, -0.5, -0.4])
+
+
+def test_perturb_actions_clipping_and_dedup():
+    states = np.zeros((1, 1))
+    actions = np.array([[0.9]])
+    perturbations = np.array([[0.0], [0.2], [0.4]])
+    limits = np.array([[-1.0, 1.0]])
+    sa = perturb_actions(states, actions, perturbations, limits=limits)
+    # 1.1 and 1.3 both clip to 1.0 -> deduplicated.
+    assert sa.shape == (2, 2)
+    assert_allclose(sorted(sa[:, 1]), [0.9, 1.0])
+
+
+def _make_lyapunov_with_gp(noise=1e-4, beta=2.0):
+    """1-D stable system with GP dynamics learned from samples.
+
+    The initial safe set covers a neighborhood of the origin (like the
+    reference's LQR-based initial sets): near the origin the decrease
+    ~ -0.73 x^2 vanishes faster than the GP's predictive std, so no
+    finite dataset certifies those states from the decrease check alone.
+    """
+    rng = np.random.default_rng(0)
+    grid = GridWorld([[-1, 1]], 11)
+    # True dynamics f(x, u) = 0.6 x + 0.4 u.
+    x = rng.uniform(-1, 1, size=(60, 2))
+    y = 0.6 * x[:, :1] + 0.4 * x[:, 1:]
+    gp = GaussianProcess(RBF(1.0, [0.7, 0.7], input_dim=2), x, y, noise,
+                         beta=beta)
+    policy = LambdaFunction(lambda s: -0.2 * s)
+    v = LambdaFunction(lambda s: (s ** 2).sum(axis=1, keepdims=True))
+    lyap = Lyapunov(grid, v, gp, 1.0, 1.0, 1e-3, policy,
+                    initial_set=[4, 5, 6])
+    lyap.update_safe_set()
+    return lyap
+
+
+def test_get_safe_sample_returns_safe_pair():
+    lyap = _make_lyapunov_with_gp()
+    assert lyap.safe_set.sum() > 3  # GP certifies beyond the initial set
+    perturbations = np.linspace(-0.2, 0.2, 5)[:, None]
+    sa, var = get_safe_sample(lyap, perturbations,
+                              rng=np.random.default_rng(1))
+    assert sa.shape == (1, 2)
+    assert var > 0
+    # The chosen pair provably maps inside the level set.
+    mean, std = lyap.dynamics(jnp.asarray(sa))
+    future = float(lyap.lyapunov_function(mean)[0, 0]
+                   + float(std[0, 0]))
+    assert future < lyap.c_max
+
+
+def test_get_safe_sample_backup_policy_warning():
+    lyap = _make_lyapunov_with_gp()
+    # Make everything unsafe: empty level set.
+    lyap.c_max = -np.inf
+    perturbations = np.linspace(-0.2, 0.2, 5)[:, None]
+    with pytest.warns(RuntimeWarning, match="backup policy"):
+        sa, var = get_safe_sample(lyap, perturbations,
+                                  rng=np.random.default_rng(1))
+    assert sa.shape == (1, 2)
+
+
+def test_get_safe_sample_with_action_list():
+    lyap = _make_lyapunov_with_gp()
+    actions = np.array([[-0.1], [0.0], [0.1]])
+    sa, var = get_safe_sample(lyap, actions=actions,
+                              rng=np.random.default_rng(2))
+    assert sa.shape == (1, 2)
+    assert sa[0, 1] in actions[:, 0]
+
+
+def test_get_safe_sample_num_samples_subsampling():
+    lyap = _make_lyapunov_with_gp()
+    perturbations = np.zeros((1, 1))
+    sa, _ = get_safe_sample(lyap, perturbations, num_samples=3,
+                            rng=np.random.default_rng(3))
+    assert sa.shape == (1, 2)
+
+
+def test_exploration_loop_shrinks_uncertainty():
+    """Full safe-learning loop: sample -> measure -> add data -> re-verify
+    (the flagship loop, reference adaptive_safety_verification.ipynb)."""
+    lyap = _make_lyapunov_with_gp(noise=1e-4, beta=2.0)
+    perturbations = np.linspace(-0.3, 0.3, 7)[:, None]
+    rng = np.random.default_rng(4)
+
+    history = []
+    for i in range(3):
+        sa, var = get_safe_sample(lyap, perturbations, rng=rng)
+        history.append(var)
+        measurement = 0.6 * sa[:, :1] + 0.4 * sa[:, 1:]
+        lyap.dynamics = lyap.dynamics.add_data_point(sa, measurement)
+        lyap.update_safe_set()
+    assert lyap.safe_set.sum() >= 1
+    assert all(np.isfinite(history))

@@ -1,0 +1,174 @@
+"""Tests for the GP stack (mirrors reference test_functions.py:150-261:
+cached predictions equal a from-scratch GP before/after data updates,
+pinned posterior values)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from safe_learning_tpu import (FunctionStack, GaussianProcess, LinearKernel,
+                               Matern32, RBF, sample_gp_function)
+from safe_learning_tpu.grids import GridWorld
+
+
+def _scipy_gp_reference(kernel_fn, x, y, noise, q):
+    """Oracle: textbook GP posterior with numpy/scipy."""
+    import scipy.linalg
+
+    k = np.asarray(kernel_fn(x, x))
+    a = k + noise * np.eye(len(x))
+    l = scipy.linalg.cholesky(a, lower=True)
+    alpha = scipy.linalg.cho_solve((l, True), y)
+    kq = np.asarray(kernel_fn(x, q))
+    mean = kq.T @ alpha
+    v = scipy.linalg.solve_triangular(l, kq, lower=True)
+    var = np.asarray(kernel_fn(q, q)).diagonal() - np.sum(v ** 2, axis=0)
+    return mean, var
+
+
+@pytest.fixture
+def data():
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, size=(7, 2))
+    y = np.sin(3 * x[:, :1]) + 0.1 * rng.normal(size=(7, 1))
+    q = rng.uniform(-1, 1, size=(11, 2))
+    return x, y, q
+
+
+@pytest.mark.parametrize("kernel_cls", [RBF, Matern32])
+def test_posterior_matches_textbook(data, kernel_cls):
+    x, y, q = data
+    kern = kernel_cls(variance=1.7, lengthscales=[0.6, 0.9], input_dim=2)
+    noise = 0.05
+    gp = GaussianProcess(kern, x, y, noise)
+    mean, var = map(np.asarray, gp.predict(q))
+    ref_mean, ref_var = _scipy_gp_reference(kern, x, y, noise, q)
+    assert_allclose(mean, ref_mean, atol=1e-8)
+    assert_allclose(var[:, 0], ref_var, atol=1e-8)
+
+
+def test_confidence_interval_contract(data):
+    x, y, q = data
+    gp = GaussianProcess(RBF(1.0, 0.5, input_dim=2), x, y, 0.01, beta=3.0)
+    mean, err = gp(q)
+    _, var = gp.predict(q)
+    assert_allclose(np.asarray(err), 3.0 * np.sqrt(np.asarray(var)),
+                    atol=1e-10)
+
+
+def test_scale_trick_invariance(data):
+    """The internal conditioning scale must not change predictions
+    (reference functions.py:399-411, 454-456)."""
+    x, y, q = data
+    kern = RBF(1.0, 0.7, input_dim=2)
+    gp1 = GaussianProcess(kern, x, y, 1e-4, scale=1.0)
+    gp2 = GaussianProcess(kern, x, y, 1e-4, scale=10.0)
+    m1, v1 = map(np.asarray, gp1.predict(q))
+    m2, v2 = map(np.asarray, gp2.predict(q))
+    assert_allclose(m1, m2, atol=1e-7)
+    assert_allclose(v1, v2, atol=1e-7)
+
+
+def test_add_data_point_matches_fresh_fit(data):
+    """Online update == retrain from scratch
+    (reference test_functions.py:150-199)."""
+    x, y, q = data
+    kern = RBF(1.3, [0.5, 0.8], input_dim=2)
+    noise = 0.03
+    gp = GaussianProcess(kern, x[:5], y[:5], noise)
+    gp = gp.add_data_point(x[5], y[5])
+    gp = gp.add_data_point(x[6], y[6])
+    fresh = GaussianProcess(kern, x, y, noise)
+    m1, v1 = map(np.asarray, gp.predict(q))
+    m2, v2 = map(np.asarray, fresh.predict(q))
+    assert_allclose(m1, m2, atol=1e-8)
+    assert_allclose(v1, v2, atol=1e-8)
+    assert gp.X.shape == (7, 2)
+
+
+def test_capacity_growth(data):
+    x, y, _ = data
+    gp = GaussianProcess(RBF(1.0, 0.5, input_dim=2), x[:2], y[:2], 0.01,
+                         capacity=2)
+    for i in range(2, 7):
+        gp = gp.add_data_point(x[i], y[i])
+    assert gp.capacity >= 7
+    fresh = GaussianProcess(RBF(1.0, 0.5, input_dim=2), x, y, 0.01)
+    q = np.array([[0.1, -0.2]])
+    assert_allclose(np.asarray(gp.predict(q)[0]),
+                    np.asarray(fresh.predict(q)[0]), atol=1e-8)
+
+
+def test_full_cov(data):
+    x, y, q = data
+    gp = GaussianProcess(RBF(1.0, 0.5, input_dim=2), x, y, 0.01)
+    mean, cov = map(np.asarray, gp.predict(q, full_cov=True))
+    _, var = map(np.asarray, gp.predict(q))
+    assert cov.shape == (11, 11)
+    assert_allclose(np.diag(cov), var[:, 0], atol=1e-8)
+    # Covariance is symmetric PSD.
+    assert_allclose(cov, cov.T, atol=1e-10)
+    assert np.linalg.eigvalsh(cov).min() > -1e-8
+
+
+def test_linear_kernel():
+    x = np.array([[1.0, 2.0], [0.5, -1.0]])
+    kern = LinearKernel([2.0, 3.0], input_dim=2)
+    k = np.asarray(kern(x, x))
+    expected = (x * [2.0, 3.0]) @ x.T
+    assert_allclose(k, expected)
+    assert_allclose(np.asarray(kern.diag(x)), np.diag(expected))
+
+
+def test_kernel_algebra(data):
+    x, _, q = data
+    k1 = RBF(1.0, 0.5, input_dim=2)
+    k2 = LinearKernel(0.3, input_dim=2)
+    assert_allclose(np.asarray((k1 + k2)(x, q)),
+                    np.asarray(k1(x, q)) + np.asarray(k2(x, q)))
+    assert_allclose(np.asarray((k1 * k2)(x, q)),
+                    np.asarray(k1(x, q)) * np.asarray(k2(x, q)))
+
+
+def test_function_stack_gp(data):
+    """One GP per output dim (reference FunctionStack usage)."""
+    x, y, q = data
+    y2 = np.hstack([y, -y])
+    gps = [GaussianProcess(RBF(1.0, 0.5, input_dim=2), x, y2[:, i:i + 1],
+                           0.01) for i in range(2)]
+    stack = FunctionStack(gps)
+    mean, err = stack(q)
+    assert mean.shape == (11, 2)
+    assert_allclose(np.asarray(mean[:, 0]), -np.asarray(mean[:, 1]),
+                    atol=1e-8)
+    stack2 = stack.add_data_point(q[:1], np.array([[0.5, -0.5]]))
+    assert stack2.functions[0].X.shape[0] == 8
+
+
+def test_sample_gp_function():
+    """Posterior samples interpolate their own values consistently
+    (reference functions.py:1586-1662)."""
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, size=(5, 1))
+    y = np.sin(2 * x)
+    gp = GaussianProcess(RBF(1.0, 0.4, input_dim=1), x, y, 1e-6)
+    grid = GridWorld([[-1, 1]], 31)
+
+    key = jax.random.PRNGKey(0)
+    raw = sample_gp_function(grid, gp, key, number=2, return_function=False)
+    assert raw.shape == (2, 31)
+
+    funs = sample_gp_function(grid, gp, key, number=2)
+    vals = np.asarray(funs[0](grid.all_points))
+    # The closure regenerates (approximately) the sampled values.
+    assert_allclose(vals[:, 0], raw[0], atol=1e-3)
+    # Noisy evaluation differs but stays close at small noise.
+    noisy = np.asarray(funs[0](grid.all_points,
+                               noise_key=jax.random.PRNGKey(1)))
+    assert not np.allclose(noisy, vals)
+    assert_allclose(noisy, vals, atol=1e-2)
+    # Samples pass near the training data (tiny observation noise).
+    at_data = np.asarray(funs[0](x))
+    assert_allclose(at_data, y, atol=0.15)

@@ -1,0 +1,190 @@
+"""Tests for Lyapunov verification (mirrors reference test_lyapunov.py
+plus coverage the reference lacked: adaptive refinement, c_max semantics,
+get_lyapunov_region)."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose, assert_array_equal
+
+import safe_learning_tpu as sl
+from safe_learning_tpu import (GridWorld, LambdaFunction, LinearSystem,
+                               Lyapunov, QuadraticFunction,
+                               smallest_boundary_value, get_lyapunov_region)
+
+
+def _quad_v():
+    return LambdaFunction(lambda x: (x ** 2).sum(axis=1, keepdims=True))
+
+
+def test_safe_set_init():
+    """Initial safe set from index list (reference test_lyapunov.py:24-46)."""
+    grid = GridWorld([[0, 1], [0, 1]], 3)
+    policy = LambdaFunction(lambda x: 0.0 * x)
+    dyn = LinearSystem(np.array([[1, 0.01], [0.0, 1.0]]))
+    lyap = Lyapunov(grid, _quad_v(), dyn, 0.4, 0.3, 0.5, policy,
+                    initial_set=[1, 3])
+    expected = np.zeros(9, dtype=bool)
+    expected[[1, 3]] = True
+    assert_array_equal(lyap.safe_set, expected)
+
+
+def test_update_safe_set_closed_form():
+    """3-point 1-D grid, exact expected safe sets
+    (reference test_lyapunov.py:48-74)."""
+    grid = GridWorld([[-1, 1]], 3)
+    policy = LambdaFunction(lambda x: -0.1 * x)
+    dyn = LinearSystem(np.array([[1.0, 1.0]]))  # f(x, u) = x + u
+
+    lyap = Lyapunov(grid, _quad_v(), dyn, 0.4, 0.3, 0.5, policy,
+                    initial_set=[1])
+    lyap.update_safe_set()
+    assert_array_equal(lyap.safe_set, [False, True, False])
+
+    lyap = Lyapunov(grid, _quad_v(), dyn, 0.4, 0.3, 0.0, policy,
+                    initial_set=[1])
+    lyap.update_safe_set()
+    assert lyap.safe_set.all()
+    assert_allclose(lyap.c_max, 1.0)
+
+
+def test_update_safe_set_small_batches():
+    """Batch size must not change the result."""
+    grid = GridWorld([[-1, 1], [-1, 1]], 9)
+    policy = LambdaFunction(lambda x: 0.0 * x[:, :1])
+    a = np.array([[0.8, 0.0], [0.0, 0.7]])
+    dyn = LinearSystem([a, np.zeros((2, 1))])
+    v = QuadraticFunction(np.eye(2))
+    mid = grid.nindex // 2
+
+    results = []
+    for batch in [7, 64, None]:
+        lyap = Lyapunov(grid, v, dyn, 0.8, 1.0, 1e-3, policy,
+                        initial_set=[mid])
+        lyap.update_safe_set(batch_size=batch)
+        results.append((lyap.safe_set.copy(), lyap.c_max))
+    for safe, c in results[1:]:
+        assert_array_equal(safe, results[0][0])
+        assert_allclose(c, results[0][1])
+    assert results[0][0].sum() > 1  # something besides the initial set
+
+
+def test_no_safe_prefix_gives_minus_inf():
+    grid = GridWorld([[-1, 1]], 3)
+    policy = LambdaFunction(lambda x: 0.0 * x)
+    dyn = LinearSystem(np.array([[2.0, 0.0]]))  # expanding
+    lyap = Lyapunov(grid, _quad_v(), dyn, 0.4, 0.3, 0.5, policy)
+    lyap.update_safe_set()
+    assert not lyap.safe_set.any()
+    assert lyap.c_max == -np.inf
+
+
+def test_can_shrink_false_keeps_previous():
+    grid = GridWorld([[-1, 1]], 5)
+    policy = LambdaFunction(lambda x: 0.0 * x)
+    good = LinearSystem(np.array([[0.5, 0.0]]))
+    bad = LinearSystem(np.array([[2.0, 0.0]]))
+    lyap = Lyapunov(grid, _quad_v(), good, 0.5, 1.0, 1e-4, policy,
+                    initial_set=[2])
+    lyap.update_safe_set()
+    before = lyap.safe_set.copy()
+    assert before.sum() > 1
+    lyap.dynamics = bad
+    lyap.update_safe_set(can_shrink=False)
+    assert_array_equal(lyap.safe_set, before)
+    lyap.update_safe_set(can_shrink=True)
+    assert lyap.safe_set.sum() == 1  # only the initial set survives
+
+
+def test_uncertain_dynamics_error_bound():
+    """A (mean, error) dynamics tuple shrinks the certified region."""
+    from safe_learning_tpu.functions.base import (UncertainFunction,
+                                                  register_pytree)
+    import jax.numpy as jnp
+
+    a = np.array([[0.5, 0.0]])
+
+    @register_pytree
+    class FakeUncertain(UncertainFunction):
+        input_dim = 2
+        output_dim = 1
+
+        def evaluate(self, points):
+            mean = points @ jnp.asarray(a.T)
+            return mean, 10.0 * jnp.ones_like(mean)
+
+    grid = GridWorld([[-1, 1]], 5)
+    policy = LambdaFunction(lambda x: 0.0 * x)
+    lyap = Lyapunov(grid, _quad_v(), FakeUncertain(), 0.5, 1.0, 1e-4,
+                    policy, initial_set=[2])
+    lyap.update_safe_set()
+    # Huge error bound: nothing verifies beyond the initial set.
+    assert lyap.safe_set.sum() == 1
+
+
+def test_threshold_local_lipschitz():
+    grid = GridWorld([[-1, 1]], 3)
+    policy = LambdaFunction(lambda x: 0.0 * x)
+    dyn = LinearSystem(np.array([[0.5, 0.0]]))
+    lv = LambdaFunction(lambda x: np.abs(x))  # local, vector-valued
+    lyap = Lyapunov(grid, _quad_v(), dyn, 0.4, lv, 0.5, policy)
+    thr = np.asarray(lyap.threshold(np.array([[0.5]])))
+    assert_allclose(thr, -0.5 * 1.4 * 0.5)
+
+
+def test_adaptive_refinement_expands_safe_set():
+    """Refinement certifies states the coarse check rejects.
+
+    Setup (hand-computed): f(x) = 0.9 x, v = x^2 on a 21-point grid
+    (h = 0.1), tau = 0.02, L_v (1 + L_f) = 1.9. Decrease is -0.19 x^2,
+    coarse threshold -0.038, so |x| >= 0.5 passes coarsely, |x| = 0.4
+    needs N(x) = 2, and |x| <= 0.3 (initial set) is exempt.
+    """
+    grid = GridWorld([[-1, 1]], 21)
+    policy = LambdaFunction(lambda x: 0.0 * x)
+    dyn = LinearSystem(np.array([[0.9, 0.0]]))
+    v = _quad_v()
+    initial = list(range(7, 14))  # |x| <= 0.3
+    tau = 0.02
+
+    coarse = Lyapunov(grid, v, dyn, 0.9, 1.0, tau, policy,
+                      initial_set=initial)
+    coarse.update_safe_set()
+    assert coarse.safe_set.sum() == 7  # prefix stops at |x| = 0.4
+
+    adaptive = Lyapunov(grid, v, dyn, 0.9, 1.0, tau, policy,
+                        initial_set=initial, adaptive=True)
+    adaptive.update_safe_set(max_refinement=4)
+
+    assert adaptive.safe_set.all()
+    assert adaptive._refinement.max() == 2  # |x| = 0.4 refined at N = 2
+    assert adaptive.c_max >= coarse.c_max
+
+
+def test_is_safe_and_values():
+    grid = GridWorld([[-1, 1]], 3)
+    policy = LambdaFunction(lambda x: 0.0 * x)
+    dyn = LinearSystem(np.array([[0.5, 0.0]]))
+    lyap = Lyapunov(grid, _quad_v(), dyn, 0.4, 0.3, 0.0, policy,
+                    initial_set=[1])
+    lyap.update_safe_set()
+    assert lyap.is_safe(np.array([[0.0]]))
+    assert_allclose(lyap.values, [1.0, 0.0, 1.0])
+
+
+def test_smallest_boundary_value():
+    """Reference test_lyapunov.py:77-83."""
+    fun = LambdaFunction(lambda x: 2 * np.abs(x).sum(axis=1))
+    import jax.numpy as jnp
+    fun = LambdaFunction(lambda x: 2 * jnp.abs(x).sum(axis=1))
+    grid = GridWorld([[-1.5, 1], [-1, 1.5]], [3, 3])
+    assert smallest_boundary_value(fun, grid) == 2.5
+
+
+def test_get_lyapunov_region():
+    grid = GridWorld([[-1, 1], [-1, 1]], 11)
+    v = QuadraticFunction(np.eye(2))
+    region = get_lyapunov_region(v, grid, (5, 5))
+    assert region[5, 5]
+    # Monotone quadratic: region is a centered blob, not the boundary.
+    assert not region[0, :].any()
+    assert region.sum() > 1

@@ -1,0 +1,192 @@
+"""Tests for PolicyIteration (mirrors reference test_rl.py: DARE
+convergence, hand-built transition matrices, Lyapunov-constrained
+updates)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+import safe_learning_tpu as sl
+from safe_learning_tpu import (GridWorld, LambdaFunction, LinearSystem,
+                               OptimizationError, PolicyIteration,
+                               QuadraticFunction, Triangulation)
+from safe_learning_tpu.utils import dlqr
+
+
+def _scalar_lq_setup():
+    """Scalar linear-quadratic problem with known DARE solution."""
+    a, b = np.array([[1.2]]), np.array([[1.0]])
+    q, r = np.array([[1.0]]), np.array([[1.0]])
+    k, p = dlqr(a, b, q, r)
+    return a, b, q, r, k, p
+
+
+def test_value_iteration_converges_to_dare():
+    """10+ rounds of exact PWL value solves under the optimal policy
+    converge to the LQR cost-to-go (reference test_rl.py:29-77)."""
+    a, b, q, r, k, p = _scalar_lq_setup()
+    gamma = 0.98
+    grid = GridWorld([[-1, 1]], 41)
+
+    policy = LinearSystem(-k)
+    dynamics = LinearSystem([a, b])
+    reward = LambdaFunction(
+        lambda xu: -(q[0, 0] * xu[:, :1] ** 2 + r[0, 0] * xu[:, 1:] ** 2))
+    value = Triangulation(grid, np.zeros(grid.nindex), project=True)
+
+    rl = PolicyIteration(policy, dynamics, reward, value, gamma=gamma)
+    rl.optimize_value_function()
+
+    # Analytic discounted LQR cost-to-go for the closed loop
+    # x+ = (a - b k) x with stage cost (q + k' r k) x^2:
+    # v(x) = -c x^2 with c = (q + k'rk) / (1 - gamma (a - bk)^2).
+    acl = float(a - b @ k)
+    c = float(q + k.T @ r @ k) / (1 - gamma * acl ** 2)
+    states = grid.all_points
+    expected = -c * states[:, 0] ** 2
+    got = np.asarray(rl.value_function(states))[:, 0]
+    assert_allclose(got, expected, atol=0.1)
+
+
+def test_pwl_fixed_point_matches_dense_solve():
+    """The gather-based fixed point equals the dense linear solve
+    v = (I - gamma B)^{-1} r (what the reference's LP computes;
+    reference test_rl.py:82-178 uses a hand-built transition matrix)."""
+    rng = np.random.default_rng(0)
+    grid = GridWorld([[-1, 1]], 21)
+    gamma = 0.9
+
+    # Contracting dynamics keep next states inside the domain.
+    dynamics = LinearSystem([np.array([[0.7]]), np.array([[0.1]])])
+    policy = LambdaFunction(lambda x: 0.3 * x)
+    reward = LambdaFunction(lambda xu: -xu[:, :1] ** 2)
+    value = Triangulation(grid, rng.normal(size=grid.nindex), project=True)
+
+    rl = PolicyIteration(policy, dynamics, reward, value, gamma=gamma)
+    values = np.asarray(rl.optimize_value_function())
+
+    # Dense oracle.
+    states = grid.all_points
+    actions = np.asarray(policy(states))
+    next_states = np.asarray(dynamics(jnp.asarray(states),
+                                      jnp.asarray(actions)))
+    rewards = np.asarray(reward(jnp.asarray(
+        np.hstack([states, actions]))))
+    b = value.parameter_derivative(next_states).toarray()
+    oracle = np.linalg.solve(np.eye(grid.nindex) - gamma * b, rewards)
+    assert_allclose(values, oracle, atol=1e-6)
+
+
+def test_optimize_value_function_divergence_raises():
+    grid = GridWorld([[-1, 1]], 5)
+    dynamics = LinearSystem([np.array([[1.0]]), np.array([[0.0]])])
+    policy = LambdaFunction(lambda x: 0.0 * x)
+    reward = LambdaFunction(lambda xu: jnp.ones_like(xu[:, :1]))
+    value = Triangulation(grid, np.zeros(grid.nindex), project=True)
+    # gamma = 1 on an identity map: no contraction, must not "converge".
+    rl = PolicyIteration(policy, dynamics, reward, value, gamma=1.0)
+    with pytest.raises(OptimizationError):
+        rl.optimize_value_function(max_iter=50)
+
+
+def test_future_values_and_bellman_error():
+    grid = GridWorld([[-1, 1]], 11)
+    dynamics = LinearSystem([np.array([[0.5]]), np.array([[1.0]])])
+    policy = LambdaFunction(lambda x: 0.0 * x)
+    reward = LambdaFunction(lambda xu: -xu[:, :1] ** 2)
+    value = Triangulation(grid, grid.all_points[:, 0] ** 2, project=True)
+    rl = PolicyIteration(policy, dynamics, reward, value, gamma=0.9)
+
+    states = np.array([[0.4]])
+    fv = np.asarray(rl.future_values(states))
+    # r + gamma v(0.2) = -0.16 + 0.9 * 0.04
+    assert_allclose(fv, [[-0.16 + 0.9 * 0.04]], atol=1e-9)
+
+    err = float(rl.bellmann_error(states))
+    v_curr = 0.16
+    assert_allclose(err, (fv[0, 0] - v_curr) ** 2, atol=1e-9)
+
+    # Gradient flows through value parameters but not the target.
+    def loss(params):
+        rl2 = PolicyIteration(policy, dynamics, reward,
+                              value.with_parameters(params), gamma=0.9)
+        return rl2.bellmann_error(states)
+
+    g = jax.grad(loss)(value.parameters_dict)
+    assert np.isfinite(np.asarray(g["parameters"])).all()
+    assert np.abs(np.asarray(g["parameters"])).sum() > 0
+
+
+def test_value_iteration_step():
+    grid = GridWorld([[-1, 1]], 5)
+    dynamics = LinearSystem([np.array([[0.5]]), np.array([[0.0]])])
+    policy = LambdaFunction(lambda x: 0.0 * x)
+    reward = LambdaFunction(lambda xu: jnp.ones_like(xu[:, :1]))
+    value = Triangulation(grid, np.zeros(grid.nindex), project=True)
+    rl = PolicyIteration(policy, dynamics, reward, value, gamma=0.5)
+    rl.value_iteration()
+    # v1 = r + gamma * 0 = 1 everywhere.
+    assert_allclose(np.asarray(rl.value_function.parameters), 1.0)
+    rl.value_iteration()
+    assert_allclose(np.asarray(rl.value_function.parameters), 1.5)
+
+
+def test_discrete_policy_optimization():
+    """Exhaustive argmax over a discrete action set; optimal action drives
+    the state toward zero (reference :213-279 semantics)."""
+    grid = GridWorld([[-1, 1]], 11)
+    dynamics = LinearSystem([np.array([[1.0]]), np.array([[1.0]])])
+    reward = LambdaFunction(lambda xu: -(xu[:, :1] + xu[:, 1:]) ** 2)
+    policy = Triangulation(grid, np.zeros(grid.nindex), project=True)
+    value = Triangulation(grid, -grid.all_points[:, 0] ** 2, project=True)
+    rl = PolicyIteration(policy, dynamics, reward, value, gamma=0.9)
+
+    action_space = np.linspace(-1, 1, 21)[:, None]
+    best = np.asarray(rl.discrete_policy_optimization(action_space))
+    states = grid.all_points[:, 0]
+    # Optimal u = -x (drives next state to 0), within action-grid spacing.
+    assert_allclose(best[:, 0], -states, atol=0.11)
+    assert_allclose(np.asarray(rl.policy.parameters), best)
+
+
+def test_discrete_policy_optimization_with_constraint():
+    grid = GridWorld([[-1, 1]], 5)
+    dynamics = LinearSystem([np.array([[1.0]]), np.array([[1.0]])])
+    reward = LambdaFunction(lambda xu: -(xu[:, :1] + xu[:, 1:]) ** 2)
+    policy = Triangulation(grid, np.zeros(grid.nindex), project=True)
+    value = Triangulation(grid, np.zeros(grid.nindex), project=True)
+    rl = PolicyIteration(policy, dynamics, reward, value, gamma=0.9)
+
+    action_space = np.array([[-0.5], [0.0], [0.5]])
+
+    def constraint(actions):
+        # Only non-negative actions are "safe".
+        return jnp.asarray(actions)[:, 0]
+
+    best = np.asarray(rl.discrete_policy_optimization(action_space,
+                                                      constraint))
+    assert (best >= 0).all()
+
+
+def test_lyapunov_constrained_future_values():
+    """The Lagrangian penalty lowers values where the decrease condition
+    is violated (reference :107-112)."""
+    from safe_learning_tpu import Lyapunov
+
+    grid = GridWorld([[-1, 1]], 11)
+    dynamics = LinearSystem([np.array([[1.5]]), np.array([[0.0]])])
+    policy = LambdaFunction(lambda x: 0.0 * x)
+    reward = LambdaFunction(lambda xu: jnp.zeros_like(xu[:, :1]))
+    value = Triangulation(grid, np.zeros(grid.nindex), project=True)
+    v = QuadraticFunction(np.eye(1))
+    lyap = Lyapunov(grid, v, dynamics, 1.5, 1.0, 0.0, policy)
+    rl = PolicyIteration(policy, dynamics, reward, value, gamma=0.9)
+
+    states = np.array([[0.5]])
+    plain = np.asarray(rl.future_values(states))
+    constrained = np.asarray(rl.future_values(states, lyapunov=lyap,
+                                              lagrange_multiplier=2.0))
+    # decrease = (1.5*0.5)^2 - 0.5^2 = 0.3125 > 0 = threshold -> penalty.
+    assert_allclose(constrained, plain - 2.0 * 0.3125, atol=1e-9)

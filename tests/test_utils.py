@@ -1,0 +1,124 @@
+"""Tests for utilities (mirrors reference test_utilities.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from safe_learning_tpu import LinearSystem
+from safe_learning_tpu.utils import (balanced_class_weights,
+                                     balanced_confusion_weights, batchify,
+                                     combinations, compute_trajectory,
+                                     derivative_monomials, dlqr,
+                                     ellipse_bounds, find_nearest,
+                                     get_parameter_change,
+                                     linearly_spaced_combinations, lqr,
+                                     monomials, unique_rows)
+
+
+def test_dlqr_fixed_point():
+    """Known DARE fixed point (reference test_utilities.py:17-28)."""
+    a, b, q, r = 1.0, 1.0, 1.0, 1.0
+    k, p = dlqr(a, b, q, r)
+    # p solves p = q + p - p^2/(p + r)  =>  p = (1 + sqrt(5)) / 2 * ...
+    p_val = float(p)
+    assert_allclose(p_val, q + p_val - p_val ** 2 / (p_val + r))
+    assert_allclose(float(k), p_val / (p_val + 1.0))
+
+
+def test_lqr_stabilizes():
+    a = np.array([[0.0, 1.0], [1.0, 0.0]])
+    b = np.array([[0.0], [1.0]])
+    k, p = lqr(a, b, np.eye(2), np.eye(1))
+    eig = np.linalg.eigvals(a - b @ k)
+    assert (eig.real < 0).all()
+    assert np.linalg.eigvalsh(p).min() > 0
+
+
+def test_batchify():
+    arrays = (np.arange(10), np.arange(10) * 2)
+    seen = []
+    for i, (a, b) in batchify(arrays, 4):
+        seen.append((i, len(a)))
+        assert_allclose(b, 2 * a)
+    assert seen == [(0, 4), (4, 4), (8, 2)]
+
+
+def test_combinations():
+    out = linearly_spaced_combinations([(0, 1), (0, 2)], [2, 3])
+    assert out.shape == (6, 2)
+    assert {tuple(r) for r in out} == {
+        (0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (1, 2)}
+
+
+def test_unique_rows():
+    arr = np.array([[1, 2], [1, 2], [3, 4]])
+    assert unique_rows(arr).shape == (2, 2)
+
+
+def test_ellipse_bounds():
+    p = np.diag([1.0, 4.0])
+    x, up, low = ellipse_bounds(p, 1.0, n=100)
+    assert len(x) == len(up) == len(low) + 1 or len(x) == len(up)
+    # Points satisfy x'Px <= level.
+    vals = x ** 2 + 4 * up[:len(x)] ** 2
+    assert (vals <= 1.0 + 1e-6).all()
+
+
+def test_compute_trajectory_converges():
+    """Closed loop drives state to zero
+    (reference test_utilities.py:94-114)."""
+    dyn = LinearSystem([np.array([[1.0, 0.1], [0.0, 1.0]]),
+                        np.array([[0.0], [0.1]])])
+    policy = LinearSystem(-np.array([[1.0, 2.0]]))
+    states, actions = compute_trajectory(dyn, policy,
+                                         np.array([[1.0, 0.0]]), 200)
+    assert states.shape == (200, 2)
+    assert actions.shape == (199, 1)
+    assert np.linalg.norm(np.asarray(states)[-1]) < 1e-2
+
+
+def test_get_parameter_change():
+    old = {"w": np.zeros(3)}
+    new = {"w": np.array([0.5, -2.0, 1.0])}
+    assert_allclose(get_parameter_change(old, new, "inf"), 2.0)
+    assert_allclose(get_parameter_change(old, new, 2),
+                    np.sqrt(0.25 + 4 + 1))
+
+
+def test_find_nearest():
+    arr = np.array([0.0, 1.0, 2.0])
+    idx, val = find_nearest(arr, 1.2)
+    assert idx == 1 and val == 1.0
+
+
+def test_balanced_class_weights():
+    y = np.array([1, 1, 1, 0])
+    w, counts = balanced_class_weights(y)
+    assert_allclose(counts, [1, 3])
+    assert_allclose(w[3] / w[0], 3.0)
+
+
+def test_balanced_confusion_weights():
+    y = np.array([1, 1, 0, 0])
+    y_true = np.array([1, 0, 1, 0])
+    w, confusion = balanced_confusion_weights(y, y_true)
+    assert confusion.sum() == 4
+    assert w.shape == (4,)
+
+
+def test_monomials():
+    x = np.array([[2.0, 3.0]])
+    z = np.asarray(monomials(x, 2))
+    assert_allclose(z, [[2, 3, 4, 6, 9]])
+    z3 = np.asarray(monomials(x, 3))
+    assert_allclose(z3[0, 5:], [8, 12, 18, 27])
+
+
+def test_derivative_monomials():
+    x = np.array([[2.0, 3.0]])
+    dz = np.asarray(derivative_monomials(x, 2))
+    assert dz.shape == (1, 5, 2)
+    # d/dx of [x, y, x^2, xy, y^2] at (2, 3).
+    assert_allclose(dz[0, :, 0], [1, 0, 4, 3, 0])
+    assert_allclose(dz[0, :, 1], [0, 1, 0, 2, 6])
