@@ -1,0 +1,120 @@
+"""Checkpoint / resume for safe-learning state.
+
+The reference has no library-level checkpointing; its notebooks snapshot
+Lyapunov-network variables with raw ``tf.train.Saver``
+(``lyapunov_function_learning.ipynb``, SURVEY.md section 5). Here the whole
+learning state — function parameters, GP data buffers, safe set, certified
+level — is a pytree saved with orbax (falling back to a plain ``npz`` when
+orbax is unavailable).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+__all__ = ["save_checkpoint", "restore_checkpoint", "lyapunov_state",
+           "restore_lyapunov_state"]
+
+
+def _flatten_with_paths(tree):
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    entries = {}
+    for path, leaf in flat:
+        key = "/".join(str(p) for p in path)
+        entries[key] = np.asarray(leaf)
+    return entries, treedef
+
+
+def save_checkpoint(path, state, use_orbax=False):
+    """Save a pytree checkpoint.
+
+    Parameters
+    ----------
+    path : str
+        Target path (``.npz`` appended for the default format).
+    state : pytree
+        Arbitrary pytree of arrays/scalars.
+    use_orbax : bool, optional
+        Use orbax's StandardCheckpointer (directory format) instead of the
+        self-contained ``npz`` file.
+    """
+    if use_orbax:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        checkpointer = ocp.StandardCheckpointer()
+        checkpointer.save(path, state, force=True)
+        checkpointer.wait_until_finished()
+        return path
+    entries, _ = _flatten_with_paths(state)
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    np.savez(path, **entries)
+    return path
+
+
+def restore_checkpoint(path, target):
+    """Restore a pytree checkpoint into the structure of ``target``."""
+    if path.endswith(".npz") or os.path.exists(path + ".npz"):
+        if not path.endswith(".npz"):
+            path = path + ".npz"
+        data = np.load(path)
+        entries, treedef = _flatten_with_paths(target)
+        leaves = [data[key] for key in entries]
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+    import orbax.checkpoint as ocp
+
+    checkpointer = ocp.StandardCheckpointer()
+    return checkpointer.restore(os.path.abspath(path), target=target)
+
+
+def lyapunov_state(lyapunov):
+    """Extract the persistent state of a :class:`Lyapunov` object."""
+    state = {
+        "safe_set": np.asarray(lyapunov.safe_set),
+        "c_max": np.asarray(lyapunov.c_max),
+        "values": np.asarray(lyapunov.values),
+        "refinement": np.asarray(lyapunov._refinement),
+        "lyapunov_parameters": lyapunov.lyapunov_function.parameters_dict,
+        "policy_parameters": lyapunov.policy.parameters_dict,
+    }
+    dynamics = lyapunov.dynamics
+    if hasattr(dynamics, "X_buf"):
+        state["gp"] = {
+            "X_buf": np.asarray(dynamics.X_buf),
+            "Y_buf": np.asarray(dynamics.Y_buf),
+            "count": np.asarray(dynamics.count),
+        }
+    return state
+
+
+def restore_lyapunov_state(lyapunov, state):
+    """Write a saved state back onto a :class:`Lyapunov` object
+    (functional components are replaced, host state assigned)."""
+    lyapunov.safe_set = np.asarray(state["safe_set"]).astype(bool)
+    lyapunov.c_max = float(state["c_max"])
+    lyapunov.values = np.asarray(state["values"])
+    lyapunov._refinement = np.asarray(state["refinement"]).astype(int)
+    if state.get("lyapunov_parameters"):
+        lyapunov.lyapunov_function = \
+            lyapunov.lyapunov_function.with_parameters(
+                state["lyapunov_parameters"])
+    if state.get("policy_parameters"):
+        lyapunov.policy = lyapunov.policy.with_parameters(
+            state["policy_parameters"])
+    if "gp" in state and hasattr(lyapunov.dynamics, "X_buf"):
+        import jax.numpy as jnp
+
+        from .functions.gp import _gp_cache
+
+        gp = lyapunov.dynamics.replace(
+            X_buf=jnp.asarray(state["gp"]["X_buf"]),
+            Y_buf=jnp.asarray(state["gp"]["Y_buf"]),
+            count=jnp.asarray(state["gp"]["count"]))
+        chol, chol_inv, alpha = _gp_cache(gp)
+        lyapunov.dynamics = gp.replace(chol=chol, chol_inv=chol_inv,
+                                       alpha=alpha)
+    return lyapunov

@@ -137,8 +137,8 @@ def _svd_singular_values(a):
     reference's trick (``functions.py:1764-1786``) which avoids the unstable
     SVD JVP for (near-)degenerate singular values.
     """
-    u0, _, vt0 = jax.lax.stop_gradient(
-        jnp.linalg.svd(a, full_matrices=True))
+    u0, _, vt0 = jnp.linalg.svd(jax.lax.stop_gradient(a),
+                                full_matrices=True)
     s = u0.T @ a @ vt0.T
     return jnp.diagonal(s)
 

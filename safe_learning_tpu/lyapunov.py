@@ -153,6 +153,41 @@ def _values_batch(fun, points):
     return fun(points).reshape(-1)
 
 
+@jax.jit
+def _fused_update(policy, dynamics, lyapunov_function, lipschitz_lyapunov,
+                  lipschitz_dynamics, tau, points, exempt):
+    """Whole-grid safe-set update as ONE device program.
+
+    Computes ``v`` on the grid, sorts by value, runs the fused decrease
+    check for every point in parallel, and reduces the value-sorted prefix
+    to the certified level — the TPU replacement for the reference's
+    sequential batched early-exit loop (``lyapunov.py:512-595``).
+
+    Returns ``(safe_set, c_max, values, any_safe)``.
+    """
+    values = lyapunov_function(points).reshape(-1)
+    order = jnp.argsort(values, stable=True)
+
+    negative, _, _ = _negative_batch(policy, dynamics, lyapunov_function,
+                                     lipschitz_lyapunov, lipschitz_dynamics,
+                                     tau, points)
+    eligible_sorted = (negative | exempt)[order]
+
+    n = values.shape[0]
+    # First failing position in value order; n if everything verifies.
+    first_fail = jnp.where(jnp.all(eligible_sorted), n,
+                           jnp.argmin(eligible_sorted))
+    prefix = jnp.arange(n) < first_fail
+    safe_set = jnp.zeros(n, dtype=bool).at[order].set(prefix)
+
+    any_safe = first_fail > 0
+    c_max = jnp.where(
+        any_safe,
+        values[order[jnp.maximum(first_fail - 1, 0)]],
+        -jnp.inf)
+    return safe_set, c_max, values, any_safe
+
+
 class Lyapunov:
     """A Lyapunov function certificate over a discretized domain.
 
@@ -182,10 +217,11 @@ class Lyapunov:
 
     def __init__(self, discretization, lyapunov_function, dynamics,
                  lipschitz_dynamics, lipschitz_lyapunov, tau, policy,
-                 initial_set=None, adaptive=False):
+                 initial_set=None, adaptive=False, mesh=None):
         if not isinstance(discretization, GridWorld):
             raise TypeError("discretization must be a GridWorld")
         self.discretization = discretization
+        self.mesh = mesh
         self.policy = as_deterministic(policy)
         self.dynamics = dynamics if isinstance(dynamics, Function) \
             else as_deterministic(dynamics)
@@ -301,6 +337,9 @@ class Lyapunov:
         nindex = grid.nindex
         safety_factor = max(float(safety_factor), 1.0)
         batch = batch_size or max(int(config.gp_batch_size), 1)
+
+        if not self.adaptive and batch >= nindex:
+            return self._update_safe_set_fused(can_shrink)
 
         values = np.asarray(self.values)
         order = np.argsort(values, kind="stable")
@@ -418,6 +457,54 @@ class Lyapunov:
             safe |= initial
             refinement[initial] = np.maximum(refinement[initial], 1)
 
+        self.safe_set = safe
+        self._refinement = refinement
+
+    def _update_safe_set_fused(self, can_shrink):
+        """Whole-grid single-program path (non-adaptive grids).
+
+        Optionally SPMD over ``self.mesh``: the grid-point axis is sharded
+        across devices and XLA inserts the collectives for the sort and
+        the prefix reduction.
+        """
+        grid = self.discretization
+        nindex = grid.nindex
+        initial = (self.initial_safe_set
+                   if self.initial_safe_set is not None
+                   else np.zeros(nindex, dtype=bool))
+        prev_safe = self.safe_set.copy()
+        exempt = initial.copy()
+        if not can_shrink:
+            exempt |= prev_safe
+
+        points = jnp.asarray(grid.all_points)
+        exempt_dev = jnp.asarray(exempt)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            axis = self.mesh.axis_names[0]
+            points = jax.device_put(
+                points, NamedSharding(self.mesh, PartitionSpec(axis, None)))
+            exempt_dev = jax.device_put(
+                exempt_dev, NamedSharding(self.mesh, PartitionSpec(axis)))
+
+        safe_dev, c_max, values, any_safe = _fused_update(
+            self.policy, self.dynamics, self.lyapunov_function,
+            self._lipschitz_lyapunov, self._lipschitz_dynamics, self.tau,
+            points, exempt_dev)
+
+        self.values = np.asarray(values)
+        safe = np.array(safe_dev)
+        self.c_max = float(c_max) if bool(any_safe) else -np.inf
+        refinement = np.where(safe, 1, 0)
+
+        if not can_shrink:
+            safe |= prev_safe
+            keep = prev_safe & (refinement == 0)
+            refinement[keep] = np.maximum(self._refinement[keep], 1)
+        if self.initial_safe_set is not None:
+            safe |= initial
+            refinement[initial] = np.maximum(refinement[initial], 1)
         self.safe_set = safe
         self._refinement = refinement
 

@@ -1,0 +1,89 @@
+"""Multi-device tests on the virtual 8-device CPU mesh.
+
+The reference has no distributed layer; these tests cover the framework's
+grid-sharded verification (SURVEY.md section 4: multi-device tests the
+reference could not have)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose, assert_array_equal
+
+import safe_learning_tpu as sl
+from safe_learning_tpu import (GridWorld, LambdaFunction, LinearSystem,
+                               Lyapunov, QuadraticFunction)
+from safe_learning_tpu.parallel import (grid_sharding, make_mesh,
+                                        shard_points,
+                                        sharded_safe_set_update)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+    return make_mesh(8)
+
+
+def _make_lyapunov():
+    grid = GridWorld([[-1, 1], [-1, 1]], [32, 32])
+    policy = LambdaFunction(lambda x: 0.0 * x[:, :1])
+    a = np.array([[0.8, 0.1], [0.0, 0.7]])
+    dyn = LinearSystem([a, np.zeros((2, 1))])
+    v = QuadraticFunction(np.eye(2))
+    mid = grid.nindex // 2 + 16  # a near-origin vertex (even grid)
+    return Lyapunov(grid, v, dyn, 0.8, 1.0, 1e-4, policy,
+                    initial_set=[mid])
+
+
+def test_mesh_creation(mesh):
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("grid",)
+
+
+def test_shard_points(mesh):
+    pts = np.arange(64, dtype=np.float64).reshape(32, 2)
+    sharded = shard_points(pts, mesh)
+    assert sharded.sharding.is_equivalent_to(
+        grid_sharding(mesh, 2), ndim=2)
+    assert_allclose(np.asarray(sharded), pts)
+
+
+def test_sharded_update_matches_single_device(mesh):
+    """SPMD verification must be bit-identical to the host-batched path."""
+    lyap_single = _make_lyapunov()
+    lyap_single.update_safe_set(batch_size=111)  # host-batched path
+    single_safe = lyap_single.safe_set.copy()
+    single_cmax = lyap_single.c_max
+
+    lyap_sharded = _make_lyapunov()
+    safe, c_max = sharded_safe_set_update(lyap_sharded, mesh)
+    assert_array_equal(safe, single_safe)
+    assert_allclose(c_max, single_cmax)
+    assert single_safe.sum() > 1
+
+
+def test_fused_path_matches_batched():
+    lyap_a = _make_lyapunov()
+    lyap_a.update_safe_set()  # fused (grid fits in one batch)
+    lyap_b = _make_lyapunov()
+    lyap_b.update_safe_set(batch_size=97)
+    assert_array_equal(lyap_a.safe_set, lyap_b.safe_set)
+    assert_allclose(lyap_a.c_max, lyap_b.c_max)
+
+
+def test_sharded_gp_predict(mesh):
+    """GP posterior predict over sharded query points."""
+    from safe_learning_tpu import GaussianProcess, RBF
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, size=(16, 2))
+    y = np.sin(x[:, :1])
+    gp = GaussianProcess(RBF(1.0, 0.5, input_dim=2), x, y, 1e-3)
+    q = rng.uniform(-1, 1, size=(64, 2))
+
+    mean_ref, var_ref = map(np.asarray, gp.predict(q))
+    q_sharded = shard_points(q, mesh)
+    mean_s, var_s = map(np.asarray, jax.jit(
+        lambda g, p: g.predict(p))(gp, q_sharded))
+    assert_allclose(mean_s, mean_ref, atol=1e-10)
+    assert_allclose(var_s, var_ref, atol=1e-10)
