@@ -1,0 +1,151 @@
+"""Adaptive safety verification for the inverted pendulum.
+
+Mirrors ``/root/reference/examples/adaptive_safety_verification.ipynb``:
+a GP model of the pendulum with *wrong* physical parameters (linearized
+prior mean + per-dimension GPs stacked with :class:`FunctionStack`), an LQR
+policy with saturation, local (state-dependent) Lyapunov Lipschitz
+constants, and safe active learning with an **adaptively refined** grid:
+coarse cells that fail the decrease check at discretization ``tau`` are
+re-verified on ``N(x)^d`` sub-grids at ``tau / N(x)``.
+
+Run:  python examples/adaptive_safety_verification.py [--full --plot]
+"""
+
+import os
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import safe_learning_tpu as sl  # noqa: E402
+from examples._common import Timer, example_args, maybe_save_plot  # noqa: E402
+
+
+def pendulum_gp_model(a_true, b_true, a, b, noise_var):
+    """Per-dimension GPs with linearized prior mean (notebook cell 9)."""
+    m_true = np.hstack([a_true, b_true])
+    m = np.hstack([a, b])
+    prior_variances = np.clip((m_true - m) ** 2, 1e-3, None)
+
+    gps = []
+    for dim in range(2):
+        kernel = (sl.LinearKernel(variances=prior_variances[dim],
+                                  input_dim=3)
+                  + sl.ActiveDims(sl.Matern32(lengthscales=1.0, input_dim=1),
+                                  dims=[0])
+                  * sl.ActiveDims(
+                      sl.LinearKernel(variances=prior_variances[dim, 1],
+                                      input_dim=1), dims=[0]))
+        mean = sl.LinearSystem([a[[dim]], b[[dim]]])
+        gps.append(sl.GaussianProcess(
+            kernel, np.zeros((1, 3)), np.zeros((1, 1)),
+            noise_variance=noise_var, beta=2.0, mean_function=mean))
+    return sl.FunctionStack(gps)
+
+
+def main():
+    args = example_args(__doc__)
+    num_states = 501 if args.full else 201
+    n_max = 16
+    updates = 12 if args.full else 6
+    data_per_update = 15 if args.full else 10
+
+    dt = 0.01
+    g = 9.81
+    # True parameters; the GP prior uses wrong ones (notebook cell 7).
+    m_true, length_true, b_fric_true = 0.15, 0.5, 0.1
+
+    theta_max = np.deg2rad(30)
+    omega_max = np.sqrt(g / length_true)
+    u_max = g * m_true * length_true * np.sin(theta_max)
+    norms = ((theta_max, omega_max), (u_max,))
+
+    true_pendulum = sl.InvertedPendulum(m_true, length_true, b_fric_true,
+                                        dt, normalization=norms)
+    a_true, b_true = true_pendulum.linearize()
+
+    wrong = sl.InvertedPendulum(0.1, 0.4, 0.0, dt, normalization=norms)
+    a, b = wrong.linearize()
+
+    dynamics = pendulum_gp_model(np.asarray(a_true), np.asarray(b_true),
+                                 np.asarray(a), np.asarray(b),
+                                 noise_var=0.001 ** 2)
+
+    grid = sl.GridWorld([[-1.0, 1.0]] * 2, num_states)
+    tau = float(np.sum(grid.unit_maxes) / 2)
+    print("Grid size: {}  tau: {:.2e}".format(grid.nindex, tau))
+
+    initial_safe_set = np.linalg.norm(grid.all_points, ord=2,
+                                      axis=1) <= 0.2
+
+    # LQR policy + quadratic Lyapunov candidate for the true linearized
+    # system (notebook cells 13, 17).
+    q = np.diag([1.0, 2.0])
+    r = 1.2 * np.identity(1)
+    k, p = sl.utils.dlqr(np.asarray(a_true), np.asarray(b_true), q, r)
+    p = p / np.abs(p).max()
+    policy = sl.Saturation(sl.LinearSystem(-k), -1.0, 1.0)
+
+    l_pol = np.linalg.norm(-k, 1)
+    l_dyn = (np.linalg.norm(np.asarray(a_true), 1)
+             + np.linalg.norm(np.asarray(b_true), 1) * l_pol)
+
+    lyapunov_function = sl.QuadraticFunction(p)
+    grad_v = sl.LinearSystem([2 * p])
+    l_v = sl.LambdaFunction(lambda x: jnp.abs(grad_v(x)),
+                            input_dim=2, output_dim=2)
+
+    lyap = sl.Lyapunov(grid, lyapunov_function, dynamics, l_dyn, l_v, tau,
+                       policy, initial_set=np.where(initial_safe_set)[0],
+                       adaptive=True)
+    lyap.update_safe_set(can_shrink=False, max_refinement=n_max,
+                         safety_factor=1.0)
+    print("initial certified fraction: {:.3f}".format(
+        lyap.safe_set.mean()))
+
+    action_variation = np.array([[0.0]])
+    action_limits = np.array([[-1.0, 1.0]])
+    rng = np.random.default_rng(args.seed)
+
+    history = []
+    for it in range(updates):
+        with Timer("update {} ({} measurements + verify)".format(
+                it + 1, data_per_update)):
+            for _ in range(data_per_update):
+                xu, _ = sl.get_safe_sample(
+                    lyap, action_variation, action_limits, positive=True,
+                    num_samples=1000, rng=rng)
+                measurement = np.asarray(true_pendulum(
+                    jnp.asarray(xu[:, :2]), jnp.asarray(xu[:, 2:])))
+                lyap.dynamics = lyap.dynamics.add_data_point(xu,
+                                                             measurement)
+            lyap.update_safe_set(can_shrink=False, max_refinement=n_max,
+                                 safety_factor=1.0)
+        history.append(lyap.safe_set.mean())
+        print("  safe fraction: {:.3f}  c_max: {:.4f}  max N(x): {}"
+              .format(history[-1], lyap.c_max,
+                      int(lyap._refinement.max())))
+
+    assert history[-1] >= history[0] > 0, "safe set should not shrink"
+    print("safe-set growth:",
+          " ".join("{:.3f}".format(h) for h in history))
+
+    if args.plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        refinement = np.copy(lyap._refinement).astype(float)
+        refinement[refinement == 0] = np.nan
+        plt.imshow(refinement.reshape(grid.shape).T, origin="lower",
+                   extent=[-1, 1, -1, 1], cmap="viridis")
+        plt.colorbar(label="N(x)")
+        plt.xlabel(r"$\theta$ (normalized)")
+        plt.ylabel(r"$\omega$ (normalized)")
+        maybe_save_plot(args, "adaptive_safety_verification")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Stability verification of a fixed uncertain 1-D system.
+
+Mirrors ``/root/reference/examples/1d_region_of_attraction_estimate.ipynb``:
+a GP prior over the closed-loop dynamics ``x+ = 0.25 x + g(x)``, a sampled
+"true" system, a piecewise-linear Lyapunov candidate ``|x|``, and an active
+safe-learning loop that measures the most uncertain safe state until the
+certified region of attraction stops growing.
+
+Run:  python examples/one_d_region_of_attraction_estimate.py [--full --plot]
+"""
+
+import os
+import sys
+
+import jax
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import safe_learning_tpu as sl  # noqa: E402
+from examples._common import Timer, example_args, maybe_save_plot  # noqa: E402
+
+
+def main():
+    args = example_args(__doc__)
+    num_states = 1001 if args.full else 501
+    n_updates = 24 if args.full else 20
+
+    discretization = sl.GridWorld([[-1.0, 1.0]], num_states)
+    tau = 1.0 / discretization.nindex
+    print("Grid size:", discretization.nindex)
+
+    # GP prior over (x, u) -> x+ with mean 0.25 x (notebook cell 5).
+    kernel = (sl.ActiveDims(sl.Matern32(variance=0.4 ** 2, lengthscales=1.0,
+                                        input_dim=1), dims=[0])
+              * sl.ActiveDims(sl.LinearKernel(variances=1.0, input_dim=1),
+                              dims=[0]))
+    mean_function = sl.LinearSystem([[0.25, 0.0]])
+    noise_var = 0.01 ** 2
+    gp = sl.GaussianProcess(kernel, np.empty((0, 2)), np.empty((0, 1)),
+                            noise_variance=noise_var, beta=2.0,
+                            mean_function=mean_function)
+
+    # One GP sample is the hidden true system (notebook cell 6).
+    key = jax.random.PRNGKey(args.seed + 5)
+    sample_disc = np.hstack([np.linspace(-1, 1, 201)[:, None],
+                             np.zeros((201, 1))])
+    true_dynamics = sl.sample_gp_function(sample_disc, gp, key)[0]
+
+    # PWL Lyapunov candidate v(x) = |x| (notebook cell 7).
+    lyapunov_function = sl.Triangulation(sl.GridWorld([[-1.0, 1.0]], 3),
+                                         [1.0, 0.0, 1.0])
+    policy = sl.LinearSystem([[0.0]])
+    lyap = sl.Lyapunov(discretization, lyapunov_function, gp,
+                       lipschitz_dynamics=0.25, lipschitz_lyapunov=1.0,
+                       tau=tau, policy=policy)
+
+    # Initial safe set: |x| < 0.2 (notebook cell 11).
+    initial = np.abs(discretization.all_points.squeeze()) < 0.2
+    lyap.initial_safe_set = initial
+    lyap.safe_set |= initial
+    lyap.update_safe_set()
+    print("initial safe fraction: {:.3f}".format(lyap.safe_set.mean()))
+
+    grid = discretization.all_points
+
+    def update_gp(lyap):
+        """Measure the true dynamics at the most uncertain safe state."""
+        safe_grid = grid[lyap.safe_set]
+        actions = np.asarray(lyap.policy(safe_grid))
+        _, std = lyap.dynamics.evaluate(np.hstack([safe_grid, actions]))
+        max_id = int(np.argmax(np.asarray(std)))
+        max_state = safe_grid[[max_id]]
+        max_action = actions[[max_id]]
+        arg = np.hstack([max_state, max_action])
+        measurement = np.asarray(true_dynamics(arg))
+        lyap.dynamics = lyap.dynamics.add_data_point(arg, measurement)
+        lyap.update_safe_set()
+
+    with Timer("active learning ({} updates)".format(n_updates)):
+        fractions = []
+        for _ in range(n_updates):
+            update_gp(lyap)
+            fractions.append(lyap.safe_set.mean())
+
+    print("safe fraction history:",
+          " ".join("{:.3f}".format(f) for f in fractions))
+    print("certified level c_max = {:.4f}".format(lyap.c_max))
+    assert fractions[-1] > initial.mean(), \
+        "safe set should grow beyond the initial set"
+
+    if args.plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        sl.plotting.plot_lyapunov_1d(lyap, true_dynamics, legend=True)
+        maybe_save_plot(args, "one_d_region_of_attraction_estimate")
+
+
+if __name__ == "__main__":
+    main()

@@ -16,7 +16,8 @@ from .functions import (AddedFunction, ConstantFunction,
                         MeanFunction, MultipliedFunction, NeuralNetwork,
                         PiecewiseConstant, QuadraticFunction, RBFNetwork,
                         Saturation, Triangulation, UncertainFunction)
-from .functions.gp import (GaussianProcess, GPSampledFunction, LinearKernel,
+from .functions.gp import (ActiveDims, GaussianProcess,
+                           GPSampledFunction, LinearKernel,
                            Matern12, Matern32, Matern52, RBF,
                            sample_gp_function)
 from .lyapunov import Lyapunov, get_lyapunov_region, smallest_boundary_value
@@ -36,7 +37,7 @@ __all__ = [
     "MultipliedFunction", "NeuralNetwork", "PiecewiseConstant",
     "QuadraticFunction", "RBFNetwork", "Saturation", "Triangulation",
     "UncertainFunction", "GaussianProcess", "GPSampledFunction",
-    "LinearKernel", "Matern12", "Matern32", "Matern52", "RBF",
+    "ActiveDims", "LinearKernel", "Matern12", "Matern32", "Matern52", "RBF",
     "sample_gp_function", "Lyapunov", "get_lyapunov_region",
     "smallest_boundary_value", "get_safe_sample", "perturb_actions",
     "OptimizationError", "PolicyIteration", "CartPole", "InvertedPendulum",

@@ -31,12 +31,16 @@ class Configuration:
     solve_dtype : jnp.dtype or None
         Optional higher-precision dtype island for Cholesky factorizations
         (``None`` means "same as dtype").
+    use_pallas : bool
+        Route hot ops through the fused Pallas TPU kernels in
+        ``safe_learning_tpu.ops`` when the backend supports them.
     """
 
     def __init__(self):
         self._dtype = None
         self.gp_batch_size = 2 ** 16
         self.solve_dtype = None
+        self.use_pallas = True
 
     @property
     def dtype(self):

@@ -122,11 +122,28 @@ def get_safe_sample(lyapunov, perturbations=None, limits=None,
 
 
 def _evaluate_candidates(lyapunov, state_actions, positive):
-    """Predict next-state distributions and safety for candidate pairs."""
+    """Predict next-state distributions and safety for candidate pairs.
+
+    The candidate batch is padded to the next power of two so repeated
+    exploration steps with varying candidate counts hit one compiled
+    program per size bucket instead of retracing every call.
+    """
+    n = len(state_actions)
+    padded = 1 << max(3, (n - 1).bit_length())
+    if padded != n:
+        state_actions_dev = np.vstack([
+            state_actions,
+            np.broadcast_to(state_actions[-1:],
+                            (padded - n, state_actions.shape[1]))])
+    else:
+        state_actions_dev = state_actions
     mean, bound, maps_inside = _candidate_scores(
         lyapunov.dynamics, lyapunov.lyapunov_function,
         lyapunov._lipschitz_lyapunov, lyapunov.c_max,
-        jnp.asarray(state_actions))
+        jnp.asarray(state_actions_dev))
+    mean = mean[:n]
+    bound = bound[:n]
+    maps_inside = maps_inside[:n]
     bound = np.asarray(bound)
     maps_inside = np.array(maps_inside)  # writable copy
 

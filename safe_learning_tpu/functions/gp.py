@@ -32,8 +32,8 @@ from .base import (DeterministicFunction, Function, UncertainFunction,
 
 __all__ = [
     "Kernel", "RBF", "Matern12", "Matern32", "Matern52", "LinearKernel",
-    "SumKernel", "ProductKernel", "GaussianProcess", "sample_gp_function",
-    "GPSampledFunction",
+    "ActiveDims", "SumKernel", "ProductKernel", "GaussianProcess",
+    "sample_gp_function", "GPSampledFunction",
 ]
 
 
@@ -154,6 +154,33 @@ class LinearKernel(Kernel):
 
 
 @register_pytree
+class ActiveDims(Kernel):
+    """Restrict a kernel to a subset of input columns.
+
+    Equivalent of gpflow's ``active_dims`` (used throughout the reference
+    notebooks, e.g. ``Matern32(1, active_dims=[0])`` over state-action
+    inputs in ``examples/1d_region_of_attraction_estimate.ipynb`` cell 5).
+    """
+
+    _data_fields = ("kernel",)
+    _meta_fields = ("dims",)
+
+    def __init__(self, kernel, dims):
+        self.kernel = kernel
+        self.dims = tuple(int(d) for d in dims)
+
+    def _slice(self, x):
+        return jnp.atleast_2d(jnp.asarray(x))[:, list(self.dims)]
+
+    def __call__(self, x, z=None):
+        z = x if z is None else z
+        return self.kernel(self._slice(x), self._slice(z))
+
+    def diag(self, x):
+        return self.kernel.diag(self._slice(x))
+
+
+@register_pytree
 class SumKernel(Kernel):
     _data_fields = ("k1", "k2")
 
@@ -270,16 +297,44 @@ class GaussianProcess(UncertainFunction):
         return self.mean_function(points)
 
     # -- prediction ---------------------------------------------------------
+    def _stationary_kind(self):
+        kind_map = {RBF: "rbf", Matern12: "matern12", Matern32: "matern32",
+                    Matern52: "matern52"}
+        return kind_map.get(type(self.kernel))
+
     def predict(self, points, full_cov=False):
         """Posterior mean and (co)variance at query points.
 
         The hot path is a pure matmul chain against the cached scaled
         Cholesky inverse (reference ``functions.py:417-458`` instead does a
-        triangular solve per batch).
+        triangular solve per batch). On TPU with a stationary kernel the
+        whole pipeline runs as one fused Pallas kernel
+        (``ops/gp_kernel.py``) that never materializes ``K(X, q)`` in HBM.
         """
         points = jnp.atleast_2d(jnp.asarray(points))
-        mask = self._mask()
         s2 = self.scale ** 2
+
+        kind = self._stationary_kind()
+        if (not full_cov and kind is not None
+                and getattr(config, "use_pallas", True)):
+            from ..ops.gp_kernel import fused_gp_predict, pallas_supported
+
+            if pallas_supported():
+                ls = self.kernel.lengthscales
+                tile = min(1024, max(128, (-(-points.shape[0] // 128))
+                                     * 128))
+                mean_num, var_num = fused_gp_predict(
+                    points / ls, self.X_buf / ls, self.chol_inv,
+                    self.alpha, self._mask(),
+                    self.kernel.variance * s2, kind=kind, tile=tile)
+                mean = mean_num / self.scale + self._prior_mean(points)
+                var = self.kernel.diag(points) - var_num / s2
+                var = jnp.maximum(var, 1e-12)[:, None]
+                var = jnp.broadcast_to(var,
+                                       (points.shape[0], self.output_dim))
+                return mean, var
+
+        mask = self._mask()
         kx = s2 * self.kernel(self.X_buf, points) * mask[:, None]
         a = mxu_dot(self.chol_inv, kx)
         mean = mxu_dot(a.T, self.alpha) / self.scale \
@@ -324,7 +379,7 @@ class GaussianProcess(UncertainFunction):
 
 
 @jax.jit
-def _gp_cache(gp):
+def _gp_cache_device(gp):
     """Masked, scaled Cholesky factorization of ``K(X, X) + noise I``.
 
     Inactive buffer rows are replaced by identity rows so the factor of the
@@ -346,6 +401,44 @@ def _gp_cache(gp):
     target = gp.scale * (gp.Y_buf - gp._prior_mean(gp.X_buf)) * mask[:, None]
     alpha = mxu_dot(chol_inv, target)
     return chol, chol_inv, alpha
+
+
+def _gp_cache(gp):
+    """Refresh the Cholesky cache.
+
+    In float64 mode everything runs on device. In float32 mode (the TPU
+    default) the factorization runs on the host in float64: ``K + noise I``
+    at the small noise levels the reference uses (1e-6 .. 1e-8 variances)
+    is too ill-conditioned for a single-precision Cholesky, and the cache
+    update is off the hot path (once per measurement, matrices are at most
+    ``capacity x capacity``). Only the kernel assembly stays on device.
+    """
+    if np.dtype(config.np_dtype) == np.float64:
+        return _gp_cache_device(gp)
+
+    import scipy.linalg
+
+    cap = gp.X_buf.shape[0]
+    n = int(gp.count)
+    s2 = float(gp.scale) ** 2
+    k = np.asarray(gp.kernel(gp.X_buf, gp.X_buf), dtype=np.float64)
+    a = s2 * (k + float(gp.noise_variance) * np.eye(cap))
+    mask = np.zeros(cap, dtype=np.float64)
+    mask[:n] = 1.0
+    outer = mask[:, None] * mask[None, :]
+    a = np.where(outer > 0, a, np.eye(cap))
+    chol = np.linalg.cholesky(a)
+    chol_inv = scipy.linalg.solve_triangular(
+        chol, np.eye(cap), lower=True, check_finite=False)
+    prior = np.asarray(gp._prior_mean(gp.X_buf), dtype=np.float64)
+    target = (float(gp.scale)
+              * (np.asarray(gp.Y_buf, dtype=np.float64) - prior)
+              * mask[:, None])
+    alpha = chol_inv @ target
+    dtype = config.dtype
+    return (jnp.asarray(chol, dtype=dtype),
+            jnp.asarray(chol_inv, dtype=dtype),
+            jnp.asarray(alpha, dtype=dtype))
 
 
 # ---------------------------------------------------------------------------

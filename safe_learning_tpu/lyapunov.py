@@ -340,6 +340,9 @@ class Lyapunov:
 
         if not self.adaptive and batch >= nindex:
             return self._update_safe_set_fused(can_shrink)
+        # Round the batch to the grid size (one compiled shape, no huge
+        # padding) while keeping a lane-friendly multiple of 256.
+        batch = min(batch, -(-nindex // 256) * 256)
 
         values = np.asarray(self.values)
         order = np.argsort(values, kind="stable")
@@ -405,24 +408,41 @@ class Lyapunov:
                     np.argmin(suffix))
 
                 if stop > 0:
-                    check_states = states[bound:bound + stop]
-                    check_n = n_req[bound:bound + stop]
-                    pad = batch - len(check_states)
-                    if pad:
-                        check_states = np.vstack([
-                            check_states,
-                            np.broadcast_to(check_states[-1:],
-                                            (pad, grid.ndim))])
-                        check_n = np.concatenate(
-                            [check_n, np.ones(pad, dtype=int)])
-                    refined = np.asarray(_refined_negative_batch(
-                        self.policy, self.dynamics, self.lyapunov_function,
-                        self._lipschitz_lyapunov, self._lipschitz_dynamics,
-                        tau, jnp.asarray(check_states),
-                        jnp.asarray(check_n), unit_maxes,
-                        int(max_refinement), grid.ndim))[:stop]
-                    refine_bound = (len(refined) if refined.all()
-                                    else int(np.argmin(refined)))
+                    # Sub-grids blow the point count up by R^d; chunk the
+                    # refinable suffix so each dispatch stays near `batch`
+                    # evaluated points.
+                    chunk = max(64, batch // int(max_refinement) ** grid.ndim)
+                    refine_bound = 0
+                    for j in range(0, stop, chunk):
+                        hi = min(j + chunk, stop)
+                        check_states = states[bound + j:bound + hi]
+                        check_n = n_req[bound + j:bound + hi]
+                        pad = chunk - (hi - j)
+                        if pad:
+                            check_states = np.vstack([
+                                check_states,
+                                np.broadcast_to(check_states[-1:],
+                                                (pad, grid.ndim))])
+                            check_n = np.concatenate(
+                                [check_n, np.ones(pad, dtype=int)])
+                        refined = np.asarray(_refined_negative_batch(
+                            self.policy, self.dynamics,
+                            self.lyapunov_function,
+                            self._lipschitz_lyapunov,
+                            self._lipschitz_dynamics,
+                            tau, jnp.asarray(check_states),
+                            jnp.asarray(check_n), unit_maxes,
+                            int(max_refinement), grid.ndim))[:hi - j]
+                        # Exempt states (initial set; previous safe set
+                        # when can_shrink=False) never block the prefix
+                        # (reference lyapunov.py:545-548 marks them N=1).
+                        refined = refined | exempt_sorted[i + bound + j:
+                                                          i + bound + hi]
+                        seg_ok = (len(refined) if refined.all()
+                                  else int(np.argmin(refined)))
+                        refine_bound += seg_ok
+                        if seg_ok < hi - j:
+                            break
                     seg = slice(i + bound, i + bound + refine_bound)
                     refinement_sorted[seg] = n_req[bound:bound
                                                    + refine_bound]

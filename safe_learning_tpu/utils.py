@@ -22,7 +22,8 @@ __all__ = [
     "batchify", "combinations", "linearly_spaced_combinations", "lqr",
     "dlqr", "ellipse_bounds", "unique_rows", "compute_trajectory",
     "get_parameter_change", "find_nearest", "balanced_class_weights",
-    "balanced_confusion_weights", "monomials", "derivative_monomials",
+    "balanced_confusion_weights", "constrained_batch_sampler", "monomials",
+    "derivative_monomials",
 ]
 
 
@@ -182,6 +183,37 @@ def balanced_confusion_weights(y, y_true, scale_by_total=True):
     if scale_by_total:
         weights *= y.size
     return weights, confusion_counts
+
+
+def constrained_batch_sampler(key, dynamics, policy, state_dim, batch_size,
+                              action_limit=None):
+    """Sample training states that stay in the unit box and unsaturated.
+
+    Reference ``examples/utilities.py:548-567`` gathers the valid rows into
+    a dynamically-sized batch (then zero-pads). Under ``jit`` shapes must
+    be static, so here the full ``(batch_size, state_dim)`` uniform sample
+    is returned together with a boolean validity mask; consumers weight by
+    the mask instead of gathering. Invalid rows are zeroed, matching the
+    reference's zero padding.
+
+    Returns
+    -------
+    batch : (batch_size, state_dim) array, invalid rows zeroed
+    mask : (batch_size,) bool array, True where the sampled state maps
+        inside the domain (and, if ``action_limit`` is given, the policy
+        action is strictly within ``[-|action_limit|, |action_limit|]``).
+    """
+    batch = jax.random.uniform(key, (int(batch_size), int(state_dim)),
+                               dtype=config.dtype, minval=-1.0, maxval=1.0)
+    actions = policy(batch)
+    future = dynamics(batch, actions)
+    if not isinstance(future, jnp.ndarray):
+        future = future[0]
+    mask = jnp.all((future >= -1.0) & (future <= 1.0), axis=1)
+    if action_limit is not None:
+        c = abs(action_limit)
+        mask &= jnp.all((actions >= -c) & (actions <= c), axis=1)
+    return batch * mask[:, None].astype(batch.dtype), mask
 
 
 def monomials(x, deg):

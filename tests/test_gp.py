@@ -172,3 +172,35 @@ def test_sample_gp_function():
     # Samples pass near the training data (tiny observation noise).
     at_data = np.asarray(funs[0](x))
     assert_allclose(at_data, y, atol=0.15)
+
+
+def test_f32_mode_host_cache_precision():
+    """In float32 mode the cache is factorized on the host in float64, so
+    small noise variances keep full predictive accuracy (the TPU default
+    path; pure-f32 Cholesky loses ~1e-2 at noise 1e-4)."""
+    import jax.numpy as jnp
+
+    from safe_learning_tpu.config import config
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-2, 2, size=(24, 2))
+    y = np.sin(x.sum(axis=1, keepdims=True))
+    q = rng.uniform(-2, 2, size=(64, 2))
+
+    kernel64 = RBF(variance=1.3, lengthscales=[0.7, 1.1], input_dim=2)
+    gp64 = GaussianProcess(kernel64, x, y, noise_variance=1e-6)
+    mean64, var64 = map(np.asarray, gp64.predict(q))
+
+    config.dtype = jnp.float32
+    try:
+        kernel32 = RBF(variance=1.3, lengthscales=[0.7, 1.1], input_dim=2)
+        gp32 = GaussianProcess(kernel32, x, y, noise_variance=1e-6)
+        mean32, var32 = map(np.asarray, gp32.predict(q))
+    finally:
+        config.dtype = None
+
+    assert gp32.chol_inv.dtype == jnp.float32
+    assert_allclose(mean32, mean64, atol=5e-4)
+    assert_allclose(var32, var64, atol=5e-4)
+    resid = np.abs(np.asarray(gp32.predict(x)[0], dtype=np.float64) - y)
+    assert resid.max() < 1e-3

@@ -122,3 +122,26 @@ def test_derivative_monomials():
     # d/dx of [x, y, x^2, xy, y^2] at (2, 3).
     assert_allclose(dz[0, :, 0], [1, 0, 4, 3, 0])
     assert_allclose(dz[0, :, 1], [0, 1, 0, 2, 6])
+
+
+def test_constrained_batch_sampler():
+    import jax
+
+    from safe_learning_tpu.utils import constrained_batch_sampler
+
+    # Expanding dynamics x' = 2x: only |x| <= 0.5 stays inside the unit box.
+    dynamics = LinearSystem([[2.0, 0.0]])
+    policy = LinearSystem([[-3.0]])
+    key = jax.random.PRNGKey(0)
+    batch, mask = constrained_batch_sampler(key, dynamics, policy, 1, 256)
+    batch, mask = np.asarray(batch), np.asarray(mask)
+    assert batch.shape == (256, 1) and mask.shape == (256,)
+    assert (np.abs(batch[mask]) <= 0.5 + 1e-12).all()
+    assert (batch[~mask] == 0).all()
+    assert 0 < mask.sum() < 256
+
+    # Action saturation cuts the valid set further: |u| = 3|x| < 1.
+    _, mask_sat = constrained_batch_sampler(key, dynamics, policy, 1, 256,
+                                            action_limit=1.0)
+    assert mask_sat.sum() < mask.sum()
+    assert (~mask_sat | mask).all()
