@@ -1,0 +1,217 @@
+"""Learning a neural-network Lyapunov function (CoRL-18).
+
+Mirrors ``/root/reference/examples/lyapunov_function_learning.ipynb``: a
+positive-definite-by-construction :class:`LyapunovNetwork` is pre-trained
+to match a spherical quadratic candidate, then grown by ROA classification:
+states in the gap between the current certified level set and a slightly
+larger one are forward-simulated; those that fall back into the level set
+become positive training labels for a weighted perceptron loss with a
+Lagrangian decrease penalty. The learned safe set is compared against the
+LQR quadratic baseline and the true ROA.
+
+Run:  python examples/lyapunov_function_learning.py [--full --plot]
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import safe_learning_tpu as sl  # noqa: E402
+from safe_learning_tpu.utils import balanced_class_weights  # noqa: E402
+from examples._common import Timer, example_args, maybe_save_plot  # noqa: E402
+
+
+def main():
+    args = example_args(__doc__)
+    if args.full:
+        num_states, outer_iters, inner_iters = 251, 20, 10
+        roa_horizon, gap_horizon, pretrain_iters = 500, 100, 300
+    else:
+        num_states, outer_iters, inner_iters = 101, 16, 10
+        roa_horizon, gap_horizon, pretrain_iters = 300, 100, 200
+
+    # Full swing-up normalization (notebook cell 7).
+    dt, g = 0.01, 9.81
+    m, length, friction = 0.15, 0.5, 0.1
+    theta_max, omega_max = np.deg2rad(180), np.deg2rad(360)
+    u_max = g * m * length * np.sin(np.deg2rad(60))
+    norms = ((theta_max, omega_max), (u_max,))
+    pendulum = sl.InvertedPendulum(m, length, friction, dt,
+                                   normalization=norms)
+    a, b = map(np.asarray, pendulum.linearize())
+
+    grid = sl.GridWorld([[-1.0, 1.0]] * 2, num_states)
+    tau = 0.0  # zero-threshold mode (notebook cell 9)
+    initial_safe_set = np.linalg.norm(grid.all_points, ord=2,
+                                      axis=1) <= 0.1
+    print("Grid size: {}".format(grid.nindex))
+
+    k, p_lqr = sl.utils.dlqr(a, b, np.eye(2), np.eye(1))
+    policy = sl.Saturation(sl.LinearSystem(-k), -1.0, 1.0)
+    l_pol = np.linalg.norm(-k, 1)
+    l_dyn = np.linalg.norm(a, 1) + np.linalg.norm(b, 1) * l_pol
+
+    # LQR baseline certificate (notebook cell 15).
+    lyap_lqr = sl.Lyapunov(grid, sl.QuadraticFunction(p_lqr), pendulum,
+                           l_dyn,
+                           sl.GradientNorm(sl.QuadraticFunction(p_lqr),
+                                           ord=1),
+                           tau, policy,
+                           initial_set=np.where(initial_safe_set)[0])
+    lyap_lqr.update_safe_set()
+
+    # True ROA by forward simulation (notebook cell 23).
+    @jax.jit
+    def closed_loop(x):
+        return pendulum(x, policy(x))
+
+    with Timer("compute true ROA ({} steps)".format(roa_horizon)):
+        roa = sl.compute_roa(grid, closed_loop, horizon=roa_horizon,
+                             tol=0.1)
+    print("true ROA fraction: {:.3f}".format(roa.mean()))
+
+    # Neural-network candidate (notebook cell 19).
+    net = sl.LyapunovNetwork(2, [64, 64, 64], ["tanh", "tanh", "tanh"],
+                             eps=1e-8, key=jax.random.PRNGKey(args.seed))
+
+    # Pre-train the NN to match a spherical quadratic on the initial set
+    # (notebook cells 25-26).
+    p_sphere = 0.1 * np.eye(2)
+    sphere = sl.QuadraticFunction(p_sphere)
+    level_states = grid.all_points[initial_safe_set]
+    rng = np.random.default_rng(args.seed)
+
+    @jax.jit
+    def pretrain_step(params, states):
+        target = sphere(states)
+
+        def loss(p):
+            return jnp.mean(jnp.abs(net.with_parameters(p)(states)
+                                    - target))
+
+        return jax.tree_util.tree_map(lambda w, grad: w - 0.1 * grad,
+                                      params, jax.grad(loss)(params))
+
+    with Timer("pre-train NN candidate"):
+        params = net.parameters_dict
+        for _ in range(pretrain_iters):
+            idx = rng.integers(0, len(level_states), 1000)
+            states = jnp.asarray(level_states[idx])
+            params = pretrain_step(params, states)
+        net = net.with_parameters(params)
+
+    lyap_nn = sl.Lyapunov(grid, net, pendulum, l_dyn,
+                          sl.GradientNorm(net, ord=1), tau, policy,
+                          initial_set=np.where(initial_safe_set)[0])
+    lyap_nn.update_safe_set()
+    print("pre-trained NN safe fraction: {:.3f} ({:.1f}% of ROA)".format(
+        lyap_nn.safe_set.mean(),
+        100 * lyap_nn.safe_set.sum() / roa.sum()))
+
+    # ROA classification training (notebook cells 30-35).
+    # The classifier targets the FIXED level set {v < 1}: the candidate
+    # is scale-free, so the ROA estimate is taught to coincide with level
+    # 1.0 (the notebook feeds safe_level = 1.0 throughout, cell 34).
+    safe_level = 1.0
+
+    @jax.jit
+    def train_step(params, states, labels, weights):
+        def loss(p):
+            nn = net.with_parameters(p)
+            values = nn(states)
+            future = nn(closed_loop(states))
+            class_labels = 2.0 * labels - 1.0
+            decision = safe_level - values
+            classifier = weights * jnp.maximum(-class_labels * decision,
+                                               0.0)
+            decrease = labels * jnp.maximum(future - values, 0.0) \
+                / (jax.lax.stop_gradient(values) + 1e-8)
+            return jnp.mean(classifier + 1000.0 * decrease)
+
+        return jax.tree_util.tree_map(lambda w, grad: w - 5e-3 * grad,
+                                      params, jax.grad(loss)(params))
+
+    roa_estimate = np.copy(lyap_nn.safe_set)
+    level_multiplier = 1.3
+    c_history = [lyap_nn.c_max]
+    frac_history = [lyap_nn.safe_set.mean()]
+
+    with Timer("ROA classification ({} outer iters)".format(outer_iters)):
+        for k_out in range(outer_iters):
+            c = lyap_nn.c_max
+            values = lyap_nn.values.ravel()
+            idx_small = values <= c
+            idx_big = values <= level_multiplier * c
+            idx_gap = idx_big & ~idx_small
+
+            # Forward-simulate gap states (lax.scan over the horizon).
+            gap_states = jnp.asarray(grid.all_points[idx_gap])
+            if gap_states.shape[0]:
+                def step(x, _):
+                    return closed_loop(x), None
+
+                gap_states, _ = jax.lax.scan(step, gap_states, None,
+                                             length=gap_horizon)
+                gap_future_values = np.asarray(net(gap_states)).ravel()
+                roa_estimate[idx_gap] |= gap_future_values <= c
+
+            target_idx = idx_big | roa_estimate
+            target_set = grid.all_points[target_idx]
+            target_labels = roa_estimate[target_idx].astype(
+                np.float64).reshape(-1, 1)
+
+            params = net.parameters_dict
+            for _ in range(inner_iters):
+                idx = rng.integers(0, len(target_set), 1000)
+                batch = target_set[idx]
+                labels = target_labels[idx]
+                weights, _ = balanced_class_weights(
+                    labels.ravel().astype(bool))
+                params = train_step(params, jnp.asarray(batch),
+                                    jnp.asarray(labels),
+                                    jnp.asarray(weights.reshape(-1, 1)))
+            net = net.with_parameters(params)
+
+            lyap_nn.lyapunov_function = net
+            lyap_nn._lipschitz_lyapunov = sl.GradientNorm(net, ord=1)
+            lyap_nn.update_values()
+            lyap_nn.update_safe_set()
+            roa_estimate |= lyap_nn.safe_set
+            c_history.append(lyap_nn.c_max)
+            frac_history.append(lyap_nn.safe_set.mean())
+
+    nn_vs_roa = lyap_nn.safe_set.sum() / roa.sum()
+    lqr_vs_roa = lyap_lqr.safe_set.sum() / roa.sum()
+    print("safe-set fraction history:",
+          " ".join("{:.3f}".format(f) for f in frac_history))
+    print("final: NN {:.1f}% of ROA  vs  LQR {:.1f}% of ROA".format(
+        100 * nn_vs_roa, 100 * lqr_vs_roa))
+    assert frac_history[-1] > frac_history[0], \
+        "NN safe set should grow during training"
+    assert nn_vs_roa > lqr_vs_roa, \
+        "learned candidate should certify more than the LQR baseline"
+
+    if args.plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(5, 5))
+        for z, color, label in [
+                (roa, "green", "true ROA"),
+                (lyap_nn.safe_set, "orange", "NN"),
+                (lyap_lqr.safe_set, "blue", "LQR")]:
+            ax.contour(z.reshape(grid.shape).T, origin="lower",
+                       extent=[-1, 1, -1, 1], colors=color, linewidths=1)
+        ax.set_xlabel(r"$\theta$ (normalized)")
+        ax.set_ylabel(r"$\omega$ (normalized)")
+        maybe_save_plot(args, "lyapunov_function_learning")
+
+
+if __name__ == "__main__":
+    main()

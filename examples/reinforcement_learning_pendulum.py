@@ -1,0 +1,198 @@
+"""Approximate policy iteration on the swing-limited inverted pendulum.
+
+Mirrors ``/root/reference/examples/reinforcement_learning_pendulum.ipynb``:
+neural-network policy (no biases, tanh-saturated) and value function trained
+by actor-critic — TD(0) policy evaluation with a stop-gradient target and
+policy improvement on the one-step lookahead — starting from the LQR
+solution, then compared by region of attraction.
+
+Run:  python examples/reinforcement_learning_pendulum.py [--full --plot]
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.linalg import block_diag
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import safe_learning_tpu as sl  # noqa: E402
+from examples._common import Timer, example_args, maybe_save_plot  # noqa: E402
+
+
+def main():
+    args = example_args(__doc__)
+    if args.full:
+        num_states = 101
+        eval_iters, joint_iters, value_iters, policy_iters = 500, 400, 100, 10
+        roa_horizon = 600
+    else:
+        num_states = 51
+        eval_iters, joint_iters, value_iters, policy_iters = 300, 150, 50, 10
+        roa_horizon = 400
+
+    dt, g = 0.01, 9.81
+    m, length, friction = 0.15, 0.5, 0.1
+    theta_max, omega_max = np.deg2rad(180), np.deg2rad(360)
+    u_max = g * m * length * np.sin(np.deg2rad(60))
+    norms = ((theta_max, omega_max), (u_max,))
+    pendulum = sl.InvertedPendulum(m, length, friction, dt,
+                                   normalization=norms)
+    a, b = map(np.asarray, pendulum.linearize())
+
+    q = 0.1 * np.eye(2)
+    r = 0.1 * np.eye(1)
+    # Deviation from the notebook's gamma = 0.965: at dt = 0.01 that is a
+    # 0.2 s effective horizon, for which weak torque is genuinely the
+    # discounted optimum (the pendulum is let go). 0.995 makes the
+    # discounted optimum a stabilizing policy.
+    gamma = 0.995
+    reward_function = sl.QuadraticFunction(block_diag(-q, -r))
+    r_max = float(np.ones((1, 2)) @ q @ np.ones((2, 1))
+                  + np.ones((1, 1)) @ r @ np.ones((1, 1)))
+
+    k, _ = sl.utils.dlqr(a, b, q, r)
+    policy_lqr = sl.Saturation(sl.LinearSystem(-k), -1.0, 1.0)
+
+    key = jax.random.PRNGKey(args.seed)
+    key, k1, k2 = jax.random.split(key, 3)
+    policy = sl.NeuralNetwork([2, 64, 64, 1], ["relu", "relu", "tanh"],
+                              use_bias=False, key=k1)
+    value_function = sl.NeuralNetwork([2, 64, 64, 1],
+                                      ["relu", "relu", None], key=k2)
+
+    rng = np.random.default_rng(args.seed)
+
+    def sample_states(n):
+        return jnp.asarray(rng.uniform(-1.0, 1.0, size=(n, 2)))
+
+    # Stage 1: policy evaluation for the LQR policy (notebook cells 16-20).
+    @jax.jit
+    def eval_step_lqr(vf, states):
+        actions = policy_lqr(states)
+        rewards = reward_function(states, actions)
+        future = pendulum(states, actions)
+
+        def loss(p):
+            v = value_function.with_parameters(p)
+            target = jax.lax.stop_gradient(rewards + gamma * v(future))
+            return jnp.mean(jnp.abs(v(states) - target)) / r_max
+
+        return jax.tree_util.tree_map(lambda w, grad: w - 0.005 * grad,
+                                      vf, jax.grad(loss)(vf))
+
+    with Timer("policy evaluation (LQR policy)"):
+        vf_params = value_function.parameters_dict
+        for _ in range(eval_iters):
+            vf_params = eval_step_lqr(vf_params, sample_states(100))
+        value_function = value_function.with_parameters(vf_params)
+
+    # True ROA + value function of the LQR policy (notebook cell 24).
+    grid = sl.GridWorld([[-1.0, 1.0]] * 2, num_states)
+
+    @jax.jit
+    def closed_loop_lqr(x):
+        return pendulum(x, policy_lqr(x))
+
+    with Timer("ROA + reward rollout (LQR policy)"):
+        roa = sl.compute_roa(grid, closed_loop_lqr, horizon=roa_horizon,
+                             tol=0.01)
+        true_values = sl.reward_rollout(
+            grid, closed_loop_lqr,
+            lambda x: reward_function(x, policy_lqr(x)), gamma,
+            horizon=roa_horizon)
+    print("LQR ROA fraction: {:.3f}".format(roa.mean()))
+
+    value_err = np.mean(np.abs(
+        np.asarray(value_function(grid.all_points)).ravel()
+        - np.asarray(true_values).ravel())) / r_max
+    print("TD value fit error vs rollout: {:.3f}".format(value_err))
+
+    # Stage 2: joint actor-critic (notebook cells 48-52).
+    def _clip(tree, max_norm=1.0):
+        norm = jnp.sqrt(sum(jnp.sum(x ** 2)
+                            for x in jax.tree_util.tree_leaves(tree)))
+        scale = jnp.minimum(1.0, max_norm / (norm + 1e-12))
+        return jax.tree_util.tree_map(lambda x: x * scale, tree)
+
+    @jax.jit
+    def value_step(vf, pol, states):
+        actions = policy.with_parameters(pol)(states)
+        rewards = reward_function(states, actions)
+        future = pendulum(states, actions)
+
+        def loss(p):
+            v = value_function.with_parameters(p)
+            target = jax.lax.stop_gradient(rewards + gamma * v(future))
+            return jnp.mean(jnp.abs(v(states) - target)) / r_max
+
+        return jax.tree_util.tree_map(lambda w, grad: w - 0.005 * grad,
+                                      vf, _clip(jax.grad(loss)(vf)))
+
+    @jax.jit
+    def policy_step(pol, vf, states):
+        v = value_function.with_parameters(vf)
+
+        def loss(p):
+            actions = policy.with_parameters(p)(states)
+            rewards = reward_function(states, actions)
+            future = pendulum(states, actions)
+            return -(1 - gamma) / r_max * jnp.mean(rewards
+                                                   + gamma * v(future))
+
+        # lr scaled so (1 - gamma) * lr matches the notebook's 0.965/0.6.
+        return jax.tree_util.tree_map(lambda w, grad: w - 4.0 * grad,
+                                      pol, _clip(jax.grad(loss)(pol)))
+
+    with Timer("joint actor-critic ({} iterations)".format(joint_iters)):
+        pol_params = policy.parameters_dict
+        vf_params = value_function.parameters_dict
+        for _ in range(joint_iters):
+            for _ in range(value_iters):
+                vf_params = value_step(vf_params, pol_params,
+                                       sample_states(100))
+            for _ in range(policy_iters):
+                pol_params = policy_step(pol_params, vf_params,
+                                         sample_states(100))
+        policy = policy.with_parameters(pol_params)
+        value_function = value_function.with_parameters(vf_params)
+
+    # Compare regions of attraction (notebook cells 44-45, 58-59).
+    @jax.jit
+    def closed_loop_new(x):
+        return pendulum(x, policy(x))
+
+    with Timer("ROA (learned policy)"):
+        new_roa = sl.compute_roa(grid, closed_loop_new,
+                                 horizon=roa_horizon, tol=0.1)
+    print("learned-policy ROA fraction: {:.3f} (LQR: {:.3f})".format(
+        new_roa.mean(), roa.mean()))
+    assert new_roa.mean() > 0.005, \
+        "learned policy should have a non-trivial region of attraction"
+
+    # Closed-loop stabilization check from a moderate initial state.
+    states_new, _ = sl.utils.compute_trajectory(
+        pendulum, policy, np.array([[0.15, 0.0]]), 600)
+    final_norm = float(np.linalg.norm(states_new[-1]))
+    print("final state norm (learned policy): {:.4f}".format(final_norm))
+    assert final_norm < 0.1
+
+    if args.plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        z = roa.reshape(grid.shape).astype(int) \
+            + new_roa.reshape(grid.shape).astype(int)
+        plt.imshow(z.T, origin="lower", extent=[-1, 1, -1, 1])
+        plt.colorbar(label="ROA overlap (1=LQR only/new only, 2=both)")
+        plt.xlabel(r"$\theta$ (normalized)")
+        plt.ylabel(r"$\omega$ (normalized)")
+        maybe_save_plot(args, "reinforcement_learning_pendulum")
+
+
+if __name__ == "__main__":
+    main()

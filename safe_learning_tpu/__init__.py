@@ -15,7 +15,8 @@ from .functions import (AddedFunction, ConstantFunction,
                         LambdaFunction, LinearSystem, LyapunovNetwork,
                         MeanFunction, MultipliedFunction, NeuralNetwork,
                         PiecewiseConstant, QuadraticFunction, RBFNetwork,
-                        Saturation, Triangulation, UncertainFunction)
+                        GradientNorm, Saturation, Triangulation,
+                        UncertainFunction)
 from .functions.gp import (ActiveDims, GaussianProcess,
                            GPSampledFunction, LinearKernel,
                            Matern12, Matern32, Matern52, RBF,
@@ -35,7 +36,7 @@ __all__ = [
     "ConstantFunction", "DeterministicFunction", "Function", "FunctionStack",
     "LambdaFunction", "LinearSystem", "LyapunovNetwork", "MeanFunction",
     "MultipliedFunction", "NeuralNetwork", "PiecewiseConstant",
-    "QuadraticFunction", "RBFNetwork", "Saturation", "Triangulation",
+    "GradientNorm", "QuadraticFunction", "RBFNetwork", "Saturation", "Triangulation",
     "UncertainFunction", "GaussianProcess", "GPSampledFunction",
     "ActiveDims", "LinearKernel", "Matern12", "Matern32", "Matern52", "RBF",
     "sample_gp_function", "Lyapunov", "get_lyapunov_region",

@@ -2,7 +2,8 @@
 
 from .base import (AddedFunction, ConstantFunction, DeterministicFunction,
                    Function, FunctionStack, LambdaFunction, MeanFunction,
-                   MultipliedFunction, Saturation, UncertainFunction,
+                   GradientNorm, MultipliedFunction, Saturation,
+                   UncertainFunction,
                    as_deterministic, concatenate_inputs, register_pytree)
 from .linear import LinearSystem, QuadraticFunction
 from .neural import LyapunovNetwork, NeuralNetwork, RBFNetwork
@@ -11,7 +12,7 @@ from .simplex import PiecewiseConstant, Triangulation
 __all__ = [
     "AddedFunction", "ConstantFunction", "DeterministicFunction", "Function",
     "FunctionStack", "LambdaFunction", "MeanFunction", "MultipliedFunction",
-    "Saturation", "UncertainFunction", "as_deterministic",
+    "GradientNorm", "Saturation", "UncertainFunction", "as_deterministic",
     "concatenate_inputs", "register_pytree", "LinearSystem",
     "QuadraticFunction", "LyapunovNetwork", "NeuralNetwork", "RBFNetwork",
     "PiecewiseConstant", "Triangulation",

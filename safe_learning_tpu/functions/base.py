@@ -76,14 +76,20 @@ def register_pytree(cls):
 
 
 def mxu_dot(a, b):
-    """Matmul with f32 (or wider) accumulation on the MXU.
+    """Matmul with full input-precision multiplication on the MXU.
 
-    For bf16/f16 inputs the MXU accumulates in f32; for f32/f64 inputs the
-    accumulator matches the input dtype (never downcasts).
+    On TPU, f32 x f32 matmuls default to a single bf16 pass (8-bit
+    mantissa) — ``preferred_element_type`` only widens the accumulator.
+    GP solves and quadratic forms need the full f32 mantissa, so f32/f64
+    inputs request ``Precision.HIGHEST`` (multi-pass on the MXU);
+    bf16/f16 inputs keep the native fast path with f32 accumulation.
     """
-    acc = jnp.promote_types(jnp.result_type(a, b), jnp.float32)
-    out = jnp.dot(a, b, preferred_element_type=acc)
-    return out.astype(jnp.result_type(a, b))
+    dtype = jnp.result_type(a, b)
+    acc = jnp.promote_types(dtype, jnp.float32)
+    precision = (jax.lax.Precision.HIGHEST
+                 if dtype in (jnp.float32, jnp.float64) else None)
+    out = jnp.dot(a, b, preferred_element_type=acc, precision=precision)
+    return out.astype(dtype)
 
 
 def concatenate_inputs(*args):
@@ -187,6 +193,21 @@ class Function:
 class DeterministicFunction(Function):
     """A function returning point values (reference ``functions.py:233``)."""
 
+    def gradient(self, points):
+        """Spatial gradient via autodiff, shape ``(N, input_dim)``.
+
+        Scalar-output functions get this for free (the reference builds
+        ``tf.gradients(fun(x), x)[0]`` by hand, e.g.
+        ``examples/lyapunov_function_learning.ipynb`` cell 19); subclasses
+        with closed forms (Triangulation, QuadraticFunction) override it.
+        """
+        points = jnp.atleast_2d(jnp.asarray(points))
+
+        def scalar(x):
+            return jnp.sum(self.evaluate(x[None, :]))
+
+        return jax.vmap(jax.grad(scalar))(points)
+
 
 class UncertainFunction(Function):
     """A function returning ``(mean, error_bound)`` tuples.
@@ -261,6 +282,46 @@ class MultipliedFunction(Function):
 
     def evaluate(self, points):
         return self.fun1.evaluate(points) * self.fun2.evaluate(points)
+
+
+@register_pytree
+class GradientNorm(DeterministicFunction):
+    """Per-state norm of another function's spatial gradient.
+
+    Used as a *local* Lipschitz constant for Lyapunov candidates — the
+    reference passes ad-hoc lambdas like
+    ``lambda x: tf.reduce_max(tf.abs(value_function.gradient(x)), axis=1)``
+    (``examples/inverted_pendulum.ipynb`` cell 14,
+    ``adaptive_safety_verification.ipynb`` cell 17). A raw Python closure
+    would bake the wrapped function's parameters into the jit trace as
+    constants; this pytree keeps them live traced leaves.
+
+    ``ord``: ``inf`` for the per-state max, 1 for the L1 norm, or ``None``
+    to return the elementwise ``|grad|`` (one column per dimension, reduced
+    later by the threshold's L1 contraction).
+    """
+
+    _data_fields = ("fun",)
+    _meta_fields = ("ord", "input_dim", "output_dim")
+
+    def __init__(self, fun, ord=None):
+        if not hasattr(fun, "gradient"):
+            raise TypeError("fun must define gradient(points)")
+        self.fun = fun
+        self.ord = ord
+        self.input_dim = fun.input_dim
+        self.output_dim = 1 if ord is not None else fun.input_dim
+
+    def evaluate(self, points):
+        grad = jnp.abs(self.fun.gradient(points))
+        grad = grad.reshape(grad.shape[0], -1)
+        if self.ord is None:
+            return grad
+        if np.isinf(self.ord):
+            return jnp.max(grad, axis=1, keepdims=True)
+        if self.ord == 1:
+            return jnp.sum(grad, axis=1, keepdims=True)
+        raise ValueError("unsupported ord: {}".format(self.ord))
 
 
 @register_pytree

@@ -78,13 +78,19 @@ def _gp_predict_kernel(q_ref, x_ref, chol_inv_ref, alpha_t_ref, mask_ref,
     li = chol_inv_ref[:]
     acc = jnp.float64 if dtype == jnp.float64 else jnp.float32
     if fast_matmul:
+        # Explicit bf16 opt-in: one MXU pass, f32 accumulation.
         k_in = k.astype(jnp.bfloat16)
         li = li.astype(jnp.bfloat16)
+        prec = None
     else:
+        # f32 inputs default to a single bf16 pass on the MXU; the GP
+        # solve needs the full mantissa (see mxu_dot).
         k_in = k
-    a = jnp.dot(li, k_in, preferred_element_type=acc)
+        prec = jax.lax.Precision.HIGHEST
+    a = jnp.dot(li, k_in, preferred_element_type=acc, precision=prec)
     mean_ref[:] = jnp.dot(alpha_t_ref[:], a.astype(dtype),
-                          preferred_element_type=acc).astype(dtype)
+                          preferred_element_type=acc,
+                          precision=prec).astype(dtype)
     pvar_ref[:] = jnp.sum(a * a, axis=0,
                           keepdims=True).astype(dtype)
 
