@@ -27,7 +27,7 @@ from .rl import OptimizationError, PolicyIteration
 from .dynamics import CartPole, InvertedPendulum, VanDerPol
 from .analysis import (compute_roa, compute_closedloop_response, gridify,
                        reward_rollout)
-from . import utils
+from . import checkpoints, parallel, plotting, profiling, utils
 
 __version__ = "0.1.0"
 
@@ -43,5 +43,6 @@ __all__ = [
     "smallest_boundary_value", "get_safe_sample", "perturb_actions",
     "OptimizationError", "PolicyIteration", "CartPole", "InvertedPendulum",
     "VanDerPol", "compute_roa", "compute_closedloop_response", "gridify",
-    "reward_rollout", "utils",
+    "reward_rollout", "utils", "checkpoints", "parallel", "plotting",
+    "profiling",
 ]

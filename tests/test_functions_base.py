@@ -122,3 +122,49 @@ def test_with_parameters():
     # copy_parameters round-trip.
     back = new.copy_parameters(fun)
     assert_allclose(np.asarray(back(x)), np.asarray(fun(x)))
+
+
+def test_gradient_norm_function():
+    """GradientNorm: per-state norms of the wrapped function's gradient,
+    with live (pytree) parameters."""
+    import jax
+
+    from safe_learning_tpu import GradientNorm, QuadraticFunction
+
+    p = np.array([[2.0, 0.5], [0.5, 1.0]])
+    quad = QuadraticFunction(p)
+    x = np.array([[1.0, -1.0], [0.5, 0.25]])
+    grad = x @ (p + p.T)
+
+    g_inf = GradientNorm(quad, ord=np.inf)
+    assert_allclose(np.asarray(g_inf(x)),
+                    np.abs(grad).max(axis=1, keepdims=True))
+    g_l1 = GradientNorm(quad, ord=1)
+    assert_allclose(np.asarray(g_l1(x)),
+                    np.abs(grad).sum(axis=1, keepdims=True))
+    g_none = GradientNorm(quad)
+    assert_allclose(np.asarray(g_none(x)), np.abs(grad))
+
+    # Pytree roundtrip keeps parameters traced (no stale constants).
+    leaves, treedef = jax.tree_util.tree_flatten(g_inf)
+    rebuilt = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert_allclose(np.asarray(rebuilt(x)), np.asarray(g_inf(x)))
+
+
+def test_default_autodiff_gradient():
+    """Scalar functions get gradient() for free via autodiff."""
+    from safe_learning_tpu import LyapunovNetwork
+    import jax
+
+    net = LyapunovNetwork(2, [8, 8], ["tanh", "tanh"],
+                          key=jax.random.PRNGKey(0))
+    x = np.array([[0.3, -0.2], [0.1, 0.4]])
+    g = np.asarray(net.gradient(x))
+    assert g.shape == (2, 2)
+    # Finite-difference check.
+    eps = 1e-6
+    for d in range(2):
+        dx = np.zeros((1, 2))
+        dx[0, d] = eps
+        fd = (np.asarray(net(x + dx)) - np.asarray(net(x - dx))) / (2 * eps)
+        assert_allclose(g[:, d], fd.ravel(), rtol=1e-4, atol=1e-7)

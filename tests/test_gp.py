@@ -204,3 +204,27 @@ def test_f32_mode_host_cache_precision():
     assert_allclose(var32, var64, atol=5e-4)
     resid = np.abs(np.asarray(gp32.predict(x)[0], dtype=np.float64) - y)
     assert resid.max() < 1e-3
+
+
+def test_active_dims_kernel():
+    """ActiveDims restricts a kernel to input columns (gpflow
+    active_dims equivalent)."""
+    from safe_learning_tpu.functions.gp import ActiveDims
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(5, 3))
+    z = rng.normal(size=(4, 3))
+    base = Matern32(variance=0.7, lengthscales=0.9, input_dim=1)
+    wrapped = ActiveDims(base, dims=[1])
+    assert_allclose(np.asarray(wrapped(x, z)),
+                    np.asarray(base(x[:, 1:2], z[:, 1:2])))
+    assert_allclose(np.asarray(wrapped.diag(x)),
+                    np.asarray(base.diag(x[:, 1:2])))
+
+    # Product of two ActiveDims kernels over different dims.
+    lin = ActiveDims(LinearKernel(variances=2.0, input_dim=1), dims=[0])
+    product = wrapped * lin
+    expected = (np.asarray(base(x[:, 1:2], z[:, 1:2]))
+                * np.asarray(LinearKernel(variances=2.0, input_dim=1)(
+                    x[:, :1], z[:, :1])))
+    assert_allclose(np.asarray(product(x, z)), expected)
