@@ -25,6 +25,28 @@ import safe_learning_tpu as sl  # noqa: E402
 from safe_learning_tpu.utils import balanced_class_weights  # noqa: E402
 from examples._common import Timer, example_args, maybe_save_plot  # noqa: E402
 
+# Degree-3 SOS Lyapunov candidate computed offline with SOSTOOLS for the
+# LQR-stabilized pendulum (reference notebook cell 17).
+_SOS_Q = np.array([
+    [4.09, 0.09225, -5.609e-9, 2.132e-9, 6.079e-10, 2.11, 0.006847,
+     0.0937, -0.0271],
+    [0.09225, 0.2055, 2.132e-9, 6.079e-10, 1.731e-9, 0.006847, 0.0937,
+     -0.0271, 0.03769],
+    [-5.609e-9, 2.132e-9, 2.11, 0.006847, 0.0937, -6.223e-8, -1.307e-9,
+     -3.692e-9, -5.893e-10],
+    [2.132e-9, 6.079e-10, 0.006847, 0.0937, -0.0271, -1.307e-9,
+     -3.692e-9, -5.893e-10, 4.724e-10],
+    [6.079e-10, 1.731e-9, 0.0937, -0.0271, 0.03769, -3.692e-9,
+     -5.893e-10, 4.724e-10, 2.836e-10],
+    [2.11, 0.006847, -6.223e-8, -1.307e-9, -3.692e-9, 5.913, 0.2135,
+     0.1824, 0.009201],
+    [0.006847, 0.0937, -1.307e-9, -3.692e-9, -5.893e-10, 0.2135, 0.1824,
+     0.009201, 0.01684],
+    [0.0937, -0.0271, -3.692e-9, -5.893e-10, 4.724e-10, 0.1824,
+     0.009201, 0.01684, 0.02061],
+    [-0.0271, 0.03769, -5.893e-10, 4.724e-10, 2.836e-10, 0.009201,
+     0.01684, 0.02061, 0.01081]])
+
 
 def main():
     args = example_args(__doc__)
@@ -64,6 +86,28 @@ def main():
                            tau, policy,
                            initial_set=np.where(initial_safe_set)[0])
     lyap_lqr.update_safe_set()
+
+    # SOS (SOSTOOLS) baseline certificate: fixed degree-3 monomial
+    # candidate in denormalized coordinates, certified via the
+    # continuous-time decrease dv/dt < 0 along the true vector field
+    # (notebook cell 17).
+    q_sos = _SOS_Q
+    x_denorm = grid.all_points * np.array([theta_max, omega_max])
+    m_feats = np.asarray(sl.utils.monomials(x_denorm, 3))
+    values_sos = np.sum((m_feats @ q_sos) * m_feats, axis=1)
+    d_feats = np.asarray(sl.utils.derivative_monomials(x_denorm, 3))
+    dvdx = 2.0 * np.einsum("nf,nfd->nd", m_feats @ q_sos, d_feats)
+    u_denorm = np.asarray(policy(grid.all_points)) * u_max
+    f_cont = np.asarray(pendulum.ode(jnp.asarray(x_denorm),
+                                     jnp.asarray(u_denorm)))
+    dvdt = np.sum(dvdx * f_cont, axis=1)
+    order = np.argsort(values_sos)
+    certificate = dvdt[order][1:] < 0
+    ordered_idx = (len(certificate) + 1 if certificate.all()
+                   else int(np.argmin(certificate)) + 1)
+    cmax_sos = values_sos[order[ordered_idx - 1]]
+    sos_safe = values_sos <= cmax_sos
+    print("SOS baseline safe fraction: {:.3f}".format(sos_safe.mean()))
 
     # True ROA by forward simulation (notebook cell 23).
     @jax.jit
@@ -189,8 +233,9 @@ def main():
     lqr_vs_roa = lyap_lqr.safe_set.sum() / roa.sum()
     print("safe-set fraction history:",
           " ".join("{:.3f}".format(f) for f in frac_history))
-    print("final: NN {:.1f}% of ROA  vs  LQR {:.1f}% of ROA".format(
-        100 * nn_vs_roa, 100 * lqr_vs_roa))
+    sos_vs_roa = sos_safe.sum() / roa.sum()
+    print("final: NN {:.1f}%  vs  LQR {:.1f}%  vs  SOS {:.1f}% of ROA"
+          .format(100 * nn_vs_roa, 100 * lqr_vs_roa, 100 * sos_vs_roa))
     assert frac_history[-1] > frac_history[0], \
         "NN safe set should grow during training"
     assert nn_vs_roa > lqr_vs_roa, \
@@ -205,7 +250,8 @@ def main():
         for z, color, label in [
                 (roa, "green", "true ROA"),
                 (lyap_nn.safe_set, "orange", "NN"),
-                (lyap_lqr.safe_set, "blue", "LQR")]:
+                (lyap_lqr.safe_set, "blue", "LQR"),
+                (sos_safe, "gold", "SOS")]:
             ax.contour(z.reshape(grid.shape).T, origin="lower",
                        extent=[-1, 1, -1, 1], colors=color, linewidths=1)
         ax.set_xlabel(r"$\theta$ (normalized)")
