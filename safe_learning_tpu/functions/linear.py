@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import config
-from .base import DeterministicFunction, register_pytree
+from .base import DeterministicFunction, mxu_dot, register_pytree
 
 __all__ = ["LinearSystem", "QuadraticFunction"]
 
@@ -46,7 +46,7 @@ class LinearSystem(DeterministicFunction):
         return int(self.matrix.shape[0])
 
     def evaluate(self, points):
-        return points @ self.matrix.T
+        return mxu_dot(points, self.matrix.T)
 
 
 @register_pytree
@@ -67,9 +67,9 @@ class QuadraticFunction(DeterministicFunction):
     output_dim = 1
 
     def evaluate(self, points):
-        linear_form = points @ self.matrix
+        linear_form = mxu_dot(points, self.matrix)
         return jnp.sum(linear_form * points, axis=1, keepdims=True)
 
     def gradient(self, points):
         """Closed-form gradient (reference ``functions.py:1541-1543``)."""
-        return points @ (self.matrix + self.matrix.T)
+        return mxu_dot(points, self.matrix + self.matrix.T)

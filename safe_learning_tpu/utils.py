@@ -22,7 +22,8 @@ __all__ = [
     "batchify", "combinations", "linearly_spaced_combinations", "lqr",
     "dlqr", "ellipse_bounds", "unique_rows", "compute_trajectory",
     "get_parameter_change", "find_nearest", "balanced_class_weights",
-    "balanced_confusion_weights", "constrained_batch_sampler", "monomials",
+    "balanced_confusion_weights", "constrained_batch_sampler",
+    "add_weight_constraint", "gradient_clipping", "monomials",
     "derivative_monomials",
 ]
 
@@ -183,6 +184,31 @@ def balanced_confusion_weights(y, y_true, scale_by_total=True):
     if scale_by_total:
         weights *= y.size
     return weights, confusion_counts
+
+
+def add_weight_constraint(params, lower, upper):
+    """Clip a parameter pytree to box constraints.
+
+    Functional equivalent of the reference's post-step assign ops
+    (``utilities.py:162-186``): apply after an optimizer update to keep
+    parameters inside bounds. ``lower``/``upper`` are scalars applied to
+    every leaf, or pytrees matching ``params``' structure.
+    """
+    if np.isscalar(lower) and np.isscalar(upper):
+        return jax.tree_util.tree_map(
+            lambda w: jnp.clip(w, lower, upper), params)
+    return jax.tree_util.tree_map(
+        lambda w, lo, hi: jnp.clip(w, lo, hi), params, lower, upper)
+
+
+def gradient_clipping(grads, lower, upper):
+    """Clip a gradient pytree elementwise before an update
+    (reference ``utilities.py:189-221``).
+
+    ``lower``/``upper`` are scalars applied to every leaf, or pytrees
+    matching ``grads``' structure.
+    """
+    return add_weight_constraint(grads, lower, upper)
 
 
 def constrained_batch_sampler(key, dynamics, policy, state_dim, batch_size,

@@ -145,3 +145,24 @@ def test_constrained_batch_sampler():
                                             action_limit=1.0)
     assert mask_sat.sum() < mask.sum()
     assert (~mask_sat | mask).all()
+
+
+def test_add_weight_constraint_and_gradient_clipping():
+    from safe_learning_tpu.utils import (add_weight_constraint,
+                                         gradient_clipping)
+
+    params = {"w": jnp.array([-2.0, 0.5, 3.0]), "b": jnp.array([[4.0]])}
+    clipped = add_weight_constraint(params, -1.0, 1.0)
+    assert_allclose(np.asarray(clipped["w"]), [-1.0, 0.5, 1.0])
+    assert_allclose(np.asarray(clipped["b"]), [[1.0]])
+
+    # Per-leaf bounds as pytrees.
+    lower = {"w": -1.5, "b": 0.0}
+    upper = {"w": 0.0, "b": 2.0}
+    clipped = add_weight_constraint(params, lower, upper)
+    assert_allclose(np.asarray(clipped["w"]), [-1.5, 0.0, 0.0])
+    assert_allclose(np.asarray(clipped["b"]), [[2.0]])
+
+    grads = (jnp.array([10.0, -10.0]),)
+    assert_allclose(np.asarray(gradient_clipping(grads, -1.0, 1.0)[0]),
+                    [1.0, -1.0])
