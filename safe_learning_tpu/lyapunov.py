@@ -158,33 +158,31 @@ def _fused_update(policy, dynamics, lyapunov_function, lipschitz_lyapunov,
                   lipschitz_dynamics, tau, points, exempt):
     """Whole-grid safe-set update as ONE device program.
 
-    Computes ``v`` on the grid, sorts by value, runs the fused decrease
-    check for every point in parallel, and reduces the value-sorted prefix
-    to the certified level — the TPU replacement for the reference's
-    sequential batched early-exit loop (``lyapunov.py:512-595``).
+    Computes ``v`` on the grid, runs the fused decrease check for every
+    point in parallel, and finds the certified level with O(n)
+    reductions: the level-set prefix in value order is unbroken exactly
+    up to the smallest value among failing states, so
+    ``c_max = max{v(x) : v(x) < min v(failing)}`` — the TPU replacement
+    for the reference's sequential batched early-exit loop
+    (``lyapunov.py:512-595``; a full sort would cost ~3x the sweep).
+    States tied with the smallest failing value are conservatively
+    excluded (the reference's stable sort could include some of them).
 
     Returns ``(safe_set, c_max, values, any_safe)``.
     """
     values = lyapunov_function(points).reshape(-1)
-    order = jnp.argsort(values, stable=True)
-
     negative, _, _ = _negative_batch(policy, dynamics, lyapunov_function,
                                      lipschitz_lyapunov, lipschitz_dynamics,
                                      tau, points)
-    eligible_sorted = (negative | exempt)[order]
+    eligible = negative | exempt
 
-    n = values.shape[0]
-    # First failing position in value order; n if everything verifies.
-    first_fail = jnp.where(jnp.all(eligible_sorted), n,
-                           jnp.argmin(eligible_sorted))
-    prefix = jnp.arange(n) < first_fail
-    safe_set = jnp.zeros(n, dtype=bool).at[order].set(prefix)
-
-    any_safe = first_fail > 0
-    c_max = jnp.where(
-        any_safe,
-        values[order[jnp.maximum(first_fail - 1, 0)]],
-        -jnp.inf)
+    inf = jnp.asarray(jnp.inf, dtype=values.dtype)
+    v_bad = jnp.min(jnp.where(eligible, inf, values))
+    safe_set = values < v_bad
+    any_safe = jnp.any(safe_set)
+    c_max = jnp.where(any_safe,
+                      jnp.max(jnp.where(safe_set, values, -inf)),
+                      -inf)
     return safe_set, c_max, values, any_safe
 
 
@@ -544,17 +542,33 @@ def smallest_boundary_value(fun, discretization):
     return min_value
 
 
-def get_lyapunov_region(lyapunov, discretization, init_node):
+def get_lyapunov_region(lyapunov, discretization, init_node,
+                        use_native=None):
     """Region on which a function decreases monotonically toward a point.
 
     Priority-queue flood fill from ``init_node`` in increasing-value order,
     stopping at the domain boundary or at non-monotonicity (reference
     ``lyapunov.py:59-139``; also fixes its py2-only ``tiebreaker.next()``
-    bug at ``lyapunov.py:101``).
+    bug at ``lyapunov.py:101``). The values are evaluated on device; the
+    inherently sequential heap expansion runs in the native C++ extension
+    (``native/flood_fill.cpp``) when a compiler is available, else in
+    Python. ``use_native=False`` forces the Python path.
     """
     fun = as_deterministic(lyapunov)
     values = np.asarray(fun(jnp.asarray(discretization.all_points)))
     lyapunov_values = values.reshape(discretization.shape)
+
+    if use_native is None or use_native:
+        from .native import flood_fill
+
+        flat_init = int(np.ravel_multi_index(tuple(init_node),
+                                             discretization.shape))
+        native = flood_fill(lyapunov_values, discretization.shape,
+                            flat_init)
+        if native is not None:
+            return native
+        if use_native:
+            raise RuntimeError("native flood fill unavailable")
 
     init_node = tuple(init_node)
     init_value = lyapunov_values[init_node]

@@ -188,3 +188,45 @@ def test_get_lyapunov_region():
     # Monotone quadratic: region is a centered blob, not the boundary.
     assert not region[0, :].any()
     assert region.sum() > 1
+
+
+def test_native_flood_fill_matches_python():
+    """The C++ flood fill must reproduce the Python heap expansion
+    exactly (dual-implementation cross-check)."""
+    import pytest
+
+    from safe_learning_tpu.native import load_flood_fill
+
+    if load_flood_fill() is None:
+        pytest.skip("no C++ compiler available")
+
+    rng = np.random.default_rng(0)
+    grid = GridWorld([[-1.0, 1.0], [-1.0, 1.0]], [41, 31])
+    p = np.array([[1.0, 0.3], [0.3, 2.0]])
+    bump = 0.4 * np.exp(-((grid.all_points - 0.5) ** 2).sum(1) / 0.05)
+    vals = (np.einsum("ni,ij,nj->n", grid.all_points, p,
+                      grid.all_points) + bump)
+    fun = LambdaFunction(lambda x: vals.reshape(-1, 1), 2, 1)
+
+    init = (20, 15)
+    region_native = get_lyapunov_region(fun, grid, init, use_native=True)
+    region_python = get_lyapunov_region(fun, grid, init, use_native=False)
+    assert region_native.shape == grid.shape
+    assert region_native.any()
+    np.testing.assert_array_equal(region_native, region_python)
+
+
+def test_native_flood_fill_3d():
+    import pytest
+
+    from safe_learning_tpu.native import load_flood_fill
+
+    if load_flood_fill() is None:
+        pytest.skip("no C++ compiler available")
+
+    grid = GridWorld([[-1.0, 1.0]] * 3, 11)
+    fun = QuadraticFunction(np.eye(3))
+    init = (5, 5, 5)
+    region_native = get_lyapunov_region(fun, grid, init, use_native=True)
+    region_python = get_lyapunov_region(fun, grid, init, use_native=False)
+    np.testing.assert_array_equal(region_native, region_python)
