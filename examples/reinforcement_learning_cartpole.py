@@ -26,7 +26,7 @@ from examples._common import Timer, example_args, maybe_save_plot  # noqa: E402
 def main():
     args = example_args(__doc__)
     if args.full:
-        grid_points, joint_iters, value_iters, policy_iters = 31, 300, 100, 10
+        grid_points, joint_iters, value_iters, policy_iters = 31, 400, 50, 10
         roa_horizon = 800
     else:
         grid_points, joint_iters, value_iters, policy_iters = 13, 300, 50, 10

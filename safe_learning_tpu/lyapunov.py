@@ -312,9 +312,10 @@ class Lyapunov:
         """Pointwise safety constraint for a policy's actions on the grid
         (reference ``lyapunov.py:378-405``)."""
         points = jnp.asarray(self.discretization.all_points)
-        prediction = self.dynamics(points, policy)
+        actions = as_deterministic(policy)(points)
+        prediction = self.dynamics(points, actions)
         bound = self.v_decrease_bound(points, prediction)
-        negative = np.asarray(
+        negative = np.array(
             jnp.squeeze(bound < self.threshold(points), axis=1))
         if include_initial and self.initial_safe_set is not None:
             negative |= self.initial_safe_set

@@ -113,7 +113,9 @@ def fused_gp_predict(points_scaled, x_scaled, chol_inv, alpha, mask,
     kind : str, stationary kernel family
     tile : int, query tile size (multiple of 128)
     fast_matmul : bool, run the capacity x capacity x tile matmul in bf16
-        (f32 accumulation); ~4x faster, relative kernel error ~1e-2.
+        (f32 accumulation); ~4x faster. Relative error scales with the
+        solve's conditioning (~1e-2..1e-1); only for workloads with wide
+        certification margins.
     interpret : bool, run under the Pallas interpreter (CPU testing only).
 
     Returns

@@ -74,3 +74,13 @@ def test_timer():
         sum(range(1000))
     assert t.elapsed > 0
     assert len(metrics["step"]) == 1
+
+
+def test_checkpoint_orbax_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    state = {"w": np.linspace(0, 1, 7), "n": np.asarray(3)}
+    path = save_checkpoint(str(tmp_path / "orbax_ckpt"), state,
+                           use_orbax=True)
+    restored = restore_checkpoint(path, state)
+    assert_allclose(np.asarray(restored["w"]), state["w"])
+    assert int(restored["n"]) == 3

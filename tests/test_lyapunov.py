@@ -230,3 +230,24 @@ def test_native_flood_fill_3d():
     region_native = get_lyapunov_region(fun, grid, init, use_native=True)
     region_python = get_lyapunov_region(fun, grid, init, use_native=False)
     np.testing.assert_array_equal(region_native, region_python)
+
+
+def test_safety_constraint():
+    """Pointwise safety mask for a policy's actions on the grid
+    (reference lyapunov.py:378-405)."""
+    grid = GridWorld([[-1.0, 1.0]], 5)
+    v = _quad_v()
+    dynamics = LinearSystem([[0.5, 1.0]])
+    policy = LinearSystem([[0.0]])
+    lyap = Lyapunov(grid, v, dynamics, 0.5, 1.0, 1e-3, policy,
+                    initial_set=[2])
+    # Stabilizing candidate actions: u = -0.4 x contracts x+ = 0.1 x.
+    good = LinearSystem([[-0.4]])
+    mask = lyap.safety_constraint(good)
+    assert mask.dtype == bool and mask.shape == (5,)
+    assert mask[2]  # initial set always included
+    assert mask.sum() >= 3
+    # Destabilizing actions: u = +1.0 x gives x+ = 1.5 x (expanding).
+    bad = LinearSystem([[1.0]])
+    mask_bad = lyap.safety_constraint(bad, include_initial=False)
+    assert not mask_bad.any()

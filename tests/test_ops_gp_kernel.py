@@ -92,3 +92,24 @@ def test_fused_predict_ragged_query_padding():
     assert mean_num.shape == (131, 1)
     assert_allclose(np.asarray(mean_num / gp.scale), np.asarray(mean_ref),
                     rtol=1e-8, atol=1e-10)
+
+
+def test_fused_predict_fast_matmul_bf16():
+    """The explicit bf16 opt-in trades ~1e-2 relative accuracy for
+    throughput; verify it stays within that envelope."""
+    gp = _make_gp(RBF, n=24, d=2)
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.uniform(-2.0, 2.0, size=(256, 2)),
+                    dtype=config.dtype)
+    mean_ref, _ = gp.predict(q)
+
+    ls = gp.kernel.lengthscales
+    mean_num, _ = fused_gp_predict(
+        q / ls, gp.X_buf / ls, gp.chol_inv, gp.alpha, gp._mask(),
+        gp.kernel.variance, kind="rbf", tile=128, fast_matmul=True,
+        interpret=True)
+    err = np.max(np.abs(np.asarray(mean_num) - np.asarray(mean_ref)))
+    scale = np.max(np.abs(np.asarray(mean_ref))) + 1e-12
+    # bf16 mantissa amplified by the solve's conditioning: ~1e-1 here.
+    assert err / scale < 2e-1, err / scale
+    assert err / scale > 1e-6  # sanity: it really ran in bf16
