@@ -189,6 +189,12 @@ class Function:
     def __neg__(self):
         return MultipliedFunction(self, -1.0)
 
+    def __sub__(self, other):
+        return AddedFunction(self, MultipliedFunction(other, -1.0))
+
+    def __rsub__(self, other):
+        return AddedFunction(other, MultipliedFunction(self, -1.0))
+
 
 class DeterministicFunction(Function):
     """A function returning point values (reference ``functions.py:233``)."""

@@ -5,9 +5,10 @@ reference streams 10 000-point batches through ``session.run`` with a Python
 early-exit loop (``lyapunov.py:512-595``); here the decrease condition for an
 entire (padded) batch of grid points — policy, dynamics (possibly GP
 posterior), Lyapunov values, Lipschitz threshold — is a single fused jitted
-program, and the certified level ``c_max`` is found with a prefix reduction
-over the value-sorted order instead of a sequential scan. Batches are only
-used to bound device memory on huge grids; each keeps one compiled shape.
+program, and the certified level ``c_max`` is found with O(n) reductions
+(``max{v < min v(failing)}``) instead of a sequential sorted scan. Batches
+are only used to bound device memory on huge grids; each keeps one compiled
+shape.
 
 Semantics deviations from the reference (documented intentionally):
 - If *no* sorted prefix is safe, ``c_max`` is ``-inf`` (the reference

@@ -168,3 +168,13 @@ def test_default_autodiff_gradient():
         dx[0, d] = eps
         fd = (np.asarray(net(x + dx)) - np.asarray(net(x - dx))) / (2 * eps)
         assert_allclose(g[:, d], fd.ravel(), rtol=1e-4, atol=1e-7)
+
+
+def test_subtraction_algebra():
+    from safe_learning_tpu import LinearSystem
+
+    f = LinearSystem([[2.0]])
+    g = LinearSystem([[0.5]])
+    x = np.array([[1.0], [2.0]])
+    assert_allclose(np.asarray((f - g)(x)), 1.5 * x)
+    assert_allclose(np.asarray((1.0 - g)(x)), 1.0 - 0.5 * x)
