@@ -157,6 +157,19 @@ def main():
         lyap_nn.safe_set.mean(),
         100 * lyap_nn.safe_set.sum() / roa.sum()))
 
+    # Snapshot the pre-trained parameters and restore before training —
+    # the notebook does this with tf.train.Saver (cells 29, 32).
+    import tempfile
+
+    ckpt_dir = tempfile.mkdtemp(prefix="lyap_ckpt_")
+    ckpt_path = sl.checkpoints.save_checkpoint(
+        os.path.join(ckpt_dir, "pretrained"), net.parameters_dict)
+    net = net.with_parameters(
+        sl.checkpoints.restore_checkpoint(ckpt_path, net.parameters_dict))
+    lyap_nn.lyapunov_function = net
+    lyap_nn.update_values()
+    lyap_nn.update_safe_set()
+
     # ROA classification training (notebook cells 30-35).
     # The classifier targets the FIXED level set {v < 1}: the candidate
     # is scale-free, so the ROA estimate is taught to coincide with level

@@ -26,11 +26,18 @@ def _grid_points(grid):
 
 
 def _simulate(closed_loop_dynamics, points, horizon,
-              return_trajectories=False):
+              return_trajectories=False, clip=1e6):
+    """Roll every point forward ``horizon - 1`` steps in one scan.
+
+    Divergent trajectories are clamped to ``[-clip, clip]`` so they stay
+    finite (inf/NaN propagation is slow on CPU and an overflowing point
+    is equally outside the ROA either way).
+    """
     def step(states, _):
         nxt = closed_loop_dynamics(states)
         if isinstance(nxt, tuple):
             nxt = nxt[0]
+        nxt = jnp.clip(nxt, -clip, clip)
         return nxt, (nxt if return_trajectories else None)
 
     end_states, traj = jax.lax.scan(step, points, None, length=horizon - 1)
