@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,6 +32,52 @@ from ..grids import GridWorld
 from .base import DeterministicFunction, register_pytree
 
 __all__ = ["Triangulation", "PiecewiseConstant"]
+
+# Tables at most this many rows use the one-hot matmul gather on TPU
+# (above it the O(rows) contraction costs more than Mosaic's gather).
+_ONEHOT_GATHER_MAX_ROWS = 16384
+
+
+def _gather_rows(table, indices, force_onehot=False):
+    """``table[indices]`` for a small table, TPU-fast.
+
+    TPU has no hardware gather; Mosaic's lowering costs ~25 ns per
+    gathered scalar. For small tables a one-hot row-matmul plus a lane
+    mask is exact (each output sums exactly one f32 product against 1.0)
+    and ~4x faster at 1M queries.
+
+    Parameters
+    ----------
+    table : (n_rows, p)
+    indices : (...,) int32 flat row indices
+
+    Returns
+    -------
+    (..., p) gathered rows
+    """
+    n_rows, p = table.shape
+    backend = jax.default_backend()
+    use_onehot = force_onehot or (backend in ("tpu", "axon")
+                                  and n_rows <= _ONEHOT_GATHER_MAX_ROWS)
+    if not use_onehot:
+        return table[indices]
+
+    r = -(-n_rows // 128)
+    padded = jnp.zeros((r * 128, p), table.dtype).at[:n_rows].set(table)
+    # (r, 128, p) -> (r, 128 * p) so the row pick is one matmul.
+    table2d = padded.reshape(r, 128 * p)
+
+    flat_idx = indices.reshape(-1)
+    row = flat_idx // 128
+    lane = flat_idx % 128
+    row_oh = (row[:, None]
+              == jnp.arange(r, dtype=jnp.int32)).astype(table.dtype)
+    picked = jax.lax.dot_general(
+        row_oh, table2d, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST).reshape(-1, 128, p)
+    lane_oh = (lane[:, None] == jnp.arange(128, dtype=jnp.int32))
+    vals = jnp.sum(jnp.where(lane_oh[:, :, None], picked, 0.0), axis=1)
+    return vals.reshape(indices.shape + (p,))
 
 
 def _cell_shape(grid):
@@ -171,7 +218,8 @@ class Triangulation(DeterministicFunction):
     def evaluate(self, points):
         """Barycentric interpolation (reference ``functions.py:1473-1499``)."""
         vertices, weights, _ = self._locate(points)
-        vertex_values = self.parameters[vertices]  # (N, d+1, out)
+        vertex_values = _gather_rows(self.parameters,
+                                     vertices)  # (N, d+1, out)
         return jnp.sum(weights[:, :, None] * vertex_values, axis=1)
 
     def gradient(self, points):
@@ -183,7 +231,7 @@ class Triangulation(DeterministicFunction):
         grid = self.discretization
         d = grid.ndim
         vertices, _, order = self._locate(points)
-        vals = self.parameters[vertices]  # (N, d+1, out)
+        vals = _gather_rows(self.parameters, vertices)  # (N, d+1, out)
         # Along the vertex chain, moving from v_{k-1} to v_k steps in
         # dimension order[k-1]; the directional derivative is the value
         # difference over the cell edge length.
@@ -341,7 +389,7 @@ class PiecewiseConstant(DeterministicFunction):
 
     def evaluate(self, points):
         nodes = self.discretization.state_to_index(points)
-        return self.parameters[nodes]
+        return _gather_rows(self.parameters, nodes)
 
     def parameter_derivative(self, points):
         """Sparse selection matrix (reference ``functions.py:889-913``)."""

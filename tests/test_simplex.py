@@ -216,3 +216,31 @@ def test_against_explicit_barycentric_solve():
         assert w.min() > -1e-9
         expected[i] = w @ values[vtx, 0]
     assert_allclose(ours, expected, atol=1e-9)
+
+
+def test_onehot_gather_matches_plain():
+    """The TPU one-hot matmul gather is exact vs plain indexing."""
+    from safe_learning_tpu.functions.simplex import _gather_rows
+
+    rng = np.random.default_rng(0)
+    for n_rows, p in [(7, 1), (130, 3), (3025, 2)]:
+        table = jnp.asarray(rng.normal(size=(n_rows, p)))
+        idx = jnp.asarray(rng.integers(0, n_rows, size=(101, 4)),
+                          dtype=jnp.int32)
+        plain = np.asarray(table[idx])
+        onehot = np.asarray(_gather_rows(table, idx, force_onehot=True))
+        np.testing.assert_array_equal(plain, onehot)
+
+    # Gradients flow identically through the one-hot path.
+    table = jnp.asarray(rng.normal(size=(50, 1)))
+    idx = jnp.asarray(rng.integers(0, 50, size=(32,)), dtype=jnp.int32)
+
+    def loss_plain(t):
+        return jnp.sum(t[idx] ** 2)
+
+    def loss_onehot(t):
+        return jnp.sum(_gather_rows(t, idx, force_onehot=True) ** 2)
+
+    g1 = np.asarray(jax.grad(loss_plain)(table))
+    g2 = np.asarray(jax.grad(loss_onehot)(table))
+    np.testing.assert_allclose(g1, g2, atol=1e-12)
