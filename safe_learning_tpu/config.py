@@ -41,6 +41,9 @@ class Configuration:
         self.gp_batch_size = 2 ** 16
         self.solve_dtype = None
         self.use_pallas = True
+        # Largest grid verified as ONE fused device program (above this
+        # the sweep streams gp_batch_size chunks to bound device memory).
+        self.fused_sweep_limit = 2 ** 24
 
     @property
     def dtype(self):
