@@ -12,7 +12,12 @@ with an in-house exact GP designed for TPU:
 - the training set lives in fixed-capacity buffers with a dynamic count so
   online learning (``add_data_point``) never changes compiled shapes — the
   reference instead re-feeds growing arrays through placeholders
-  (``functions.py:525-546``);
+  (``functions.py:525-546``). Each addition refactorizes the cache in
+  float64 on the host: a bordered rank-1 update would be O(n^2) instead of
+  O(n^3), but it compounds single-precision error across additions exactly
+  where the certification margins are thinnest, and at the reference's
+  dataset sizes (<= 1024 points) the full factorization is <= 10 ms and
+  off the hot path;
 - the reference's internal ``scale`` conditioning trick
   (``functions.py:399-411, 454-456``) is kept for small noise variances.
 
