@@ -342,6 +342,11 @@ class Lyapunov:
                           int(getattr(config, "fused_sweep_limit", 0)))
         if not self.adaptive and nindex <= fused_limit:
             return self._update_safe_set_fused(can_shrink)
+        if self.adaptive and batch_size is None:
+            # One device pass for the main decrease check when the grid
+            # fits; the batched loop below then only iterates once and
+            # the chunked refinement handles the failing suffix.
+            batch = max(batch, min(nindex, fused_limit))
         # Round the batch to the grid size (one compiled shape, no huge
         # padding) while keeping a lane-friendly multiple of 256.
         batch = min(batch, -(-nindex // 256) * 256)

@@ -251,3 +251,27 @@ def test_safety_constraint():
     bad = LinearSystem([[1.0]])
     mask_bad = lyap.safety_constraint(bad, include_initial=False)
     assert not mask_bad.any()
+
+
+def test_adaptive_single_pass_matches_small_batches():
+    """The one-device-pass adaptive sweep equals the chunked loop."""
+    grid = GridWorld([[-1.0, 1.0], [-1.0, 1.0]], 15)
+    p = np.array([[1.0, 0.1], [0.1, 1.5]])
+    v = QuadraticFunction(p)
+    dynamics = LinearSystem(0.9 * np.eye(2))
+    policy = LambdaFunction(lambda x: x[:, :0])
+    pts = grid.all_points
+    init = np.where(np.einsum("ni,ij,nj->n", pts, p, pts) <= 0.6)[0]
+
+    def run(batch_size):
+        lyap = Lyapunov(grid, v, dynamics, 0.9, 1.0, 0.05, policy,
+                        initial_set=init, adaptive=True)
+        lyap.update_safe_set(max_refinement=4, batch_size=batch_size)
+        return lyap.safe_set.copy(), lyap.c_max, lyap._refinement.copy()
+
+    safe_one, c_one, ref_one = run(None)        # single fused-size pass
+    safe_small, c_small, ref_small = run(64)    # many small batches
+    assert_array_equal(safe_one, safe_small)
+    assert_allclose(c_one, c_small)
+    assert_array_equal(ref_one, ref_small)
+    assert safe_one.sum() > len(init)  # refinement certified more
