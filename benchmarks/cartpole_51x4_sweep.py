@@ -1,0 +1,44 @@
+"""Reference's largest workload: 51^4 cart-pole grid verification on TPU."""
+import time
+import numpy as np
+import jax, jax.numpy as jnp
+import safe_learning_tpu as sl
+from safe_learning_tpu.config import config
+
+print("backend:", jax.default_backend())
+m, M, L, b = 0.175, 1.732, 0.28, 0.01
+x_max, th_max = 0.5, np.deg2rad(30)
+u_max = (m + M) * 4.0 / x_max
+norms = ((x_max, th_max, 2.0, np.deg2rad(30)), (u_max,))
+cp = sl.CartPole(m, M, L, b, 0.01, normalization=norms)
+a, bb = map(np.asarray, cp.linearize())
+k, p = sl.utils.dlqr(a, bb, 0.1*np.eye(4), 0.1*np.eye(1))
+policy = sl.Saturation(sl.LinearSystem(-k), -1., 1.)
+v = sl.QuadraticFunction(p / np.abs(p).max())
+
+rng = np.random.default_rng(0)
+x_train = rng.uniform(-1, 1, size=(128, 5))
+y_train = np.asarray(cp(jnp.asarray(x_train[:, :4]), jnp.asarray(x_train[:, 4:])))
+gp = sl.GaussianProcess(sl.RBF(1e-10, [0.4]*5, input_dim=5), x_train, y_train,
+                        noise_variance=1e-12, mean_function=sl.LinearSystem([a, bb]))
+
+grid = sl.GridWorld([[-1., 1.]]*4, 51)
+print("grid:", grid.nindex)
+lv = float(2*np.linalg.norm(p/np.abs(p).max(), 2))
+lf = float(np.linalg.norm(a - bb@k, 2))
+tau = float(np.min(grid.unit_maxes)) * 1e-3
+vals = np.asarray(v(jnp.asarray(grid.all_points.astype(np.float32)))).ravel()
+init = np.where(vals <= np.quantile(vals, 0.001))[0]
+
+lyap = sl.Lyapunov(grid, v, gp, lf, lv, tau, policy, initial_set=init)
+
+t0 = time.perf_counter()
+lyap.update_safe_set()  # batched path: 6.8M points in gp_batch_size chunks
+t1 = time.perf_counter()
+print(f"first sweep (compile+run): {t1-t0:.1f}s")
+t0 = time.perf_counter()
+lyap.update_safe_set()
+t1 = time.perf_counter()
+n = grid.nindex
+print(f"second sweep: {t1-t0:.2f}s -> {n/(t1-t0):.3e} checks/s")
+print(f"c_max={lyap.c_max:.4f} safe_frac={lyap.safe_set.mean():.4f}")
