@@ -51,8 +51,8 @@ def main():
     # discounted optimum a stabilizing policy.
     gamma = 0.995
     reward_function = sl.QuadraticFunction(block_diag(-q, -r))
-    r_max = float(np.ones((1, 2)) @ q @ np.ones((2, 1))
-                  + np.ones((1, 1)) @ r @ np.ones((1, 1)))
+    r_max = float((np.ones((1, 2)) @ q @ np.ones((2, 1))
+                   + np.ones((1, 1)) @ r @ np.ones((1, 1))).item())
 
     k, _ = sl.utils.dlqr(a, b, q, r)
     policy_lqr = sl.Saturation(sl.LinearSystem(-k), -1.0, 1.0)

@@ -42,8 +42,8 @@ def test_value_iteration_converges_to_dare():
     # Analytic discounted LQR cost-to-go for the closed loop
     # x+ = (a - b k) x with stage cost (q + k' r k) x^2:
     # v(x) = -c x^2 with c = (q + k'rk) / (1 - gamma (a - bk)^2).
-    acl = float(a - b @ k)
-    c = float(q + k.T @ r @ k) / (1 - gamma * acl ** 2)
+    acl = float(np.asarray(a - b @ k).item())
+    c = float(np.asarray(q + k.T @ r @ k).item()) / (1 - gamma * acl ** 2)
     states = grid.all_points
     expected = -c * states[:, 0] ** 2
     got = np.asarray(rl.value_function(states))[:, 0]

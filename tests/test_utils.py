@@ -21,9 +21,9 @@ def test_dlqr_fixed_point():
     a, b, q, r = 1.0, 1.0, 1.0, 1.0
     k, p = dlqr(a, b, q, r)
     # p solves p = q + p - p^2/(p + r)  =>  p = (1 + sqrt(5)) / 2 * ...
-    p_val = float(p)
+    p_val = float(np.asarray(p).item())
     assert_allclose(p_val, q + p_val - p_val ** 2 / (p_val + r))
-    assert_allclose(float(k), p_val / (p_val + 1.0))
+    assert_allclose(float(np.asarray(k).item()), p_val / (p_val + 1.0))
 
 
 def test_lqr_stabilizes():
