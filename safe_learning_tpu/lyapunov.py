@@ -278,6 +278,16 @@ class Lyapunov:
         grid = self.discretization
         points = grid.all_points
         batch = batch_size or max(int(config.gp_batch_size), 1)
+        fused_limit = max(batch,
+                          int(getattr(config, "fused_sweep_limit", 0)))
+        if batch_size is None and grid.nindex <= fused_limit:
+            # One device pass; keep the result device-resident (host
+            # consumers convert lazily).
+            pts = getattr(self, "_points_dev", None)
+            if pts is None:
+                pts = jnp.asarray(points)
+            self.values = _values_batch(self.lyapunov_function, pts)
+            return
         fun = _values_batch
         out = np.empty(grid.nindex, dtype=points.dtype)
         for i in range(0, grid.nindex, batch):
