@@ -87,7 +87,7 @@ def main():
         new_carry = jnp.sin(values[0] + carry)
         return new_carry, c_max, safe, any_safe
 
-    iters = 10
+    iters = 50
     sweep_jit = jax.jit(sweep)
 
     # Warmup / compile.
