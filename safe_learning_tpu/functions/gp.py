@@ -360,6 +360,27 @@ class GaussianProcess(UncertainFunction):
         mean, var = self.predict(points)
         return mean, self.beta * jnp.sqrt(var)
 
+    # -- hyperparameter objective -------------------------------------------
+    def log_marginal_likelihood(self, kernel=None, noise_variance=None):
+        """Exact log marginal likelihood of the active data.
+
+        Differentiable with respect to the (pytree) kernel and the noise
+        variance, so hyperparameters can be fitted with ``jax.grad``:
+
+            ``grads = jax.grad(lambda k: -gp.log_marginal_likelihood(k))(
+                gp.kernel)``
+
+        The reference's gpflow backend exposed the same quantity but the
+        reference never optimized hyperparameters; here it completes the
+        GP stack. Summed over output dimensions.
+        """
+        kernel = self.kernel if kernel is None else kernel
+        noise = (self.noise_variance if noise_variance is None
+                 else noise_variance)
+        return _log_marginal_likelihood(kernel, noise, self.X_buf,
+                                        self.Y_buf,
+                                        self.mean_function, self.count)
+
     # -- online learning ----------------------------------------------------
     def add_data_point(self, x, y):
         """Return a new GP with the observation(s) appended and the
@@ -408,6 +429,36 @@ def _gp_cache_device(gp):
     target = gp.scale * (gp.Y_buf - gp._prior_mean(gp.X_buf)) * mask[:, None]
     alpha = mxu_dot(chol_inv, target)
     return chol, chol_inv, alpha
+
+
+@jax.jit
+def _log_marginal_likelihood(kernel, noise_variance, x_buf, y_buf,
+                             mean_function, count):
+    """Masked exact GP log marginal likelihood (summed over outputs).
+
+    Inactive buffer rows contribute identity rows to the factor and are
+    excluded from the quadratic form and the log determinant, so the
+    result equals the unpadded textbook expression
+    ``-1/2 r' K^{-1} r - 1/2 log|K| - n/2 log(2 pi)`` per output column.
+    """
+    cap = x_buf.shape[0]
+    dtype = x_buf.dtype
+    mask = (jnp.arange(cap) < count).astype(dtype)
+    outer = mask[:, None] * mask[None, :]
+    eye = jnp.eye(cap, dtype=dtype)
+    k = kernel(x_buf, x_buf) + noise_variance * eye
+    k = jnp.where(outer > 0, k, eye)
+    chol = jnp.linalg.cholesky(k)
+    prior = 0.0 if mean_function is None else mean_function(x_buf)
+    resid = (y_buf - prior) * mask[:, None]
+    alpha = jax.scipy.linalg.solve_triangular(chol, resid, lower=True)
+    quad = jnp.sum(alpha ** 2)
+    # Identity rows have log diag 0, so the masked logdet is free.
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+    n = count.astype(dtype)
+    p = y_buf.shape[1]
+    return (-0.5 * quad - 0.5 * p * logdet
+            - 0.5 * p * n * jnp.log(2.0 * jnp.pi))
 
 
 def _gp_cache(gp):

@@ -228,3 +228,51 @@ def test_active_dims_kernel():
                 * np.asarray(LinearKernel(variances=2.0, input_dim=1)(
                     x[:, :1], z[:, :1])))
     assert_allclose(np.asarray(product(x, z)), expected)
+
+
+def test_log_marginal_likelihood_matches_textbook():
+    """LML equals the unpadded textbook expression and is differentiable
+    wrt the kernel pytree."""
+    import scipy.linalg
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, size=(17, 2))
+    y = np.sin(x[:, :1]) + 0.1 * rng.normal(size=(17, 1))
+    variance, ls, noise = 0.8, np.array([0.6, 1.1]), 1e-3
+    gp = GaussianProcess(RBF(variance, ls, input_dim=2), x, y,
+                         noise_variance=noise)
+
+    d = (x[:, None, :] / ls - x[None, :, :] / ls)
+    k = variance * np.exp(-0.5 * np.sum(d ** 2, axis=2)) \
+        + noise * np.eye(len(x))
+    chol = scipy.linalg.cholesky(k, lower=True)
+    alpha = scipy.linalg.solve_triangular(chol, y, lower=True)
+    expected = (-0.5 * np.sum(alpha ** 2)
+                - np.sum(np.log(np.diag(chol)))
+                - 0.5 * len(x) * np.log(2 * np.pi))
+    assert_allclose(float(gp.log_marginal_likelihood()), expected,
+                    rtol=1e-10)
+
+    # Padding invariance: a larger capacity gives the same LML.
+    gp_padded = GaussianProcess(RBF(variance, ls, input_dim=2), x, y,
+                                noise_variance=noise, capacity=64)
+    assert_allclose(float(gp_padded.log_marginal_likelihood()), expected,
+                    rtol=1e-10)
+
+    # Gradient wrt kernel hyperparameters: matches finite differences.
+    def nll(kern):
+        return -gp.log_marginal_likelihood(kernel=kern)
+
+    grads = jax.grad(nll)(gp.kernel)
+    eps = 1e-6
+    k_plus = RBF(variance + eps, ls, input_dim=2)
+    k_minus = RBF(variance - eps, ls, input_dim=2)
+    fd = (float(nll(k_plus)) - float(nll(k_minus))) / (2 * eps)
+    assert_allclose(float(grads.variance), fd, rtol=1e-4)
+
+    # One gradient step on the variance increases the likelihood.
+    new_var = float(gp.kernel.variance) - 1e-3 * float(grads.variance)
+    gp2 = GaussianProcess(RBF(new_var, ls, input_dim=2), x, y,
+                          noise_variance=noise)
+    assert float(gp2.log_marginal_likelihood()) \
+        >= float(gp.log_marginal_likelihood())
