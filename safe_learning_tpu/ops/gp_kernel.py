@@ -27,8 +27,6 @@ import numpy as np
 
 __all__ = ["fused_gp_predict", "pallas_supported"]
 
-_STATIONARY = ("rbf", "matern12", "matern32", "matern52")
-
 
 def pallas_supported():
     """Whether the current default backend can run the TPU kernels."""
