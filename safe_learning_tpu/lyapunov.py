@@ -334,7 +334,8 @@ class Lyapunov:
 
     # ------------------------------------------------------------------
     def update_safe_set(self, can_shrink=True, max_refinement=1,
-                        safety_factor=1.0, batch_size=None):
+                        safety_factor=1.0, parallel_iterations=None,
+                        batch_size=None):
         """Compute the largest certified level set and update ``safe_set``.
 
         TPU formulation of reference ``lyapunov.py:407-606``: grid points
@@ -342,7 +343,12 @@ class Lyapunov:
         the certified level is the value at the end of the longest verified
         prefix. Optional adaptive refinement re-checks failing states on
         locally refined sub-grids (``N(x) <= max_refinement``).
+
+        ``parallel_iterations`` is accepted for reference-API
+        compatibility and ignored (it tuned ``tf.map_fn``; the refined
+        check here is a fused batch).
         """
+        del parallel_iterations
         grid = self.discretization
         nindex = grid.nindex
         safety_factor = max(float(safety_factor), 1.0)
