@@ -115,3 +115,22 @@ def test_rbf_network():
     w = np.asarray(net.weights)
     net2 = net.with_parameters({"weights": 2.0 * net.weights})
     assert_allclose(np.asarray(net2(x)), 2 * out, atol=1e-12)
+
+
+def test_lyapunov_network_growing_widths():
+    """Width-increasing layers use the extra free rows and stay
+    positive definite (reference examples/utilities.py:85-104)."""
+    net = LyapunovNetwork(2, [4, 8, 8], ["tanh", "tanh", "tanh"],
+                          key=jax.random.PRNGKey(1))
+    assert net.extra_weights[0] is not None  # 2 -> 4 grows
+    x = np.random.default_rng(0).normal(size=(64, 2))
+    vals = np.asarray(net(x)).ravel()
+    assert (vals > 0).all()
+    assert float(np.asarray(net(np.zeros((1, 2)))).item()) < 1e-10
+    # Gradients flow through both weight families.
+    def loss(params):
+        return jnp.mean(net.with_parameters(params)(x))
+    grads = jax.grad(loss)(net.parameters_dict)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
