@@ -160,3 +160,13 @@ def test_gridify():
     grid = gridify([2.0, 4.0], num_points=5)
     assert grid.ndim == 2
     assert_allclose(grid.limits, [[-1, 1], [-1, 1]])
+
+
+def test_vanderpol_linearization():
+    """Reverse-time Van der Pol linearizes to an asymptotically stable
+    origin (that's what makes the limit cycle an ROA boundary)."""
+    vdp = VanDerPol(damping=1.0, dt=0.01)
+    a = np.asarray(vdp.linearize())  # no inputs: single state matrix
+    assert a.shape == (2, 2)
+    eig = np.linalg.eigvals(a)
+    assert (np.abs(eig) < 1).all()  # discrete-time stable
