@@ -84,3 +84,17 @@ def test_checkpoint_orbax_roundtrip(tmp_path):
     restored = restore_checkpoint(path, state)
     assert_allclose(np.asarray(restored["w"]), state["w"])
     assert int(restored["n"]) == 3
+
+
+def test_profiler_trace_smoke(tmp_path):
+    """jax.profiler trace context writes a profile directory."""
+    import jax.numpy as jnp
+
+    from safe_learning_tpu.profiling import trace
+
+    with trace(str(tmp_path / "prof")):
+        _ = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+    # The profiler creates a plugins/profile subtree.
+    import os
+    assert any("profile" in d for _, dirs, _ in os.walk(tmp_path)
+               for d in dirs)
