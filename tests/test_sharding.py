@@ -87,3 +87,29 @@ def test_sharded_gp_predict(mesh):
         lambda g, p: g.predict(p))(gp, q_sharded))
     assert_allclose(mean_s, mean_ref, atol=1e-10)
     assert_allclose(var_s, var_ref, atol=1e-10)
+
+
+def test_sharded_sweep_keeps_data_distributed(mesh):
+    """The fused sweep runs SPMD: the big per-point intermediates stay
+    sharded across all devices (not gathered to one replica)."""
+    from safe_learning_tpu.lyapunov import _fused_update
+
+    lyap = _make_lyapunov()
+    grid = lyap.discretization
+    points = shard_points(jnp.asarray(grid.all_points), mesh)
+    exempt = jax.device_put(
+        jnp.asarray(lyap.initial_safe_set),
+        jax.sharding.NamedSharding(mesh,
+                                   jax.sharding.PartitionSpec("grid")))
+    assert len(points.sharding.device_set) == 8
+
+    safe, c_max, values, any_safe = _fused_update(
+        lyap.policy, lyap.dynamics, lyap.lyapunov_function,
+        lyap._lipschitz_lyapunov, lyap._lipschitz_dynamics, lyap.tau,
+        points, exempt)
+    # Per-point outputs remain distributed over the full mesh; the
+    # scalar reductions are replicated.
+    assert len(safe.sharding.device_set) == 8
+    assert len(values.sharding.device_set) == 8
+    assert not safe.sharding.is_fully_replicated
+    assert c_max.sharding.is_fully_replicated
