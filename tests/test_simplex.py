@@ -244,3 +244,39 @@ def test_onehot_gather_matches_plain():
     g1 = np.asarray(jax.grad(loss_plain)(table))
     g2 = np.asarray(jax.grad(loss_onehot)(table))
     np.testing.assert_allclose(g1, g2, atol=1e-12)
+
+
+def test_4d_affine_reproduction_and_boundaries():
+    """4-D Kuhn triangulation (cart-pole value tables): exact affine
+    reproduction, partition-of-unity weights, and exactness at cell
+    corners and on cell boundaries."""
+    rng = np.random.default_rng(0)
+    grid = GridWorld([[-1, 1]] * 4, [4, 3, 5, 3])
+    coeff = rng.normal(size=(4,))
+    bias = 0.7
+    vals = grid.all_points @ coeff + bias
+    tri = Triangulation(grid, vals)
+
+    q = rng.uniform(-1, 1, size=(300, 4))
+    assert_allclose(np.asarray(tri(q)).ravel(), q @ coeff + bias,
+                    rtol=1e-10, atol=1e-10)
+
+    # Exact at the vertices themselves.
+    assert_allclose(np.asarray(tri(grid.all_points)).ravel(), vals,
+                    rtol=1e-10, atol=1e-10)
+
+    # Points exactly on cell boundaries (snap one coordinate per point).
+    qb = q.copy()
+    disc = grid.discrete_points
+    for i in range(len(qb)):
+        d = i % 4
+        qb[i, d] = disc[d][i % len(disc[d])]
+    assert_allclose(np.asarray(tri(qb)).ravel(), qb @ coeff + bias,
+                    rtol=1e-10, atol=1e-10)
+
+    # Weights form a partition of unity with d + 1 = 5 entries.
+    _, w = tri.interpolation_weights(q)
+    w = np.asarray(w)
+    assert w.shape == (300, 5)
+    assert_allclose(w.sum(axis=1), 1.0, rtol=1e-12)
+    assert (w >= -1e-12).all()
