@@ -71,6 +71,44 @@ def restore_checkpoint(path, target):
     return checkpointer.restore(os.path.abspath(path), target=target)
 
 
+def _gp_state(gp):
+    """Full persistent state of one GP: data buffers AND hyperparameters.
+
+    The kernel is a pytree of arrays (lengthscales, variances, nested
+    kernels), so it flattens into the checkpoint like any other leaf
+    group; restoring onto a GP constructed with different hyperparameters
+    reproduces the saved posterior exactly.
+    """
+    return {
+        "X_buf": np.asarray(gp.X_buf),
+        "Y_buf": np.asarray(gp.Y_buf),
+        "count": np.asarray(gp.count),
+        "kernel": gp.kernel,
+        "noise_variance": np.asarray(gp.noise_variance),
+        "beta": np.asarray(gp.beta),
+        "scale": np.asarray(gp.scale),
+    }
+
+
+def _restore_gp(gp, state):
+    """Rebuild a GP from saved state and refresh the Cholesky cache."""
+    import jax.numpy as jnp
+
+    from .functions.gp import _gp_cache
+
+    new = gp.replace(
+        X_buf=jnp.asarray(state["X_buf"]),
+        Y_buf=jnp.asarray(state["Y_buf"]),
+        count=jnp.asarray(state["count"]),
+        kernel=state.get("kernel", gp.kernel),
+        noise_variance=jnp.asarray(state.get("noise_variance",
+                                             gp.noise_variance)),
+        beta=float(state.get("beta", gp.beta)),
+        scale=float(state.get("scale", gp.scale)))
+    chol, chol_inv, alpha = _gp_cache(new)
+    return new.replace(chol=chol, chol_inv=chol_inv, alpha=alpha)
+
+
 def lyapunov_state(lyapunov):
     """Extract the persistent state of a :class:`Lyapunov` object."""
     state = {
@@ -83,11 +121,10 @@ def lyapunov_state(lyapunov):
     }
     dynamics = lyapunov.dynamics
     if hasattr(dynamics, "X_buf"):
-        state["gp"] = {
-            "X_buf": np.asarray(dynamics.X_buf),
-            "Y_buf": np.asarray(dynamics.Y_buf),
-            "count": np.asarray(dynamics.count),
-        }
+        state["gp"] = _gp_state(dynamics)
+    elif hasattr(dynamics, "functions") and all(
+            hasattr(f, "X_buf") for f in dynamics.functions):
+        state["gp_stack"] = [_gp_state(f) for f in dynamics.functions]
     return state
 
 
@@ -106,15 +143,10 @@ def restore_lyapunov_state(lyapunov, state):
         lyapunov.policy = lyapunov.policy.with_parameters(
             state["policy_parameters"])
     if "gp" in state and hasattr(lyapunov.dynamics, "X_buf"):
-        import jax.numpy as jnp
-
-        from .functions.gp import _gp_cache
-
-        gp = lyapunov.dynamics.replace(
-            X_buf=jnp.asarray(state["gp"]["X_buf"]),
-            Y_buf=jnp.asarray(state["gp"]["Y_buf"]),
-            count=jnp.asarray(state["gp"]["count"]))
-        chol, chol_inv, alpha = _gp_cache(gp)
-        lyapunov.dynamics = gp.replace(chol=chol, chol_inv=chol_inv,
-                                       alpha=alpha)
+        lyapunov.dynamics = _restore_gp(lyapunov.dynamics, state["gp"])
+    elif "gp_stack" in state and hasattr(lyapunov.dynamics, "functions"):
+        restored = [_restore_gp(f, s) for f, s in
+                    zip(lyapunov.dynamics.functions, state["gp_stack"])]
+        lyapunov.dynamics = lyapunov.dynamics.replace(
+            functions=tuple(restored))
     return lyapunov

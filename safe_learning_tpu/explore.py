@@ -87,10 +87,13 @@ def get_safe_sample(lyapunov, perturbations=None, limits=None,
     if perturbations is None:
         if actions is None:
             raise ValueError("provide either perturbations or actions")
+        # Full cross product of safe states and candidate actions. (The
+        # reference's np.meshgrid ravel at lyapunov.py:750-753 silently
+        # produces invalid rows for state_dim > 1 or action_dim > 1.)
         actions = np.atleast_2d(actions)
-        arrays = [arr.ravel() for arr in np.meshgrid(safe_states, actions,
-                                                     indexing="ij")]
-        state_actions = np.column_stack(arrays)
+        state_actions = np.column_stack([
+            np.repeat(safe_states, len(actions), axis=0),
+            np.tile(actions, (len(safe_states), 1))])
     else:
         safe_actions = np.asarray(lyapunov.policy(jnp.asarray(safe_states)))
         state_actions = perturb_actions(safe_states, safe_actions,

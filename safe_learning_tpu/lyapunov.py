@@ -272,6 +272,25 @@ class Lyapunov:
         idx = np.asarray(self.discretization.state_to_index(state))
         return self.safe_set[idx]
 
+    def _device_points(self):
+        """Device-resident copy of the static grid, keyed on the active
+        mesh (uploading 108 MB of H2D per call at 51^4 otherwise; a mesh
+        change re-shards instead of silently reusing the old placement)."""
+        pts = getattr(self, "_points_dev", None)
+        if pts is None or getattr(self, "_points_mesh", None) is not \
+                self.mesh:
+            pts = jnp.asarray(self.discretization.all_points)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                axis = self.mesh.axis_names[0]
+                pts = jax.device_put(
+                    pts, NamedSharding(self.mesh, PartitionSpec(axis,
+                                                                None)))
+            self._points_dev = pts
+            self._points_mesh = self.mesh
+        return pts
+
     def update_values(self, batch_size=None):
         """Re-evaluate ``v`` on the whole grid
         (reference ``lyapunov.py:305-322``)."""
@@ -283,10 +302,8 @@ class Lyapunov:
         if batch_size is None and grid.nindex <= fused_limit:
             # One device pass; keep the result device-resident (host
             # consumers convert lazily).
-            pts = getattr(self, "_points_dev", None)
-            if pts is None:
-                pts = jnp.asarray(points)
-            self.values = _values_batch(self.lyapunov_function, pts)
+            self.values = _values_batch(self.lyapunov_function,
+                                        self._device_points())
             return
         fun = _values_batch
         out = np.empty(grid.nindex, dtype=points.dtype)
@@ -520,19 +537,7 @@ class Lyapunov:
         if not can_shrink:
             exempt |= prev_safe
 
-        # The grid is static: upload it once and keep it device-resident
-        # across sweeps (108 MB of H2D per call at 51^4 otherwise).
-        points = getattr(self, "_points_dev", None)
-        if points is None:
-            points = jnp.asarray(grid.all_points)
-            if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec
-
-                axis = self.mesh.axis_names[0]
-                points = jax.device_put(
-                    points,
-                    NamedSharding(self.mesh, PartitionSpec(axis, None)))
-            self._points_dev = points
+        points = self._device_points()
         exempt_dev = jnp.asarray(exempt)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
