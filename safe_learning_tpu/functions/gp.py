@@ -38,7 +38,7 @@ from .base import (DeterministicFunction, Function, UncertainFunction,
 __all__ = [
     "Kernel", "RBF", "Matern12", "Matern32", "Matern52", "LinearKernel",
     "ActiveDims", "SumKernel", "ProductKernel", "GaussianProcess",
-    "sample_gp_function", "GPSampledFunction",
+    "sample_gp_function", "GPSampledFunction", "fit_gp_hyperparameters",
 ]
 
 
@@ -485,7 +485,24 @@ def _gp_cache(gp):
     mask[:n] = 1.0
     outer = mask[:, None] * mask[None, :]
     a = np.where(outer > 0, a, np.eye(cap))
-    chol = np.linalg.cholesky(a)
+    # The kernel matrix was assembled on device in float32, so its entries
+    # carry O(eps32 * variance) rounding noise; when the noise variance is
+    # below that, the lifted matrix can be (slightly) indefinite. Retry
+    # with growing jitter starting at the f32 assembly-error scale —
+    # regularization below the matrix's own accuracy, not a model change.
+    jitter = 0.0
+    diag_scale = float(np.max(np.diagonal(a))) if cap else 1.0
+    for _ in range(12):
+        try:
+            chol = np.linalg.cholesky(a + (jitter * s2) * np.diag(mask))
+            break
+        except np.linalg.LinAlgError:
+            jitter = max(np.finfo(np.float32).eps * diag_scale / s2,
+                         10.0 * jitter)
+    else:
+        raise np.linalg.LinAlgError(
+            "GP kernel matrix is not positive definite even after "
+            "jitter {:.2e}".format(jitter))
     chol_inv = scipy.linalg.solve_triangular(
         chol, np.eye(cap), lower=True, check_finite=False)
     prior = np.asarray(gp._prior_mean(gp.X_buf), dtype=np.float64)
@@ -560,26 +577,53 @@ class GPSampledFunction(DeterministicFunction):
 
 
 def sample_gp_function(discretization, gp, key, number=1,
-                       return_function=True, jitter=1e-8):
+                       return_function=True, jitter=0.0, cut_rel=None):
     """Draw exact posterior sample(s) of a GP on a discretization.
 
     Reference ``functions.py:1586-1662``: full-covariance posterior predict,
-    multivariate-normal draw via Cholesky, and (optionally) a callable that
-    interpolates each sample consistently (see :class:`GPSampledFunction`).
+    multivariate-normal draw, and (optionally) a callable that interpolates
+    each sample consistently (see :class:`GPSampledFunction`).
+
+    The draw itself is a float64 host island (once per sample; off the hot
+    path): the posterior covariance of a smooth kernel on a dense
+    discretization is numerically rank-deficient — its spectrum decays
+    below single precision — so an on-device f32 Cholesky produces NaNs.
+    Instead of a jittered factorization we eigendecompose and **truncate
+    the spectrum** at ``cut_rel * w_max``: the sampled deviation then lives
+    entirely in the well-conditioned eigenspace, which keeps the
+    interpolation coefficients ``alpha = C⁺ deviation`` small
+    (``O(w_cut^{-1/2})`` instead of ``O(w_min^{-1/2})``) so the f32
+    reconstruction ``cross @ alpha`` reproduces the sample to ~1e-5 rather
+    than ~1e-2. ``jitter`` is added to the kept eigenvalues (API
+    compatibility; 0 is correct with truncation).
     """
     if isinstance(discretization, GridWorld):
         discretization = discretization.all_points
-    discretization = jnp.asarray(discretization)
+    discretization = jnp.asarray(discretization, dtype=config.dtype)
 
     mean, cov = gp.predict(discretization, full_cov=True)
-    mean = mean[:, 0]
-    cov = cov + jitter * jnp.eye(cov.shape[0], dtype=cov.dtype)
-    chol = jnp.linalg.cholesky(cov)
-    normal = jax.random.normal(key, (number, cov.shape[0]), mean.dtype)
-    samples = mean[None, :] + normal @ chol.T
+
+    mean64 = np.asarray(mean, dtype=np.float64)[:, 0]
+    cov64 = np.asarray(cov, dtype=np.float64)
+    cov64 = 0.5 * (cov64 + cov64.T)
+    w, v = np.linalg.eigh(cov64)
+    if cut_rel is None:
+        cut_rel = (1e-12 if np.dtype(config.np_dtype) == np.float64
+                   else 1e-6)
+    w_max = max(float(w[-1]), 0.0)
+    keep = w > cut_rel * w_max
+    wr = w[keep] + float(jitter)
+    vr = v[:, keep]
+
+    z = np.asarray(jax.random.normal(key, (number, int(keep.sum()))),
+                   dtype=np.float64)
+    samples = mean64[None, :] + z @ (np.sqrt(wr)[:, None] * vr.T)
 
     if not return_function:
-        return np.asarray(samples)
+        return np.asarray(samples, dtype=config.np_dtype)
+
+    # alpha_i = C⁺ (sample_i - mean) = vr (z_i / sqrt(wr)).
+    alphas = (z / np.sqrt(wr)) @ vr.T
 
     # Posterior cross-covariance helper term for the discretization.
     s2 = gp.scale ** 2
@@ -589,8 +633,7 @@ def sample_gp_function(discretization, gp, key, number=1,
 
     functions = []
     for i in range(number):
-        deviation = (samples[i] - mean)[:, None]
-        alpha = jax.scipy.linalg.cho_solve((chol, True), deviation)
+        alpha = jnp.asarray(alphas[i][:, None], dtype=config.dtype)
         functions.append(GPSampledFunction(gp, discretization, a_disc,
                                            alpha))
     return functions
