@@ -276,3 +276,34 @@ def test_log_marginal_likelihood_matches_textbook():
                           noise_variance=noise)
     assert float(gp2.log_marginal_likelihood()) \
         >= float(gp.log_marginal_likelihood())
+
+
+def test_reference_pinned_posterior_values():
+    """Golden regression ported from the reference
+    (``/root/reference/safe_learning/tests/test_functions.py:237-261``):
+    gpflow-0.4 GPR with an RBF kernel (variance 1, lengthscale 1, noise
+    variance 1 — the gpflow defaults), data ``[[1,0],[0,1]]`` ->
+    ``[[0],[1]]`` plus an online-added point ``[1.2,2.3] -> 2.4``, and
+    beta=2 confidence intervals. The pinned posterior must match to 1e-7.
+    """
+    x = np.array([[1.0, 0.0], [0.0, 1.0]])
+    y = np.array([[0.0], [1.0]])
+    gp = GaussianProcess(RBF(1.0, [1.0, 1.0], input_dim=2), x, y,
+                         noise_variance=1.0, beta=2.0)
+    gp = gp.add_data_point(np.array([[1.2, 2.3]]), np.array([[2.4]]))
+    assert_allclose(gp.X, np.array([[1, 0], [0, 1], [1.2, 2.3]]))
+    assert_allclose(gp.Y, np.array([[0], [1], [2.4]]))
+
+    test_points = np.array([[0.9, 0.1], [3.0, 2.0]])
+    mean, error = map(np.asarray, gp(test_points))
+    assert_allclose(mean, np.array([[0.16371139], [0.22048311]]),
+                    atol=1e-7)
+    assert_allclose(error, np.array([[1.37678679], [1.98183191]]),
+                    atol=1e-7)
+
+    # Multiple-argument call (concatenate_inputs) gives identical results
+    # (reference test_evaluation, test_functions.py:214-233).
+    mean2, error2 = map(np.asarray, gp(test_points[:, [0]],
+                                       test_points[:, [1]]))
+    assert_allclose(mean, mean2)
+    assert_allclose(error, error2)
