@@ -20,7 +20,7 @@ from .functions import (AddedFunction, ConstantFunction,
 from .functions.gp import (ActiveDims, GaussianProcess,
                            GPSampledFunction, LinearKernel,
                            Matern12, Matern32, Matern52, RBF,
-                           sample_gp_function)
+                           fit_gp_hyperparameters, sample_gp_function)
 from .lyapunov import Lyapunov, get_lyapunov_region, smallest_boundary_value
 from .explore import get_safe_sample, perturb_actions
 from .rl import OptimizationError, PolicyIteration
@@ -39,7 +39,8 @@ __all__ = [
     "GradientNorm", "QuadraticFunction", "RBFNetwork", "Saturation", "Triangulation",
     "UncertainFunction", "GaussianProcess", "GPSampledFunction",
     "ActiveDims", "LinearKernel", "Matern12", "Matern32", "Matern52", "RBF",
-    "sample_gp_function", "Lyapunov", "get_lyapunov_region",
+    "fit_gp_hyperparameters", "sample_gp_function", "Lyapunov",
+    "get_lyapunov_region",
     "smallest_boundary_value", "get_safe_sample", "perturb_actions",
     "OptimizationError", "PolicyIteration", "CartPole", "InvertedPendulum",
     "VanDerPol", "compute_roa", "compute_closedloop_response", "gridify",

@@ -307,3 +307,35 @@ def test_reference_pinned_posterior_values():
                                        test_points[:, [1]]))
     assert_allclose(mean, mean2)
     assert_allclose(error, error2)
+
+
+def test_fit_hyperparameters_recovers_lengthscales():
+    """Gradient fitting of the log marginal likelihood recovers the
+    generating lengthscales from synthetic data (the gpflow ``optimize``
+    capability behind reference functions.py:461-546)."""
+    from safe_learning_tpu import fit_gp_hyperparameters
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-3, 3, size=(160, 2))
+    true_ls = np.array([0.5, 2.0])
+    d = x[:, None, :] / true_ls - x[None, :, :] / true_ls
+    k = 1.0 * np.exp(-0.5 * np.sum(d ** 2, axis=2))
+    chol = np.linalg.cholesky(k + 1e-10 * np.eye(len(x)))
+    y = (chol @ rng.standard_normal(len(x)))[:, None]
+    y += 0.05 * rng.standard_normal(y.shape)
+
+    gp = GaussianProcess(RBF(0.5, [1.0, 1.0], input_dim=2), x, y,
+                         noise_variance=0.1)
+    fitted, history = fit_gp_hyperparameters(gp, steps=300,
+                                             learning_rate=0.05)
+    # The optimizer made consistent progress...
+    assert history[-1] < history[0] - 10.0
+    # ... and recovered both ARD lengthscales and the noise level.
+    ls = np.asarray(fitted.kernel.lengthscales)
+    assert_allclose(ls, true_ls, rtol=0.35)
+    assert ls[1] > 2.5 * ls[0]
+    assert float(fitted.noise_variance) < 0.02
+    # The fitted GP predicts the training data better than the initial.
+    resid0 = np.abs(np.asarray(gp.predict(x)[0]) - y).mean()
+    resid1 = np.abs(np.asarray(fitted.predict(x)[0]) - y).mean()
+    assert resid1 < resid0

@@ -190,3 +190,84 @@ def test_lyapunov_constrained_future_values():
                                               lagrange_multiplier=2.0))
     # decrease = (1.5*0.5)^2 - 0.5^2 = 0.3125 > 0 = threshold -> penalty.
     assert_allclose(constrained, plain - 2.0 * 0.3125, atol=1e-9)
+
+
+def _lp_setup(seed=0, n=11):
+    """Small PWL value problem: grid triangulation, contracting dynamics."""
+    import jax.numpy as jnp
+
+    import safe_learning_tpu as sl
+
+    rng = np.random.default_rng(seed)
+    grid = GridWorld([[-1, 1], [-1, 1]], n)
+    value_function = sl.Triangulation(grid, np.zeros(grid.nindex),
+                                      project=True)
+    a = np.array([[0.6, 0.1], [-0.05, 0.7]])
+    dynamics = sl.LinearSystem([a, np.zeros((2, 1))])
+    policy = sl.LinearSystem(np.zeros((1, 2)))
+    w = rng.normal(size=(2,))
+    reward = sl.LambdaFunction(
+        lambda xu: -(xu[:, :2] ** 2) @ jnp.asarray(np.abs(w) + 0.1))
+    rl = sl.PolicyIteration(policy, dynamics, reward, value_function,
+                            gamma=0.9)
+    return rl, grid
+
+
+def _interpolation_matrix(value_function, points):
+    """Dense B with B[i, vertices[i]] = weights[i] (ndim+1 nnz per row)."""
+    vertices, weights = map(np.asarray,
+                            value_function.interpolation_weights(points))
+    n, nv = len(points), value_function.nindex
+    b = np.zeros((n, nv))
+    np.add.at(b, (np.arange(n)[:, None], vertices), weights)
+    return b
+
+
+def test_pwl_fixed_point_matches_scipy_linprog():
+    """The on-device contraction solve reaches the exact LP optimum of the
+    reference formulation ``max sum(v) s.t. v <= r + gamma B v``
+    (reference reinforcement_learning.py:166-176), cross-validated with an
+    independent solver (scipy HiGHS)."""
+    from scipy.optimize import linprog
+
+    import jax.numpy as jnp
+
+    rl, grid = _lp_setup()
+    values = np.asarray(rl.optimize_value_function()).ravel()
+
+    actions = rl.policy(rl.state_space)
+    next_states = np.asarray(rl.dynamics(rl.state_space, actions))
+    rewards = np.asarray(rl.reward_function(rl.state_space,
+                                            actions)).ravel()
+    b = _interpolation_matrix(rl.value_function, next_states)
+    n = grid.nindex
+    # max sum(v)  s.t. (I - gamma B) v <= r   ==  min -sum(v).
+    res = linprog(c=-np.ones(n), A_ub=np.eye(n) - rl.gamma * b,
+                  b_ub=rewards, bounds=[(None, None)] * n,
+                  method="highs")
+    assert res.status == 0, res.message
+    assert_allclose(values, res.x, atol=1e-6)
+
+
+def test_pwl_fixed_point_matches_cvxpy_lp():
+    """Literal port of the reference's cvxpy LP
+    (reinforcement_learning.py:166-176), skipped when cvxpy is missing
+    (mirroring reference test_rl.py:21-24)."""
+    cvxpy = pytest.importorskip("cvxpy")
+
+    rl, grid = _lp_setup(seed=1)
+    values = np.asarray(rl.optimize_value_function()).ravel()
+
+    actions = rl.policy(rl.state_space)
+    next_states = np.asarray(rl.dynamics(rl.state_space, actions))
+    rewards = np.asarray(rl.reward_function(rl.state_space,
+                                            actions)).ravel()
+    b = _interpolation_matrix(rl.value_function, next_states)
+
+    v = cvxpy.Variable(grid.nindex)
+    constraints = [v <= rewards + rl.gamma * (b @ v)]
+    objective = cvxpy.Maximize(cvxpy.sum(v))
+    prob = cvxpy.Problem(objective, constraints)
+    prob.solve()
+    assert prob.status == cvxpy.OPTIMAL
+    assert_allclose(values, np.asarray(v.value).ravel(), atol=1e-5)
