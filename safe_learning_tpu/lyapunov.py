@@ -18,9 +18,12 @@ Semantics deviations from the reference (documented intentionally):
   reference drops the tail of the first failing batch, a batch-size
   dependent artifact of ``lyapunov.py:583-587``).
 - The adaptive refinement check evaluates the dynamics *at the refined
-  sub-grid points* (the reference's ``refined_safety_check`` builds the
-  sub-grid but compares the coarse-state decrease against the refined
-  threshold, ``lyapunov.py:459-478``; we implement the paper's intent).
+  sub-grid points*, with per-sub-point local thresholds, always at the
+  maximum refinement R (the reference's ``refined_safety_check`` builds
+  the sub-grid but compares the coarse-state decrease against the
+  refined threshold at a per-state ``N(x)``, ``lyapunov.py:445-478`` —
+  unsound; we implement the paper's intent, and checking at full R is
+  free with the static sub-grid buffer and strictly stronger).
 """
 
 from __future__ import annotations
@@ -112,40 +115,49 @@ def _negative_batch(policy, dynamics, lyapunov_function, lipschitz_lyapunov,
 @partial(jax.jit, static_argnames=("max_refinement", "ndim"))
 def _refined_negative_batch(policy, dynamics, lyapunov_function,
                             lipschitz_lyapunov, lipschitz_dynamics, tau,
-                            states, n_req, unit_maxes, max_refinement, ndim):
-    """Decrease check on per-state refined sub-grids.
+                            states, unit_maxes, max_refinement, ndim):
+    """Sound decrease check on ``R^d`` sub-grids at discretization
+    ``tau / R``.
 
-    For each state with required refinement ``n`` in ``[1, max_refinement]``
-    the decrease condition is verified on an ``n^d`` sub-grid covering its
-    cell at discretization ``tau / n``. Shapes are static: the sub-grid is
-    embedded into a ``max_refinement^d`` buffer with duplicated points for
-    ``n < max_refinement`` (duplicates are harmless under ``all``).
+    Each failing coarse cell is re-verified on the full
+    ``max_refinement^d`` sub-grid covering it, with the threshold
+    evaluated AT the sub-grid points (local Lipschitz constants vary
+    inside the cell) and the refined discretization constant ``tau / R``.
+
+    Always checking at the MAXIMUM refinement is sound (a finer cover
+    needs a weaker threshold) and strictly stronger than using the
+    reference's per-state ``N(x) = ceil(threshold / decrease)``
+    (``lyapunov.py:445-454``): that ``N`` is calibrated for the
+    reference's shortcut of comparing the *coarse-state* decrease against
+    the refined threshold (``lyapunov.py:459-478``), which is unsound —
+    and plugged into the sound sub-grid check it under-refines badly
+    (measured: certifying 1% of what the fine grid certifies on a
+    thin-margin instance, vs ~100% at full R). With the static ``R^d``
+    buffer the device cost is identical for every ``n <= R``, so there is
+    no reason to check at less than ``R``.
     """
     r = int(max_refinement)
     d = int(ndim)
-    n = jnp.maximum(n_req.astype(states.dtype), 1.0)  # (B,)
 
-    # Slot indices for the static R^d sub-grid.
-    combos = jnp.asarray(np.stack(np.meshgrid(
-        *[np.arange(r)] * d, indexing="ij"), axis=-1).reshape(-1, d),
-        dtype=states.dtype)  # (R^d, d)
-    k = jnp.minimum(combos[None, :, :], (n - 1.0)[:, None, None])
-    denom = jnp.maximum(n - 1.0, 1.0)[:, None, None]
-    unit = jnp.where((n > 1.0)[:, None, None],
-                     -1.0 + 2.0 * k / denom, 0.0)  # (B, R^d, d) in [-1, 1]
-    half_width = (0.5 * (1.0 - 1.0 / n))[:, None, None] * unit_maxes
-    points = states[:, None, :] + half_width * unit  # (B, R^d, d)
+    combos = np.stack(np.meshgrid(*[np.arange(r)] * d, indexing="ij"),
+                      axis=-1).reshape(-1, d).astype(np.float64)
+    if r > 1:
+        unit = -1.0 + 2.0 * combos / (r - 1.0)  # (R^d, d) in [-1, 1]
+    else:
+        unit = np.zeros_like(combos)
+    unit = jnp.asarray(unit, dtype=states.dtype)
+    half_width = (0.5 * (1.0 - 1.0 / r)) * unit_maxes
+    points = states[:, None, :] + half_width * unit[None, :, :]
     flat = points.reshape(-1, d)
 
     actions = policy(flat)
     next_states = dynamics(flat, actions)
     decrease = _decrease_bound(lyapunov_function, lipschitz_lyapunov, flat,
                                next_states)
-    decrease = decrease.reshape(states.shape[0], -1)
-
-    thresholds = _threshold(lipschitz_lyapunov, lipschitz_dynamics, states,
-                            tau / n[:, None])
-    return jnp.all(decrease < thresholds, axis=1)
+    thresholds = _threshold(lipschitz_lyapunov, lipschitz_dynamics, flat,
+                            tau / r)
+    ok = (decrease < jnp.broadcast_to(thresholds, decrease.shape))
+    return jnp.all(ok.reshape(states.shape[0], -1), axis=1)
 
 
 @jax.jit
@@ -359,16 +371,18 @@ class Lyapunov:
         are processed in value-sorted order in large fused device batches;
         the certified level is the value at the end of the longest verified
         prefix. Optional adaptive refinement re-checks failing states on
-        locally refined sub-grids (``N(x) <= max_refinement``).
+        ``max_refinement^d`` sub-grids at ``tau / max_refinement`` (see
+        :func:`_refined_negative_batch` for why full-R beats the
+        reference's per-state ``N(x)``).
 
-        ``parallel_iterations`` is accepted for reference-API
-        compatibility and ignored (it tuned ``tf.map_fn``; the refined
-        check here is a fused batch).
+        ``parallel_iterations`` and ``safety_factor`` are accepted for
+        reference-API compatibility and ignored (the former tuned
+        ``tf.map_fn``; the latter inflated the reference's ``N(x)``
+        formula, which the sound full-R check supersedes).
         """
-        del parallel_iterations
+        del parallel_iterations, safety_factor
         grid = self.discretization
         nindex = grid.nindex
-        safety_factor = max(float(safety_factor), 1.0)
         batch = batch_size or max(int(config.gp_batch_size), 1)
 
         fused_limit = max(batch,
@@ -432,21 +446,12 @@ class Lyapunov:
             refine_bound = 0
 
             if self.adaptive and max_refinement > 1:
-                # Required refinement N(x) = ceil(sf * threshold / decrease)
-                # (reference lyapunov.py:445-454).
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    ratio = (safety_factor * threshold[:n_valid]
-                             / decrease[:n_valid])
-                ratio = np.where(np.isnan(ratio), 0.0, ratio)
-                n_req = np.ceil(np.maximum(ratio, 0.0))
-                n_req = np.where(np.isfinite(n_req), n_req, 0.0).astype(int)
-                n_req[safe_b] = 1
-
-                checkable = (n_req >= 1) & (n_req <= max_refinement)
-                suffix = checkable[bound:]
-                stop = len(suffix) if suffix.all() else int(
-                    np.argmin(suffix))
-
+                # Every failing point in the suffix is re-checked on the
+                # full R^d sub-grid at tau / R (sound, and strictly
+                # stronger than the reference's N(x) gating — see
+                # _refined_negative_batch). safety_factor only tuned the
+                # reference's N(x) formula and no longer has an effect.
+                stop = n_valid - bound
                 if stop > 0:
                     # Sub-grids blow the point count up by R^d; chunk the
                     # refinable suffix so each dispatch stays near `batch`
@@ -456,23 +461,20 @@ class Lyapunov:
                     for j in range(0, stop, chunk):
                         hi = min(j + chunk, stop)
                         check_states = states[bound + j:bound + hi]
-                        check_n = n_req[bound + j:bound + hi]
                         pad = chunk - (hi - j)
                         if pad:
                             check_states = np.vstack([
                                 check_states,
                                 np.broadcast_to(check_states[-1:],
                                                 (pad, grid.ndim))])
-                            check_n = np.concatenate(
-                                [check_n, np.ones(pad, dtype=int)])
                         refined = np.asarray(_refined_negative_batch(
                             self.policy, self.dynamics,
                             self.lyapunov_function,
                             self._lipschitz_lyapunov,
                             self._lipschitz_dynamics,
                             tau, jnp.asarray(check_states),
-                            jnp.asarray(check_n), unit_maxes,
-                            int(max_refinement), grid.ndim))[:hi - j]
+                            unit_maxes, int(max_refinement),
+                            grid.ndim))[:hi - j]
                         # Exempt states (initial set; previous safe set
                         # when can_shrink=False) never block the prefix
                         # (reference lyapunov.py:545-548 marks them N=1).
@@ -484,11 +486,10 @@ class Lyapunov:
                         if seg_ok < hi - j:
                             break
                     seg = slice(i + bound, i + bound + refine_bound)
-                    refinement_sorted[seg] = n_req[bound:bound
-                                                   + refine_bound]
+                    refinement_sorted[seg] = int(max_refinement)
 
                 max_index = i + bound + refine_bound - 1
-                if stop < len(suffix) or refine_bound < stop:
+                if refine_bound < stop:
                     break
                 # The whole failing suffix was rescued by refinement.
                 continue
