@@ -1,17 +1,37 @@
-"""End-to-end safe-learning smoke test on real TPU hardware.
+"""End-to-end safe-learning smoke test + kernel accuracy on real TPU.
 
-Runs the full 1-D ROA active-learning loop — GP prior, posterior
-sampling, verification sweeps, argmax-variance exploration, online data
-updates — on whatever backend ``jax.devices()`` provides. Use after any
-change to the GP/verification stack to confirm the hardware path:
+Runs (on whatever backend ``jax.devices()`` provides):
+
+1. the full 1-D ROA active-learning loop — GP prior, posterior sampling,
+   verification sweeps, argmax-variance exploration, online data updates;
+2. an on-hardware accuracy measurement of the fused Pallas GP-predict
+   kernel against the plain XLA path, including the ``fast_matmul=True``
+   bf16 mode, on the bench workload's shapes.
+
+Use after any change to the GP/verification stack to confirm the
+hardware path:
 
     python scripts/tpu_smoke.py
+
+The output of the latest TPU run is recorded in
+``scripts/TPU_SMOKE_OUTPUT.txt``.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import numpy as np
 import jax, jax.numpy as jnp
 import safe_learning_tpu as sl
+from safe_learning_tpu.config import config
 
 print("backend:", jax.default_backend())
+print("dtype:", np.dtype(config.np_dtype).name)
+
+# ---------------------------------------------------------------------
+# 1. Flagship active-learning loop.
+# ---------------------------------------------------------------------
 disc = sl.GridWorld([[-1.0, 1.0]], 201)
 tau = 1.0 / disc.nindex
 kernel = (sl.ActiveDims(sl.Matern32(variance=0.16, lengthscales=1.0,
@@ -20,7 +40,7 @@ kernel = (sl.ActiveDims(sl.Matern32(variance=0.16, lengthscales=1.0,
 gp = sl.GaussianProcess(kernel, np.empty((0, 2)), np.empty((0, 1)),
                         noise_variance=1e-4, beta=2.0,
                         mean_function=sl.LinearSystem([[0.25, 0.0]]))
-key = jax.random.PRNGKey(5)
+key = jax.random.PRNGKey(7)
 sample_disc = np.hstack([np.linspace(-1, 1, 201)[:, None],
                          np.zeros((201, 1))])
 true_dyn = sl.sample_gp_function(sample_disc, gp, key)[0]
@@ -34,19 +54,62 @@ lyap.update_safe_set()
 print("initial safe fraction: {:.3f}".format(lyap.safe_set.mean()))
 
 grid_pts = disc.all_points
+acts = np.asarray(lyap.policy(jnp.asarray(grid_pts)))
+xu_all = np.hstack([grid_pts, acts])
 fracs = []
 for i in range(8):
-    safe_grid = grid_pts[lyap.safe_set]
-    acts = np.asarray(lyap.policy(jnp.asarray(safe_grid)))
-    xu = np.hstack([safe_grid, acts])
-    _, std = map(np.asarray, lyap.dynamics.evaluate(jnp.asarray(xu)))
-    mid = int(np.argmax(std[:, 0]))
-    meas = np.asarray(true_dyn(jnp.asarray(xu[[mid]])))
-    lyap.dynamics = lyap.dynamics.add_data_point(xu[[mid]], meas)
+    _, std = map(np.asarray, lyap.dynamics.evaluate(xu_all))
+    mid = int(np.argmax(np.where(lyap.safe_set, std[:, 0], -np.inf)))
+    meas = np.asarray(true_dyn(jnp.asarray(xu_all[[mid]])))
+    lyap.dynamics = lyap.dynamics.add_data_point(xu_all[[mid]], meas)
     lyap.update_safe_set()
     fracs.append(float(lyap.safe_set.mean()))
 print("safe fraction history:", " ".join(f"{f:.3f}" for f in fracs))
 print("c_max: {:.4f}  data: {}".format(lyap.c_max, int(lyap.dynamics.count)))
 assert fracs[-1] >= fracs[0]
 assert int(lyap.dynamics.count) == 8
-print("TPU END-TO-END LOOP OK")
+print("1. END-TO-END LOOP OK")
+
+# ---------------------------------------------------------------------
+# 2. Pallas kernel accuracy on hardware (bench shapes: capacity 128,
+#    RBF, 2 outputs, 64k queries).
+# ---------------------------------------------------------------------
+from safe_learning_tpu.ops.gp_kernel import fused_gp_predict, \
+    pallas_supported
+
+rng = np.random.default_rng(0)
+x_train = rng.uniform(-1, 1, size=(128, 3))
+y_train = np.column_stack([np.sin(x_train @ [1.0, 0.5, 0.2]),
+                           np.cos(x_train @ [0.3, -0.7, 0.1])])
+gp_k = sl.GaussianProcess(sl.RBF(1.0, [0.3, 0.3, 0.3], input_dim=3),
+                          x_train, y_train, noise_variance=1e-4)
+q = jnp.asarray(rng.uniform(-1, 1, size=(65536, 3)),
+                dtype=config.dtype)
+
+config.use_pallas = False
+mean_xla, var_xla = map(np.asarray, gp_k.predict(q))
+config.use_pallas = True
+
+if pallas_supported():
+    ls = gp_k.kernel.lengthscales
+    args = (q / ls, gp_k.X_buf / ls, gp_k.chol_inv, gp_k.alpha,
+            gp_k._mask(), gp_k.kernel.variance)
+    for fast in (False, True):
+        mean_num, var_num = fused_gp_predict(*args, kind="rbf", tile=4096,
+                                             fast_matmul=fast)
+        mean_p = np.asarray(mean_num)
+        var_p = np.maximum(np.asarray(gp_k.kernel.diag(q))
+                           - np.asarray(var_num), 1e-12)[:, None]
+        dm = np.abs(mean_p - mean_xla).max()
+        dv = np.abs(var_p - var_xla[:, :1]).max()
+        ds = np.abs(np.sqrt(var_p) - np.sqrt(var_xla[:, :1])).max()
+        print("2. pallas vs XLA (fast_matmul={}): |dmean|={:.2e} "
+              "|dvar|={:.2e} |dstd|={:.2e}".format(fast, dm, dv, ds))
+        if not fast:
+            assert dm < 5e-5 and ds < 5e-4, "precise kernel drifted"
+    print("2. PALLAS KERNEL ACCURACY OK")
+else:
+    print("2. pallas kernel skipped (backend {} unsupported)".format(
+        jax.default_backend()))
+
+print("TPU SMOKE OK")
