@@ -280,3 +280,57 @@ def test_4d_affine_reproduction_and_boundaries():
     assert w.shape == (300, 5)
     assert_allclose(w.sum(axis=1), 1.0, rtol=1e-12)
     assert (w >= -1e-12).all()
+
+
+def test_reference_pinned_1d():
+    """Literal port of the reference's 1-D pinned case
+    (``/root/reference/safe_learning/tests/test_functions.py:626-656``):
+    values [0, 0.5, 0] on a 3-point grid over [0, 1]; pinned values,
+    simplex ids, gradients, and the sparse parameter derivatives."""
+    grid = GridWorld([[0, 1]], 3)
+    fun = Triangulation(grid, [0.0, 0.5, 0.0])
+    pts = np.array([[0.0, 0.2, 0.5, 0.6, 0.9, 1.0]]).T
+
+    assert_array_equal(np.asarray(fun.find_simplex(pts)),
+                       [0, 0, 1, 1, 1, 1])
+
+    true_values = np.array([0, 0.2, 0.5, 0.4, 0.1, 0])[:, None]
+    assert_allclose(np.asarray(fun(pts)), true_values, atol=1e-12)
+    # Sparse parameter derivative reproduces the same values.
+    b = fun.parameter_derivative(pts).toarray()
+    assert_allclose(b @ np.array([0.0, 0.5, 0.0]),
+                    true_values.ravel(), atol=1e-12)
+
+    true_gradient = np.array([1, 1, -1, -1, -1, -1])[:, None]
+    assert_allclose(np.asarray(fun.gradient(pts)).reshape(-1, 1),
+                    true_gradient, atol=1e-12)
+    gb = fun.gradient_parameter_derivative(pts).toarray()
+    assert_allclose((gb @ np.array([0.0, 0.5, 0.0])).reshape(-1, 1),
+                    true_gradient, atol=1e-12)
+
+
+def test_reference_pinned_3d_values():
+    """Port of the reference's 3-D cube case
+    (``test_functions.py:556-580``): v = sum(x)/3 on the unit cube's 8
+    vertices, pinned values at corners and edge/center midpoints.
+    (The reference's 2-D pinned *gradients*, test_functions.py:582-624,
+    are not portable: they encode Qhull's anti-diagonal cell split, while
+    the Kuhn triangulation splits along the main diagonal — the
+    hand-computed equivalent for our convention is
+    test_2d_hand_computed.)"""
+    grid = GridWorld([[0, 1]] * 3, 2)
+    fun = Triangulation(grid)
+    assert fun.nsimplex == 6  # 3! simplices in one cube
+
+    values = np.sum(grid.all_points, axis=1) / 3
+    fun = Triangulation(grid, values)
+    corner_points = grid.all_points
+    test_points = np.vstack([corner_points,
+                             np.array([[0, 0, 0.5],
+                                       [0.5, 0, 0],
+                                       [0, 0.5, 0],
+                                       [0.5, 0.5, 0.5]])])
+    true_values = np.hstack([np.sum(corner_points, axis=1) / 3,
+                             [1 / 6, 1 / 6, 1 / 6, 1 / 2]])
+    assert_allclose(np.asarray(fun(test_points)).ravel(), true_values,
+                    atol=1e-10)
