@@ -116,3 +116,31 @@ def test_exploration_loop_shrinks_uncertainty():
         lyap.update_safe_set()
     assert lyap.safe_set.sum() >= 1
     assert all(np.isfinite(history))
+
+
+def test_get_safe_sample_actions_mode_multidim():
+    """actions= mode builds valid (state_dim + action_dim)-wide rows for
+    multi-dimensional states and actions (the reference's np.meshgrid
+    ravel at lyapunov.py:750-753 silently produced garbage rows here)."""
+    rng = np.random.default_rng(0)
+    grid = GridWorld([[-1, 1], [-1, 1]], 7)
+    x = rng.uniform(-1, 1, size=(300, 4))
+    y = x[:, :2] @ np.array([[0.5, 0.1], [0.0, 0.6]]).T \
+        + 0.3 * x[:, 2:]
+    gp = GaussianProcess(RBF(0.01, [1.0] * 4, input_dim=4), x, y, 1e-5)
+    policy = LambdaFunction(lambda s: -0.2 * s)
+    v = LambdaFunction(lambda s: (s ** 2).sum(axis=1, keepdims=True))
+    mid = grid.nindex // 2
+    lyap = Lyapunov(grid, v, gp, 1.0, 1.0, 1e-3, policy,
+                    initial_set=[mid - 1, mid, mid + 1])
+    lyap.update_safe_set()
+
+    actions = np.array([[-0.1, 0.0], [0.0, 0.1], [0.1, -0.1]])
+    sa, var = get_safe_sample(lyap, actions=actions,
+                              rng=np.random.default_rng(2))
+    assert sa.shape == (1, 4)
+    # The state part is a grid state, the action part one of the actions.
+    states = np.asarray(grid.index_to_state(
+        grid.state_to_index(sa[:, :2])))
+    assert_allclose(states, sa[:, :2], atol=1e-6)
+    assert any(np.allclose(sa[0, 2:], a) for a in actions)
