@@ -16,7 +16,7 @@ import time
 
 
 def example_args(description, extra=None):
-    """Parse the standard example CLI."""
+    """Parse the standard example CLI and enable the compilation cache."""
     parser = argparse.ArgumentParser(description=description)
     parser.add_argument("--full", action="store_true",
                         help="notebook-scale sizes (slow on CPU)")
@@ -25,7 +25,17 @@ def example_args(description, extra=None):
     parser.add_argument("--seed", type=int, default=0)
     if extra is not None:
         extra(parser)
-    return parser.parse_args()
+    args = parser.parse_args()
+
+    # Persistent XLA compilation cache (shared with the test suites):
+    # example reruns skip recompiles, which dominate quick-scale runtime.
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                         ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    return args
 
 
 def maybe_save_plot(args, name):
