@@ -98,3 +98,72 @@ def test_profiler_trace_smoke(tmp_path):
     import os
     assert any("profile" in d for _, dirs, _ in os.walk(tmp_path)
                for d in dirs)
+
+
+def test_gp_hyperparameters_survive_restore(tmp_path):
+    """Restoring onto a Lyapunov whose GP was built with DIFFERENT
+    hyperparameters reproduces the saved posterior exactly (round-1
+    advisor finding: only the data buffers were saved, so the posterior
+    silently changed)."""
+    lyap = _make_lyapunov()
+    # Fit-like perturbation of the hyperparameters before saving.
+    gp = lyap.dynamics.replace(
+        kernel=sl.RBF(1.7, [0.4, 1.1], input_dim=2),
+        noise_variance=np.float64(3e-3), beta=3.5, scale=2.0)
+    from safe_learning_tpu.functions.gp import _gp_cache
+    chol, chol_inv, alpha = _gp_cache(gp)
+    lyap.dynamics = gp.replace(chol=chol, chol_inv=chol_inv, alpha=alpha)
+    q = np.array([[0.3, -0.2], [-0.7, 0.5]])
+    mean_ref, err_ref = map(np.asarray, lyap.dynamics(q))
+
+    path = save_checkpoint(str(tmp_path / "ckpt"),
+                           lyapunov_state(lyap))
+
+    fresh = _make_lyapunov()  # different kernel/noise/beta/scale
+    state = restore_checkpoint(path, lyapunov_state(fresh))
+    restored = restore_lyapunov_state(fresh, state)
+    mean_new, err_new = map(np.asarray, restored.dynamics(q))
+    assert_allclose(mean_new, mean_ref, atol=1e-10)
+    assert_allclose(err_new, err_ref, atol=1e-10)
+    assert restored.dynamics.beta == 3.5
+    assert restored.dynamics.scale == 2.0
+    assert float(restored.dynamics.noise_variance) == pytest.approx(3e-3)
+    assert_allclose(np.asarray(restored.dynamics.kernel.lengthscales),
+                    [0.4, 1.1])
+
+
+def test_function_stack_gp_state_roundtrip(tmp_path):
+    """FunctionStack dynamics: per-member GP state saves and restores."""
+    grid = sl.GridWorld([[-1, 1]], 11)
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-1, 1, size=(12, 2))
+    gps = [sl.GaussianProcess(sl.RBF(1.0, [0.5 + 0.2 * i] * 2,
+                                     input_dim=2),
+                              x, np.sin((i + 1) * x[:, :1]), 1e-4)
+           for i in range(2)]
+    # 2-output dynamics over a 2-D state (state_dim + action_dim = 2).
+    grid2 = sl.GridWorld([[-1, 1], [-1, 1]], 5)
+    stack = sl.FunctionStack(gps)
+    policy = sl.LambdaFunction(lambda s: s[:, :0])
+    v = sl.QuadraticFunction(np.eye(2))
+    lyap = sl.Lyapunov(grid2, v, stack, 1.0, 1.0, 1e-3, policy,
+                       initial_set=[12])
+    lyap.update_safe_set()
+    lyap.dynamics = lyap.dynamics.add_data_point(
+        np.array([[0.1, 0.2]]), np.array([[0.3, -0.1]]))
+    q = np.array([[0.2, -0.3]])
+    mean_ref, err_ref = map(np.asarray, lyap.dynamics(q))
+
+    path = save_checkpoint(str(tmp_path / "stack"), lyapunov_state(lyap))
+
+    fresh_gps = [sl.GaussianProcess(sl.RBF(0.3, [1.0] * 2, input_dim=2),
+                                    x[:5], np.sin((i + 1) * x[:5, :1]),
+                                    1e-2, capacity=16)
+                 for i in range(2)]
+    fresh = sl.Lyapunov(grid2, v, sl.FunctionStack(fresh_gps), 1.0, 1.0,
+                        1e-3, policy, initial_set=[12])
+    state = restore_checkpoint(path, lyapunov_state(fresh))
+    restored = restore_lyapunov_state(fresh, state)
+    mean_new, err_new = map(np.asarray, restored.dynamics(q))
+    assert_allclose(mean_new, mean_ref, atol=1e-10)
+    assert_allclose(err_new, err_ref, atol=1e-10)
