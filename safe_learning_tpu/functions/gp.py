@@ -333,7 +333,9 @@ class GaussianProcess(UncertainFunction):
                 mean_num, var_num = fused_gp_predict(
                     points / ls, self.X_buf / ls, self.chol_inv,
                     self.alpha, self._mask(),
-                    self.kernel.variance * s2, kind=kind, tile=tile)
+                    self.kernel.variance * s2, kind=kind, tile=tile,
+                    precision=getattr(config, "pallas_precision",
+                                      "highest"))
                 mean = mean_num / self.scale + self._prior_mean(points)
                 var = self.kernel.diag(points) - var_num / s2
                 var = jnp.maximum(var, 1e-12)[:, None]

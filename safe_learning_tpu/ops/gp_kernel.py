@@ -49,7 +49,7 @@ def _covariance(kind, r2):
 
 def _gp_predict_kernel(q_ref, x_ref, chol_inv_ref, alpha_t_ref, mask_ref,
                        var_ref, mean_ref, pvar_ref, *, kind, ndim,
-                       fast_matmul):
+                       fast_matmul, precision):
     """One query tile: k assembly -> a = L^-1 k -> mean, variance.
 
     Shapes (VMEM):
@@ -82,9 +82,12 @@ def _gp_predict_kernel(q_ref, x_ref, chol_inv_ref, alpha_t_ref, mask_ref,
         prec = None
     else:
         # f32 inputs default to a single bf16 pass on the MXU; the GP
-        # solve needs the full mantissa (see mxu_dot).
+        # solve needs most of the mantissa (see mxu_dot). HIGHEST is the
+        # 6-pass exact-f32 algorithm; HIGH (3-pass, ~16-bit mantissa) is
+        # measured on hardware in benchmarks/precision_sweep.py.
         k_in = k
-        prec = jax.lax.Precision.HIGHEST
+        prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+                else jax.lax.Precision.HIGH)
     a = jnp.dot(li, k_in, preferred_element_type=acc, precision=prec)
     mean_ref[:] = jnp.dot(alpha_t_ref[:], a.astype(dtype),
                           preferred_element_type=acc,
@@ -94,10 +97,11 @@ def _gp_predict_kernel(q_ref, x_ref, chol_inv_ref, alpha_t_ref, mask_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "tile", "fast_matmul",
-                                             "interpret"))
+                                             "precision", "interpret"))
 def fused_gp_predict(points_scaled, x_scaled, chol_inv, alpha, mask,
                      kernel_variance_s2, kind="rbf", tile=1024,
-                     fast_matmul=False, interpret=False):
+                     fast_matmul=False, precision="highest",
+                     interpret=False):
     """Fused posterior mean/variance numerators over query points.
 
     Parameters
@@ -114,6 +118,8 @@ def fused_gp_predict(points_scaled, x_scaled, chol_inv, alpha, mask,
         (f32 accumulation); ~4x faster. Relative error scales with the
         solve's conditioning (~1e-2..1e-1); only for workloads with wide
         certification margins.
+    precision : str, "highest" (6-pass exact f32, default) or "high"
+        (3-pass, ~16-bit effective mantissa) for the f32 matmuls.
     interpret : bool, run under the Pallas interpreter (CPU testing only).
 
     Returns
@@ -146,7 +152,8 @@ def fused_gp_predict(points_scaled, x_scaled, chol_inv, alpha, mask,
                            dtype=dtype).reshape(1, 1)
 
     kernel = functools.partial(_gp_predict_kernel, kind=kind, ndim=d,
-                               fast_matmul=fast_matmul)
+                               fast_matmul=fast_matmul,
+                               precision=precision)
 
     grid = (qp // tile,)
     mean_t, pvar = pl.pallas_call(
