@@ -319,29 +319,52 @@ class GaussianProcess(UncertainFunction):
         points = jnp.atleast_2d(jnp.asarray(points))
         s2 = self.scale ** 2
 
-        kind = self._stationary_kind()
-        if (not full_cov and kind is not None
-                and getattr(config, "use_pallas", True)):
-            from ..ops.gp_kernel import fused_gp_predict, pallas_supported
+        if not full_cov and getattr(config, "use_pallas", True):
+            from ..ops.gp_kernel import (compile_kernel_program,
+                                         fused_gp_predict,
+                                         fused_gp_predict_general,
+                                         pallas_supported)
 
             if pallas_supported():
-                ls = self.kernel.lengthscales
                 # Large query tiles amortize per-tile overheads (~18%
                 # faster at 4096 than 1024 on v5e for capacity 128).
                 tile = min(4096, max(128, (-(-points.shape[0] // 128))
                                      * 128))
-                mean_num, var_num = fused_gp_predict(
-                    points / ls, self.X_buf / ls, self.chol_inv,
-                    self.alpha, self._mask(),
-                    self.kernel.variance * s2, kind=kind, tile=tile,
-                    precision=getattr(config, "pallas_precision",
-                                      "highest"))
-                mean = mean_num / self.scale + self._prior_mean(points)
-                var = self.kernel.diag(points) - var_num / s2
-                var = jnp.maximum(var, 1e-12)[:, None]
-                var = jnp.broadcast_to(var,
-                                       (points.shape[0], self.output_dim))
-                return mean, var
+                precision = getattr(config, "pallas_precision", "highest")
+                kind = self._stationary_kind()
+                mean_num = var_num = None
+                if kind is not None:
+                    # Plain stationary family: pre-scaled specialized
+                    # kernel (one fewer multiply per element).
+                    ls = self.kernel.lengthscales
+                    mean_num, var_num = fused_gp_predict(
+                        points / ls, self.X_buf / ls, self.chol_inv,
+                        self.alpha, self._mask(),
+                        self.kernel.variance * s2, kind=kind, tile=tile,
+                        precision=precision)
+                else:
+                    # Composite kernels (sums/products/ActiveDims of
+                    # stationary + linear — the reference notebooks'
+                    # models) compile to a covariance program executed
+                    # inside the same fused kernel.
+                    compiled = compile_kernel_program(self.kernel)
+                    if compiled is not None:
+                        program, param_list = compiled
+                        params = jnp.concatenate(
+                            [jnp.asarray(p).reshape(-1)
+                             for p in param_list]).astype(points.dtype)
+                        mean_num, var_num = fused_gp_predict_general(
+                            points, self.X_buf, params, self.chol_inv,
+                            self.alpha, self._mask(), s2, program,
+                            tile=tile, precision=precision)
+                if mean_num is not None:
+                    mean = mean_num / self.scale \
+                        + self._prior_mean(points)
+                    var = self.kernel.diag(points) - var_num / s2
+                    var = jnp.maximum(var, 1e-12)[:, None]
+                    var = jnp.broadcast_to(
+                        var, (points.shape[0], self.output_dim))
+                    return mean, var
 
         mask = self._mask()
         kx = s2 * self.kernel(self.X_buf, points) * mask[:, None]

@@ -25,12 +25,86 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["fused_gp_predict", "pallas_supported"]
+__all__ = ["fused_gp_predict", "fused_gp_predict_general",
+           "compile_kernel_program", "pallas_supported"]
 
 
 def pallas_supported():
     """Whether the current default backend can run the TPU kernels."""
     return jax.default_backend() in ("tpu", "axon")
+
+
+# ---------------------------------------------------------------------------
+# Kernel-structure compiler: Kernel pytree -> static program + flat params
+# ---------------------------------------------------------------------------
+def compile_kernel_program(kernel, dims=None, params=None):
+    """Compile a :class:`Kernel` pytree into a static covariance program.
+
+    Supports the full composite family the reference notebooks use —
+    stationary (RBF / Matern-1/2/3/2/5/2 with ARD lengthscales),
+    ``LinearKernel``, ``ActiveDims`` restriction, and arbitrary
+    sums/products of those — so composite GP models run through the
+    fused Pallas predict instead of the XLA fallback.
+
+    Returns ``(program, params_list)`` where ``program`` is a hashable
+    nested tuple interpreted at trace time inside the Pallas kernel and
+    ``params_list`` is the flat list of parameter arrays (lengthscales
+    stored as reciprocals so the kernel multiplies instead of divides).
+    Returns ``None`` if the kernel contains an unsupported node.
+    """
+    from ..functions.gp import (ActiveDims, LinearKernel, Matern12,
+                                Matern32, Matern52, ProductKernel, RBF,
+                                SumKernel)
+
+    if params is None:
+        params = []
+
+    def offset():
+        return sum(int(np.prod(p.shape)) for p in params)
+
+    kind_map = {RBF: "rbf", Matern12: "matern12", Matern32: "matern32",
+                Matern52: "matern52"}
+
+    if type(kernel) in kind_map:
+        ls = jnp.atleast_1d(kernel.lengthscales)
+        n = int(ls.shape[0])
+        sel = tuple(range(n)) if dims is None else tuple(dims)
+        if len(sel) != n:
+            return None
+        ls_off = offset()
+        params.append(1.0 / ls)
+        var_off = offset()
+        params.append(jnp.reshape(kernel.variance, (1,)))
+        return (("stationary", kind_map[type(kernel)], sel, ls_off,
+                 var_off), params)
+    if isinstance(kernel, LinearKernel):
+        v = jnp.atleast_1d(kernel.variances)
+        n = int(v.shape[0])
+        sel = tuple(range(n)) if dims is None else tuple(dims)
+        if len(sel) != n:
+            return None
+        v_off = offset()
+        params.append(v)
+        return (("linear", sel, v_off), params)
+    if isinstance(kernel, ActiveDims):
+        if dims is None:
+            sel = tuple(kernel.dims)
+        else:
+            sel = tuple(dims[i] for i in kernel.dims)
+        return compile_kernel_program(kernel.kernel, dims=sel,
+                                      params=params)
+    if isinstance(kernel, (SumKernel, ProductKernel)):
+        left = compile_kernel_program(kernel.k1, dims=dims, params=params)
+        if left is None:
+            return None
+        prog1, params = left
+        right = compile_kernel_program(kernel.k2, dims=dims, params=params)
+        if right is None:
+            return None
+        prog2, params = right
+        op = "sum" if isinstance(kernel, SumKernel) else "product"
+        return ((op, prog1, prog2), params)
+    return None
 
 
 def _covariance(kind, r2):
@@ -94,6 +168,157 @@ def _gp_predict_kernel(q_ref, x_ref, chol_inv_ref, alpha_t_ref, mask_ref,
                           precision=prec).astype(dtype)
     pvar_ref[:] = jnp.sum(a * a, axis=0,
                           keepdims=True).astype(dtype)
+
+
+def _eval_program(program, params, x, q):
+    """Interpret a compiled covariance program on one query tile.
+
+    ``x`` is ``(d, cap)``, ``q`` is ``(d, TQ)``, ``params`` the flat
+    parameter vector; recursion happens at trace time (the program is a
+    static nested tuple), so the emitted code is straight-line VPU work.
+    """
+    op = program[0]
+    if op == "stationary":
+        _, fam, sel, ls_off, var_off = program
+        r2 = None
+        for j, dim in enumerate(sel):
+            inv_ls = params[ls_off + j]
+            diff = (x[dim, :][:, None] - q[dim, :][None, :]) * inv_ls
+            r2 = diff * diff if r2 is None else r2 + diff * diff
+        return params[var_off] * _covariance(fam, r2)
+    if op == "linear":
+        _, sel, v_off = program
+        k = None
+        for j, dim in enumerate(sel):
+            term = (params[v_off + j]
+                    * x[dim, :][:, None] * q[dim, :][None, :])
+            k = term if k is None else k + term
+        return k
+    if op == "sum":
+        return (_eval_program(program[1], params, x, q)
+                + _eval_program(program[2], params, x, q))
+    if op == "product":
+        return (_eval_program(program[1], params, x, q)
+                * _eval_program(program[2], params, x, q))
+    raise ValueError(program)
+
+
+def _gp_predict_kernel_general(q_ref, x_ref, params_ref, chol_inv_ref,
+                               alpha_t_ref, mask_ref, s2_ref, mean_ref,
+                               pvar_ref, *, program, precision):
+    """General-covariance variant of :func:`_gp_predict_kernel`:
+    the covariance tile is built by interpreting ``program`` (RBF /
+    Matern / Linear / ActiveDims / sums / products) instead of a single
+    hardcoded stationary family. Inputs arrive UNSCALED; lengthscale
+    reciprocals live in ``params_ref``."""
+    q = q_ref[:]
+    x = x_ref[:]
+    params = params_ref[:][:, 0]
+
+    k = _eval_program(program, params, x, q)
+    k = k * s2_ref[0, 0] * mask_ref[:]
+
+    li = chol_inv_ref[:]
+    dtype = q.dtype
+    acc = jnp.float64 if dtype == jnp.float64 else jnp.float32
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.HIGH)
+    a = jnp.dot(li, k, preferred_element_type=acc, precision=prec)
+    mean_ref[:] = jnp.dot(alpha_t_ref[:], a.astype(dtype),
+                          preferred_element_type=acc,
+                          precision=prec).astype(dtype)
+    pvar_ref[:] = jnp.sum(a * a, axis=0, keepdims=True).astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("program", "tile",
+                                             "precision", "interpret"))
+def fused_gp_predict_general(points, x, params, chol_inv, alpha, mask, s2,
+                             program, tile=1024, precision="highest",
+                             interpret=False):
+    """Fused posterior mean/variance numerators for a COMPOSITE kernel.
+
+    Same contract as :func:`fused_gp_predict` but the covariance is a
+    compiled program (:func:`compile_kernel_program`) over unscaled
+    inputs — the path composite-kernel GP models (the reference
+    notebooks' ``Linear + Matern32 x Linear``) take on TPU instead of
+    the XLA fallback.
+
+    Parameters
+    ----------
+    points : (Q, d) raw query points
+    x : (cap, d) raw training inputs
+    params : (P,) flat kernel-parameter vector
+    chol_inv, alpha, mask : cached solve state (see fused_gp_predict)
+    s2 : scalar, the conditioning scale squared
+    program : nested tuple from compile_kernel_program
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, d = points.shape
+    cap = x.shape[0]
+    p = alpha.shape[1]
+    n_params = params.shape[0]
+    dtype = points.dtype
+
+    pad = (-q) % tile
+    if pad:
+        points = jnp.concatenate(
+            [points, jnp.zeros((pad, d), dtype=dtype)], axis=0)
+    qp = q + pad
+
+    q_t = points.T
+    x_t = x.T
+    alpha_t = alpha.T
+    mask_col = mask.reshape(cap, 1).astype(dtype)
+    params_col = params.reshape(n_params, 1).astype(dtype)
+    s2_smem = jnp.asarray(s2, dtype=dtype).reshape(1, 1)
+
+    kernel = functools.partial(_gp_predict_kernel_general, program=program,
+                               precision=precision)
+
+    grid = (qp // tile,)
+    mean_t, pvar = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((d, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, cap), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_params, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cap, cap), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, cap), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cap, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((p, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((p, qp), dtype),
+            jax.ShapeDtypeStruct((1, qp), dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * cap * cap * qp + 2 * cap * p * qp
+            + 6 * d * cap * qp,
+            bytes_accessed=(d * qp + d * cap + cap * cap + p * cap
+                            + n_params + (p + 1) * qp)
+            * np.dtype(dtype).itemsize,
+            transcendentals=2 * cap * qp,
+        ),
+        interpret=interpret,
+    )(q_t, x_t, params_col, chol_inv, alpha_t, mask_col, s2_smem)
+
+    return mean_t.T[:q], pvar[0, :q]
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "tile", "fast_matmul",

@@ -25,3 +25,17 @@ jax.config.update("jax_enable_x64", False)
 _CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Refuse mixed-lane runs: the x64 flag is process-global, so
+    collecting ``tests/`` and ``tests_f32/`` together silently corrupts
+    whichever lane's conftest ran first."""
+    import pytest
+
+    dirs = {os.path.basename(os.path.dirname(str(item.fspath)))
+            for item in items}
+    if "tests" in dirs and "tests_f32" in dirs:
+        raise pytest.UsageError(
+            "tests/ (float64 lane) and tests_f32/ (float32 lane) must run "
+            "in separate pytest processes; use scripts/test_code.sh.")
