@@ -29,8 +29,9 @@ class Configuration:
         verification (reference: ``configuration.py:19`` uses 10 000 on CPU;
         a TPU core wants much larger batches to keep the MXU busy).
     solve_dtype : jnp.dtype or None
-        Optional higher-precision dtype island for Cholesky factorizations
-        (``None`` means "same as dtype").
+        Dtype of the host-side high-precision islands (GP Cholesky cache
+        refresh in float32 mode, posterior function sampling). ``None``
+        means float64.
     use_pallas : bool
         Route hot ops through the fused Pallas TPU kernels in
         ``safe_learning_tpu.ops`` when the backend supports them.

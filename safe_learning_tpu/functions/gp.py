@@ -504,7 +504,8 @@ def _gp_cache(gp):
     cap = gp.X_buf.shape[0]
     n = int(gp.count)
     s2 = float(gp.scale) ** 2
-    k = np.asarray(gp.kernel(gp.X_buf, gp.X_buf), dtype=np.float64)
+    host_dtype = np.dtype(config.solve_dtype or np.float64)
+    k = np.asarray(gp.kernel(gp.X_buf, gp.X_buf), dtype=host_dtype)
     a = s2 * (k + float(gp.noise_variance) * np.eye(cap))
     mask = np.zeros(cap, dtype=np.float64)
     mask[:n] = 1.0
@@ -728,8 +729,9 @@ def sample_gp_function(discretization, gp, key, number=1,
 
     mean, cov = gp.predict(discretization, full_cov=True)
 
-    mean64 = np.asarray(mean, dtype=np.float64)[:, 0]
-    cov64 = np.asarray(cov, dtype=np.float64)
+    host_dtype = np.dtype(config.solve_dtype or np.float64)
+    mean64 = np.asarray(mean, dtype=host_dtype)[:, 0]
+    cov64 = np.asarray(cov, dtype=host_dtype)
     cov64 = 0.5 * (cov64 + cov64.T)
     w, v = np.linalg.eigh(cov64)
     if cut_rel is None:
