@@ -20,6 +20,7 @@ from .functions import (AddedFunction, ConstantFunction,
 from .functions.gp import (ActiveDims, GaussianProcess,
                            GPSampledFunction, LinearKernel,
                            Matern12, Matern32, Matern52, RBF,
+                           StackedGaussianProcess,
                            fit_gp_hyperparameters, sample_gp_function)
 from .lyapunov import Lyapunov, get_lyapunov_region, smallest_boundary_value
 from .explore import get_safe_sample, perturb_actions
@@ -37,7 +38,8 @@ __all__ = [
     "LambdaFunction", "LinearSystem", "LyapunovNetwork", "MeanFunction",
     "MultipliedFunction", "NeuralNetwork", "PiecewiseConstant",
     "GradientNorm", "QuadraticFunction", "RBFNetwork", "Saturation", "Triangulation",
-    "UncertainFunction", "GaussianProcess", "GPSampledFunction",
+    "UncertainFunction", "GaussianProcess", "StackedGaussianProcess",
+    "GPSampledFunction",
     "ActiveDims", "LinearKernel", "Matern12", "Matern32", "Matern52", "RBF",
     "fit_gp_hyperparameters", "sample_gp_function", "Lyapunov",
     "get_lyapunov_region",

@@ -109,8 +109,43 @@ def _restore_gp(gp, state):
     return new.replace(chol=chol, chol_inv=chol_inv, alpha=alpha)
 
 
+def _stacked_gp_state(gp):
+    """Full persistent state of a :class:`StackedGaussianProcess`."""
+    return {
+        "X_buf": np.asarray(gp.X_buf),
+        "Y_buf": np.asarray(gp.Y_buf),
+        "count": np.asarray(gp.count),
+        "kernels": list(gp.kernels),
+        "noise_variances": np.asarray(gp.noise_variances),
+        "betas": np.asarray(gp.betas),
+        "scale": np.asarray(gp.scale),
+    }
+
+
+def _restore_stacked_gp(gp, state):
+    """Rebuild a stacked GP from saved state and refresh the caches."""
+    import jax.numpy as jnp
+
+    from .functions.gp import _stacked_cache
+
+    new = gp.replace(
+        X_buf=jnp.asarray(state["X_buf"]),
+        Y_buf=jnp.asarray(state["Y_buf"]),
+        count=jnp.asarray(state["count"]),
+        kernels=tuple(state.get("kernels", gp.kernels)),
+        noise_variances=jnp.asarray(state.get("noise_variances",
+                                              gp.noise_variances)),
+        betas=tuple(float(b) for b in
+                    np.asarray(state.get("betas", gp.betas))),
+        scale=float(state.get("scale", gp.scale)))
+    chol, chol_inv, alpha = _stacked_cache(new)
+    return new.replace(chol=chol, chol_inv=chol_inv, alpha=alpha)
+
+
 def lyapunov_state(lyapunov):
     """Extract the persistent state of a :class:`Lyapunov` object."""
+    from .functions.gp import StackedGaussianProcess
+
     state = {
         "safe_set": np.asarray(lyapunov.safe_set),
         "c_max": np.asarray(lyapunov.c_max),
@@ -120,7 +155,9 @@ def lyapunov_state(lyapunov):
         "policy_parameters": lyapunov.policy.parameters_dict,
     }
     dynamics = lyapunov.dynamics
-    if hasattr(dynamics, "X_buf"):
+    if isinstance(dynamics, StackedGaussianProcess):
+        state["gp_stacked"] = _stacked_gp_state(dynamics)
+    elif hasattr(dynamics, "X_buf"):
         state["gp"] = _gp_state(dynamics)
     elif hasattr(dynamics, "functions") and all(
             hasattr(f, "X_buf") for f in dynamics.functions):
@@ -142,7 +179,10 @@ def restore_lyapunov_state(lyapunov, state):
     if state.get("policy_parameters"):
         lyapunov.policy = lyapunov.policy.with_parameters(
             state["policy_parameters"])
-    if "gp" in state and hasattr(lyapunov.dynamics, "X_buf"):
+    if "gp_stacked" in state and hasattr(lyapunov.dynamics, "kernels"):
+        lyapunov.dynamics = _restore_stacked_gp(lyapunov.dynamics,
+                                                state["gp_stacked"])
+    elif "gp" in state and hasattr(lyapunov.dynamics, "X_buf"):
         lyapunov.dynamics = _restore_gp(lyapunov.dynamics, state["gp"])
     elif "gp_stack" in state and hasattr(lyapunov.dynamics, "functions"):
         restored = [_restore_gp(f, s) for f, s in

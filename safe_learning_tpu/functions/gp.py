@@ -38,7 +38,8 @@ from .base import (DeterministicFunction, Function, UncertainFunction,
 __all__ = [
     "Kernel", "RBF", "Matern12", "Matern32", "Matern52", "LinearKernel",
     "ActiveDims", "SumKernel", "ProductKernel", "GaussianProcess",
-    "sample_gp_function", "GPSampledFunction", "fit_gp_hyperparameters",
+    "StackedGaussianProcess", "sample_gp_function", "GPSampledFunction",
+    "fit_gp_hyperparameters",
 ]
 
 
@@ -432,27 +433,26 @@ class GaussianProcess(UncertainFunction):
 
 
 @jax.jit
-def _gp_cache_device(gp):
+def _cache_device(kernel, x_buf, target, count, noise_variance, s2):
     """Masked, scaled Cholesky factorization of ``K(X, X) + noise I``.
 
     Inactive buffer rows are replaced by identity rows so the factor of the
     fixed-capacity matrix agrees with the factor of the active block.
-    Returns ``(L, L^{-1}, alpha)`` with ``alpha = L^{-1} scale (Y - m(X))``
+    ``target`` is the pre-scaled residual ``scale * (Y - m(X))``. Returns
+    ``(L, L^{-1}, alpha)`` with ``alpha = L^{-1} target``
     (reference ``functions.py:395-411``).
     """
-    cap = gp.X_buf.shape[0]
-    dtype = gp.X_buf.dtype
-    mask = gp._mask()
+    cap = x_buf.shape[0]
+    dtype = x_buf.dtype
+    mask = (jnp.arange(cap) < count).astype(dtype)
     outer = mask[:, None] * mask[None, :]
     eye = jnp.eye(cap, dtype=dtype)
-    s2 = gp.scale ** 2
-    k = gp.kernel(gp.X_buf, gp.X_buf)
-    a = s2 * (k + gp.noise_variance * eye)
+    k = kernel(x_buf, x_buf)
+    a = s2 * (k + noise_variance * eye)
     a = jnp.where(outer > 0, a, eye)
     chol = jnp.linalg.cholesky(a)
     chol_inv = jax.scipy.linalg.solve_triangular(chol, eye, lower=True)
-    target = gp.scale * (gp.Y_buf - gp._prior_mean(gp.X_buf)) * mask[:, None]
-    alpha = mxu_dot(chol_inv, target)
+    alpha = mxu_dot(chol_inv, target * mask[:, None])
     return chol, chol_inv, alpha
 
 
@@ -486,8 +486,8 @@ def _log_marginal_likelihood(kernel, noise_variance, x_buf, y_buf,
             - 0.5 * p * n * jnp.log(2.0 * jnp.pi))
 
 
-def _gp_cache(gp):
-    """Refresh the Cholesky cache.
+def _cache_parts(kernel, x_buf, y_buf, prior, count, noise_variance, scale):
+    """Refresh one output's Cholesky cache from its parts.
 
     In float64 mode everything runs on device. In float32 mode (the TPU
     default) the factorization runs on the host in float64: ``K + noise I``
@@ -497,16 +497,18 @@ def _gp_cache(gp):
     ``capacity x capacity``). Only the kernel assembly stays on device.
     """
     if np.dtype(config.np_dtype) == np.float64:
-        return _gp_cache_device(gp)
+        target = scale * (y_buf - prior)
+        return _cache_device(kernel, x_buf, target, count, noise_variance,
+                             scale ** 2)
 
     import scipy.linalg
 
-    cap = gp.X_buf.shape[0]
-    n = int(gp.count)
-    s2 = float(gp.scale) ** 2
+    cap = x_buf.shape[0]
+    n = int(count)
+    s2 = float(scale) ** 2
     host_dtype = np.dtype(config.solve_dtype or np.float64)
-    k = np.asarray(gp.kernel(gp.X_buf, gp.X_buf), dtype=host_dtype)
-    a = s2 * (k + float(gp.noise_variance) * np.eye(cap))
+    k = np.asarray(kernel(x_buf, x_buf), dtype=host_dtype)
+    a = s2 * (k + float(noise_variance) * np.eye(cap))
     mask = np.zeros(cap, dtype=np.float64)
     mask[:n] = 1.0
     outer = mask[:, None] * mask[None, :]
@@ -531,15 +533,276 @@ def _gp_cache(gp):
             "jitter {:.2e}".format(jitter))
     chol_inv = scipy.linalg.solve_triangular(
         chol, np.eye(cap), lower=True, check_finite=False)
-    prior = np.asarray(gp._prior_mean(gp.X_buf), dtype=np.float64)
-    target = (float(gp.scale)
-              * (np.asarray(gp.Y_buf, dtype=np.float64) - prior)
+    prior = np.asarray(prior, dtype=np.float64)
+    target = (float(scale)
+              * (np.asarray(y_buf, dtype=np.float64) - prior)
               * mask[:, None])
     alpha = chol_inv @ target
     dtype = config.dtype
     return (jnp.asarray(chol, dtype=dtype),
             jnp.asarray(chol_inv, dtype=dtype),
             jnp.asarray(alpha, dtype=dtype))
+
+
+def _gp_cache(gp):
+    """Refresh a :class:`GaussianProcess`'s Cholesky cache."""
+    prior = gp._prior_mean(gp.X_buf)
+    if isinstance(prior, (int, float)):
+        prior = jnp.zeros((), dtype=gp.Y_buf.dtype)
+    return _cache_parts(gp.kernel, gp.X_buf, gp.Y_buf, prior, gp.count,
+                        gp.noise_variance, gp.scale)
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-output GP over shared inputs
+# ---------------------------------------------------------------------------
+@register_pytree
+class StackedGaussianProcess(UncertainFunction):
+    """A stack of single-output GPs over ONE shared training set.
+
+    The TPU-native replacement for wrapping per-dimension GPs in a
+    :class:`~safe_learning_tpu.functions.base.FunctionStack` (the
+    reference's pattern, ``functions.py:254-307``, used by its pendulum
+    and adaptive-verification notebooks): each output keeps its own
+    kernel, noise variance, confidence ``beta``, and prior mean, but the
+    training inputs — which are shared by construction when measurements
+    fan out — are stored once, and prediction for ALL outputs runs as a
+    single fused Pallas kernel that shares the per-dimension covariance
+    tiles across outputs (``ops/gp_kernel.py:fused_gp_predict_stacked``).
+
+    ``FunctionStack`` remains available for stacks of heterogeneous or
+    non-GP uncertain functions; :meth:`from_gps` converts a list of GPs
+    with identical data into the batched form.
+    """
+
+    _data_fields = ("kernels", "X_buf", "Y_buf", "count",
+                    "noise_variances", "chol", "chol_inv", "alpha",
+                    "mean_functions")
+    _meta_fields = ("betas", "scale", "input_dim", "output_dim", "num_fun")
+
+    def __init__(self, kernels, x, y, noise_variances, betas=2.0,
+                 mean_functions=None, capacity=None, scale=1.0):
+        kernels = tuple(kernels)
+        n_out = len(kernels)
+        x = np.atleast_2d(np.asarray(x, dtype=config.np_dtype))
+        y = np.atleast_2d(np.asarray(y, dtype=config.np_dtype))
+        if y.shape[1] != n_out:
+            raise ValueError("y must have one column per kernel")
+        if len(x) != len(y):
+            raise ValueError("x and y must have the same number of rows")
+        n, d = x.shape
+        cap = _round_capacity(n) if capacity is None else int(capacity)
+
+        self.kernels = kernels
+        self.num_fun = n_out
+        self.input_dim = d
+        self.output_dim = n_out
+        self.scale = float(scale)
+        betas = np.broadcast_to(np.asarray(betas, dtype=float), (n_out,))
+        self.betas = tuple(float(b) for b in betas)
+        if mean_functions is None:
+            mean_functions = (None,) * n_out
+        self.mean_functions = tuple(mean_functions)
+        if len(self.mean_functions) != n_out:
+            raise ValueError("need one mean function (or None) per output")
+        noise = np.broadcast_to(
+            np.asarray(noise_variances, dtype=config.np_dtype), (n_out,))
+        self.noise_variances = jnp.asarray(noise)
+
+        dtype = config.np_dtype
+        x_buf = np.zeros((cap, d), dtype=dtype)
+        y_buf = np.zeros((cap, n_out), dtype=dtype)
+        x_buf[:n] = x
+        y_buf[:n] = y
+        self.X_buf = jnp.asarray(x_buf)
+        self.Y_buf = jnp.asarray(y_buf)
+        self.count = jnp.asarray(n, dtype=jnp.int32)
+        self.chol = None
+        self.chol_inv = None
+        self.alpha = None
+        self.chol, self.chol_inv, self.alpha = _stacked_cache(self)
+
+    @classmethod
+    def from_gps(cls, gps):
+        """Batch single-output :class:`GaussianProcess` objects that share
+        training inputs (e.g. the members of a per-dimension stack)."""
+        gps = list(gps)
+        for gp in gps:
+            if not isinstance(gp, GaussianProcess):
+                raise TypeError("from_gps needs GaussianProcess members")
+            if gp.output_dim != 1:
+                raise ValueError("stack members must be single-output")
+        x0 = gps[0].X
+        for gp in gps[1:]:
+            if not np.array_equal(np.asarray(gp.X), x0):
+                raise ValueError(
+                    "stack members must share training inputs")
+            if gp.scale != gps[0].scale:
+                raise ValueError("stack members must share `scale`")
+        y = (np.column_stack([gp.Y[:, 0] for gp in gps])
+             if len(x0) else np.empty((0, len(gps))))
+        return cls([gp.kernel for gp in gps], x0, y,
+                   noise_variances=np.array([float(gp.noise_variance)
+                                             for gp in gps]),
+                   betas=np.array([gp.beta for gp in gps]),
+                   mean_functions=[gp.mean_function for gp in gps],
+                   capacity=max(gp.capacity for gp in gps),
+                   scale=gps[0].scale)
+
+    def unstack(self):
+        """Return the per-output :class:`GaussianProcess` views (fresh
+        caches); inverse of :meth:`from_gps`."""
+        x, y = self.X, self.Y
+        return [GaussianProcess(
+            self.kernels[s], x, y[:, s:s + 1],
+            noise_variance=self.noise_variances[s], beta=self.betas[s],
+            mean_function=self.mean_functions[s], capacity=self.capacity,
+            scale=self.scale) for s in range(self.num_fun)]
+
+    # -- data views -------------------------------------------------------
+    @property
+    def capacity(self):
+        return int(self.X_buf.shape[0])
+
+    @property
+    def X(self):
+        """Active observed inputs (host view)."""
+        return np.asarray(self.X_buf)[:int(self.count)]
+
+    @property
+    def Y(self):
+        """Active observed outputs (host view)."""
+        return np.asarray(self.Y_buf)[:int(self.count)]
+
+    def _mask(self):
+        return (jnp.arange(self.capacity) < self.count).astype(
+            self.X_buf.dtype)
+
+    def _prior_means(self, points):
+        """Stacked prior means, shape ``(len(points), num_fun)``."""
+        cols = []
+        zeros = None
+        for fun in self.mean_functions:
+            if fun is None:
+                if zeros is None:
+                    zeros = jnp.zeros((points.shape[0], 1),
+                                      dtype=points.dtype)
+                cols.append(zeros)
+            else:
+                cols.append(fun(points).reshape(-1, 1))
+        return jnp.concatenate(cols, axis=1)
+
+    # -- prediction -------------------------------------------------------
+    def predict(self, points):
+        """Posterior mean and variance for every output, shapes
+        ``(Q, num_fun)``.
+
+        On TPU all outputs run in ONE fused Pallas kernel sharing the
+        query tile and per-dimension covariance work; elsewhere (or for
+        kernels outside the compilable family) a per-output XLA matmul
+        chain is used.
+        """
+        points = jnp.atleast_2d(jnp.asarray(points))
+        s2 = self.scale ** 2
+
+        if getattr(config, "use_pallas", True):
+            from ..ops.gp_kernel import (compile_kernel_program,
+                                         fused_gp_predict_stacked,
+                                         pallas_supported)
+
+            if pallas_supported():
+                params_list = []
+                programs = []
+                for kernel in self.kernels:
+                    compiled = compile_kernel_program(kernel,
+                                                      params=params_list)
+                    if compiled is None:
+                        programs = None
+                        break
+                    program, params_list = compiled
+                    programs.append(program)
+                if programs is not None:
+                    tile = min(4096, max(128, (-(-points.shape[0] // 128))
+                                         * 128))
+                    precision = getattr(config, "pallas_precision",
+                                        "highest")
+                    params = jnp.concatenate(
+                        [jnp.asarray(p).reshape(-1)
+                         for p in params_list]).astype(points.dtype)
+                    mean_num, var_num = fused_gp_predict_stacked(
+                        points, self.X_buf, params, self.chol_inv,
+                        self.alpha[:, :, 0], self._mask(), s2,
+                        tuple(programs), tile=tile, precision=precision)
+                    mean = mean_num / self.scale \
+                        + self._prior_means(points)
+                    kdiag = jnp.stack([k.diag(points)
+                                       for k in self.kernels], axis=1)
+                    var = jnp.maximum(kdiag - var_num / s2, 1e-12)
+                    return mean, var
+
+        mask = self._mask()
+        means, variances = [], []
+        for s in range(self.num_fun):
+            kx = s2 * self.kernels[s](self.X_buf, points) * mask[:, None]
+            a = mxu_dot(self.chol_inv[s], kx)
+            mean = mxu_dot(a.T, self.alpha[s]) / self.scale
+            means.append(mean)
+            var = (self.kernels[s].diag(points)
+                   - jnp.sum(a * a, axis=0) / s2)
+            variances.append(jnp.maximum(var, 1e-12))
+        mean = jnp.concatenate(means, axis=1) + self._prior_means(points)
+        return mean, jnp.stack(variances, axis=1)
+
+    def evaluate(self, points):
+        """Return ``(mean, beta_s * std_s)`` stacked over outputs."""
+        mean, var = self.predict(points)
+        betas = jnp.asarray(self.betas, dtype=var.dtype)
+        return mean, betas * jnp.sqrt(var)
+
+    # -- online learning --------------------------------------------------
+    def add_data_point(self, x, y):
+        """Append measurement(s) of ALL outputs and refresh the caches.
+
+        One buffer append replaces the reference's per-member fan-out
+        (``functions.py:293-307``); returns a new instance.
+        """
+        x = np.atleast_2d(np.asarray(x, dtype=config.np_dtype))
+        y = np.atleast_2d(np.asarray(y, dtype=config.np_dtype))
+        n_new = len(x)
+        n = int(self.count)
+        if n + n_new > self.capacity:
+            return StackedGaussianProcess(
+                self.kernels, np.vstack([self.X, x]),
+                np.vstack([self.Y, y]), self.noise_variances,
+                betas=np.asarray(self.betas),
+                mean_functions=self.mean_functions,
+                capacity=_round_capacity(n + n_new), scale=self.scale)
+        new = self.replace(
+            X_buf=jax.lax.dynamic_update_slice(
+                self.X_buf, jnp.asarray(x), (n, 0)),
+            Y_buf=jax.lax.dynamic_update_slice(
+                self.Y_buf, jnp.asarray(y), (n, 0)),
+            count=jnp.asarray(n + n_new, dtype=jnp.int32))
+        chol, chol_inv, alpha = _stacked_cache(new)
+        return new.replace(chol=chol, chol_inv=chol_inv, alpha=alpha)
+
+
+def _stacked_cache(gp):
+    """Per-output Cholesky caches, stacked with a leading output axis:
+    ``chol``/``chol_inv`` are ``(num_fun, cap, cap)``, ``alpha`` is
+    ``(num_fun, cap, 1)``."""
+    chols, chol_invs, alphas = [], [], []
+    for s in range(gp.num_fun):
+        fun = gp.mean_functions[s]
+        prior = (jnp.zeros((), dtype=gp.Y_buf.dtype) if fun is None
+                 else fun(gp.X_buf).reshape(-1, 1))
+        chol, chol_inv, alpha = _cache_parts(
+            gp.kernels[s], gp.X_buf, gp.Y_buf[:, s:s + 1], prior,
+            gp.count, gp.noise_variances[s], gp.scale)
+        chols.append(chol)
+        chol_invs.append(chol_inv)
+        alphas.append(alpha)
+    return (jnp.stack(chols), jnp.stack(chol_invs), jnp.stack(alphas))
 
 
 # ---------------------------------------------------------------------------

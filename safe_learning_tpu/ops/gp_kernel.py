@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["fused_gp_predict", "fused_gp_predict_general",
-           "compile_kernel_program", "pallas_supported"]
+           "fused_gp_predict_stacked", "compile_kernel_program",
+           "pallas_supported"]
 
 
 def pallas_supported():
@@ -170,36 +171,57 @@ def _gp_predict_kernel(q_ref, x_ref, chol_inv_ref, alpha_t_ref, mask_ref,
                           keepdims=True).astype(dtype)
 
 
-def _eval_program(program, params, x, q):
+def _eval_program(program, params, x, q, cache=None):
     """Interpret a compiled covariance program on one query tile.
 
     ``x`` is ``(d, cap)``, ``q`` is ``(d, TQ)``, ``params`` the flat
     parameter vector; recursion happens at trace time (the program is a
     static nested tuple), so the emitted code is straight-line VPU work.
+
+    ``cache`` memoizes the per-dimension raw difference and outer-product
+    tiles, which are independent of the kernel hyperparameters: composite
+    programs that touch the same input dimension twice (e.g. the
+    notebooks' ``Linear + Matern32 x Linear`` hits dim 0 in both factors),
+    and stacks of per-output GPs over shared inputs, assemble each tile
+    once instead of once per kernel node.
     """
+    if cache is None:
+        cache = {}
+
+    def diff_tile(dim):
+        key = ("diff", dim)
+        if key not in cache:
+            cache[key] = x[dim, :][:, None] - q[dim, :][None, :]
+        return cache[key]
+
+    def prod_tile(dim):
+        key = ("prod", dim)
+        if key not in cache:
+            cache[key] = x[dim, :][:, None] * q[dim, :][None, :]
+        return cache[key]
+
     op = program[0]
     if op == "stationary":
         _, fam, sel, ls_off, var_off = program
         r2 = None
         for j, dim in enumerate(sel):
             inv_ls = params[ls_off + j]
-            diff = (x[dim, :][:, None] - q[dim, :][None, :]) * inv_ls
+            diff = diff_tile(dim) * inv_ls
             r2 = diff * diff if r2 is None else r2 + diff * diff
         return params[var_off] * _covariance(fam, r2)
     if op == "linear":
         _, sel, v_off = program
         k = None
         for j, dim in enumerate(sel):
-            term = (params[v_off + j]
-                    * x[dim, :][:, None] * q[dim, :][None, :])
+            term = params[v_off + j] * prod_tile(dim)
             k = term if k is None else k + term
         return k
     if op == "sum":
-        return (_eval_program(program[1], params, x, q)
-                + _eval_program(program[2], params, x, q))
+        return (_eval_program(program[1], params, x, q, cache)
+                + _eval_program(program[2], params, x, q, cache))
     if op == "product":
-        return (_eval_program(program[1], params, x, q)
-                * _eval_program(program[2], params, x, q))
+        return (_eval_program(program[1], params, x, q, cache)
+                * _eval_program(program[2], params, x, q, cache))
     raise ValueError(program)
 
 
@@ -230,6 +252,210 @@ def _gp_predict_kernel_general(q_ref, x_ref, params_ref, chol_inv_ref,
     pvar_ref[:] = jnp.sum(a * a, axis=0, keepdims=True).astype(dtype)
 
 
+# ---------------------------------------------------------------------------
+# Autodiff rules: Pallas kernels carry no gradient, so each fused entry
+# point is a custom_jvp whose primal runs the Pallas kernel and whose
+# tangent evaluates the mathematically identical XLA expression (the
+# fallback path in functions/gp.py). jax.grad linearizes through the JVP
+# and transposes it, so reverse-mode training THROUGH the GP posterior
+# (e.g. policy gradients against GP dynamics, rl.py future_values) works
+# on TPU without giving up the fused forward pass.
+# ---------------------------------------------------------------------------
+def _stationary_xla_equiv(points_scaled, x_scaled, chol_inv, alpha, mask,
+                          var_s2, *, kind):
+    """XLA twin of :func:`_gp_predict_kernel` (same outputs)."""
+    prec = jax.lax.Precision.HIGHEST
+    qq = jnp.sum(points_scaled * points_scaled, axis=1)[None, :]
+    xx = jnp.sum(x_scaled * x_scaled, axis=1)[:, None]
+    cross = jnp.dot(x_scaled, points_scaled.T, precision=prec)
+    r2 = jnp.maximum(xx - 2.0 * cross + qq, 0.0)
+    k = _covariance(kind, r2) * var_s2 * mask[:, None]
+    a = jnp.dot(chol_inv, k, precision=prec)
+    mean_num = jnp.dot(a.T, alpha, precision=prec)
+    return mean_num, jnp.sum(a * a, axis=0)
+
+
+def _general_xla_equiv(points, x, params, chol_inv, alpha, mask, s2, *,
+                       program):
+    """XLA twin of :func:`_gp_predict_kernel_general`."""
+    prec = jax.lax.Precision.HIGHEST
+    k = _eval_program(program, params, x.T, points.T)
+    k = k * s2 * mask[:, None]
+    a = jnp.dot(chol_inv, k, precision=prec)
+    mean_num = jnp.dot(a.T, alpha, precision=prec)
+    return mean_num, jnp.sum(a * a, axis=0)
+
+
+def _stacked_xla_equiv(points, x, params, chol_inv, alpha_t, mask, s2, *,
+                       programs):
+    """XLA twin of :func:`_gp_predict_kernel_stacked`."""
+    prec = jax.lax.Precision.HIGHEST
+    cache = {}
+    means, pvars = [], []
+    for s, program in enumerate(programs):
+        k = _eval_program(program, params, x.T, points.T, cache)
+        k = k * s2 * mask[:, None]
+        a = jnp.dot(chol_inv[s], k, precision=prec)
+        means.append(jnp.dot(alpha_t[s], a, precision=prec))
+        pvars.append(jnp.sum(a * a, axis=0))
+    return jnp.stack(means, axis=1), jnp.stack(pvars, axis=1)
+
+
+def _gp_predict_kernel_stacked(q_ref, x_ref, params_ref, chol_inv_ref,
+                               alpha_t_ref, mask_ref, s2_ref, mean_ref,
+                               pvar_ref, *, programs, cap, precision):
+    """Stacked variant of :func:`_gp_predict_kernel_general`: S per-output
+    GPs sharing the SAME training inputs and query tile. The per-dimension
+    difference / outer-product tiles are assembled once (``cache`` in
+    :func:`_eval_program`) and each output's covariance, matmul chain, and
+    variance reduction run back to back without re-reading the tile from
+    HBM.
+
+    Shapes (VMEM): ``chol_inv_ref`` is the row-stacked ``(S*cap, cap)``
+    inverse factors, ``alpha_t_ref`` is ``(S, cap)``, outputs are
+    ``(S, TQ)``.
+    """
+    q = q_ref[:]
+    x = x_ref[:]
+    params = params_ref[:][:, 0]
+    mask = mask_ref[:]
+    s2 = s2_ref[0, 0]
+
+    dtype = q.dtype
+    acc = jnp.float64 if dtype == jnp.float64 else jnp.float32
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.HIGH)
+
+    cache = {}
+    for s, program in enumerate(programs):
+        k = _eval_program(program, params, x, q, cache)
+        k = k * s2 * mask
+        li = chol_inv_ref[s * cap:(s + 1) * cap, :]
+        a = jnp.dot(li, k, preferred_element_type=acc, precision=prec)
+        mean_ref[s:s + 1, :] = jnp.dot(
+            alpha_t_ref[s:s + 1, :], a.astype(dtype),
+            preferred_element_type=acc, precision=prec).astype(dtype)
+        pvar_ref[s:s + 1, :] = jnp.sum(a * a, axis=0,
+                                       keepdims=True).astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("programs", "tile",
+                                             "precision", "interpret"))
+def fused_gp_predict_stacked(points, x, params, chol_inv, alpha_t, mask, s2,
+                             programs, tile=1024, precision="highest",
+                             interpret=False):
+    """Fused posterior predict for a STACK of GPs over shared inputs.
+
+    The TPU path for :class:`~safe_learning_tpu.functions.gp.
+    StackedGaussianProcess` (the batched replacement for per-dimension
+    ``FunctionStack`` GPs, SURVEY.md section 7 "FunctionStack of per-dim
+    GPs => one batched GP"): one kernel launch evaluates every output's
+    posterior, sharing the query tile and the per-dimension covariance
+    work across outputs.
+
+    Parameters
+    ----------
+    points : (Q, d) raw query points
+    x : (cap, d) raw shared training inputs
+    params : (P,) flat kernel parameters of ALL outputs (one offset space)
+    chol_inv : (S, cap, cap) per-output inverse Cholesky factors
+    alpha_t : (S, cap) per-output cached solves (single-output GPs)
+    mask : (cap,) active-row mask
+    s2 : scalar, shared conditioning scale squared
+    programs : tuple of compiled covariance programs, one per output
+
+    Returns
+    -------
+    mean_num : (Q, S); var_num : (Q, S)
+    """
+    return _fused_stacked_core((programs, tile, precision, interpret),
+                               points, x, params, chol_inv, alpha_t, mask,
+                               s2)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0,))
+def _fused_stacked_core(static, points, x, params, chol_inv, alpha_t, mask,
+                        s2):
+    programs, tile, precision, interpret = static
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, d = points.shape
+    n_out, cap = alpha_t.shape
+    n_params = params.shape[0]
+    dtype = points.dtype
+
+    pad = (-q) % tile
+    if pad:
+        points = jnp.concatenate(
+            [points, jnp.zeros((pad, d), dtype=dtype)], axis=0)
+    qp = q + pad
+
+    q_t = points.T
+    x_t = x.T
+    li_rows = chol_inv.reshape(n_out * cap, cap)
+    mask_col = mask.reshape(cap, 1).astype(dtype)
+    params_col = params.reshape(n_params, 1).astype(dtype)
+    s2_smem = jnp.asarray(s2, dtype=dtype).reshape(1, 1)
+
+    kernel = functools.partial(_gp_predict_kernel_stacked,
+                               programs=programs, cap=cap,
+                               precision=precision)
+
+    grid = (qp // tile,)
+    mean_t, pvar = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((d, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, cap), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_params, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_out * cap, cap), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_out, cap), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cap, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_out, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_out, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_out, qp), dtype),
+            jax.ShapeDtypeStruct((n_out, qp), dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=n_out * (2 * cap * cap * qp + 2 * cap * qp)
+            + 6 * d * cap * qp,
+            bytes_accessed=(d * qp + d * cap + n_out * cap * cap
+                            + n_out * cap + n_params + 2 * n_out * qp)
+            * np.dtype(dtype).itemsize,
+            transcendentals=n_out * 2 * cap * qp,
+        ),
+        interpret=interpret,
+    )(q_t, x_t, params_col, li_rows, alpha_t, mask_col, s2_smem)
+
+    return mean_t.T[:q], pvar.T[:q]
+
+
+@_fused_stacked_core.defjvp
+def _fused_stacked_core_jvp(static, primals, tangents):
+    programs = static[0]
+    primal_out = _fused_stacked_core(static, *primals)
+    _, tangent_out = jax.jvp(
+        functools.partial(_stacked_xla_equiv, programs=programs), primals,
+        tangents)
+    return primal_out, tangent_out
+
+
 @functools.partial(jax.jit, static_argnames=("program", "tile",
                                              "precision", "interpret"))
 def fused_gp_predict_general(points, x, params, chol_inv, alpha, mask, s2,
@@ -252,6 +478,14 @@ def fused_gp_predict_general(points, x, params, chol_inv, alpha, mask, s2,
     s2 : scalar, the conditioning scale squared
     program : nested tuple from compile_kernel_program
     """
+    return _fused_general_core((program, tile, precision, interpret),
+                               points, x, params, chol_inv, alpha, mask, s2)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0,))
+def _fused_general_core(static, points, x, params, chol_inv, alpha, mask,
+                        s2):
+    program, tile, precision, interpret = static
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -321,6 +555,16 @@ def fused_gp_predict_general(points, x, params, chol_inv, alpha, mask, s2,
     return mean_t.T[:q], pvar[0, :q]
 
 
+@_fused_general_core.defjvp
+def _fused_general_core_jvp(static, primals, tangents):
+    program = static[0]
+    primal_out = _fused_general_core(static, *primals)
+    _, tangent_out = jax.jvp(
+        functools.partial(_general_xla_equiv, program=program), primals,
+        tangents)
+    return primal_out, tangent_out
+
+
 @functools.partial(jax.jit, static_argnames=("kind", "tile", "fast_matmul",
                                              "precision", "interpret"))
 def fused_gp_predict(points_scaled, x_scaled, chol_inv, alpha, mask,
@@ -354,6 +598,15 @@ def fused_gp_predict(points_scaled, x_scaled, chol_inv, alpha, mask,
     var_num : (Q,) — ``sum(a^2, axis=0)`` (compute
         ``kdiag - var_num / s2`` outside)
     """
+    return _fused_predict_core(
+        (kind, tile, fast_matmul, precision, interpret), points_scaled,
+        x_scaled, chol_inv, alpha, mask, kernel_variance_s2)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0,))
+def _fused_predict_core(static, points_scaled, x_scaled, chol_inv, alpha,
+                        mask, kernel_variance_s2):
+    kind, tile, fast_matmul, precision, interpret = static
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -419,3 +672,13 @@ def fused_gp_predict(points_scaled, x_scaled, chol_inv, alpha, mask,
     )(q_t, x_t, chol_inv, alpha_t, mask_col, var_smem)
 
     return mean_t.T[:q], pvar[0, :q]
+
+
+@_fused_predict_core.defjvp
+def _fused_predict_core_jvp(static, primals, tangents):
+    kind = static[0]
+    primal_out = _fused_predict_core(static, *primals)
+    _, tangent_out = jax.jvp(
+        functools.partial(_stationary_xla_equiv, kind=kind), primals,
+        tangents)
+    return primal_out, tangent_out

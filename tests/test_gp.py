@@ -339,3 +339,121 @@ def test_fit_hyperparameters_recovers_lengthscales():
     resid0 = np.abs(np.asarray(gp.predict(x)[0]) - y).mean()
     resid1 = np.abs(np.asarray(fitted.predict(x)[0]) - y).mean()
     assert resid1 < resid0
+
+
+# ---------------------------------------------------------------------------
+# StackedGaussianProcess (batched per-dim GPs over shared inputs)
+# ---------------------------------------------------------------------------
+def _pendulum_style_members(rng, n=9):
+    """Two single-output GPs with the notebooks' composite kernels, a
+    linear prior mean each, and shared training inputs."""
+    from safe_learning_tpu import LinearSystem, StackedGaussianProcess
+    from safe_learning_tpu.functions.gp import ActiveDims
+
+    x = rng.uniform(-1, 1, size=(n, 3))
+    y = np.column_stack([np.sin(2 * x[:, 0]) + 0.3 * x[:, 2],
+                         np.cos(x[:, 1]) - 0.2 * x[:, 2]])
+    gps = []
+    for dim in range(2):
+        kernel = (LinearKernel(variances=[0.3, 0.1, 0.4 + 0.1 * dim],
+                               input_dim=3)
+                  + ActiveDims(Matern32(variance=1.0,
+                                        lengthscales=0.8 + 0.2 * dim,
+                                        input_dim=1), dims=[0])
+                  * ActiveDims(LinearKernel(variances=0.4, input_dim=1),
+                               dims=[0]))
+        mean = LinearSystem([[0.9, 0.1 * dim, 0.05]])
+        gps.append(GaussianProcess(kernel, x, y[:, dim:dim + 1],
+                                   noise_variance=1e-4 * (1 + dim),
+                                   beta=2.0 + dim, mean_function=mean))
+    return gps, StackedGaussianProcess.from_gps(gps)
+
+
+def test_stacked_gp_matches_function_stack():
+    """The batched stack reproduces the per-member FunctionStack exactly
+    (same kernels, data, priors, betas) — SURVEY.md section 7's
+    "FunctionStack of per-dim GPs => one batched GP" translation."""
+    rng = np.random.default_rng(4)
+    gps, stacked = _pendulum_style_members(rng)
+    fan_out = FunctionStack(gps)
+    q = rng.uniform(-1, 1, size=(33, 3))
+
+    mean_s, err_s = map(np.asarray, stacked(q))
+    mean_f, err_f = map(np.asarray, fan_out(q))
+    assert mean_s.shape == (33, 2)
+    assert_allclose(mean_s, mean_f, atol=1e-9)
+    assert_allclose(err_s, err_f, atol=1e-9)
+
+    # predict() exposes per-output variances with per-output betas.
+    _, var_s = map(np.asarray, stacked.predict(q))
+    assert_allclose(err_s, np.array(stacked.betas) * np.sqrt(var_s),
+                    atol=1e-12)
+
+
+def test_stacked_gp_add_data_point():
+    """One buffer append == the FunctionStack's per-member fan-out."""
+    rng = np.random.default_rng(5)
+    gps, stacked = _pendulum_style_members(rng)
+    fan_out = FunctionStack(gps)
+    q = rng.uniform(-1, 1, size=(17, 3))
+
+    x_new = rng.uniform(-1, 1, size=(2, 3))
+    y_new = rng.normal(size=(2, 2))
+    stacked2 = stacked.add_data_point(x_new, y_new)
+    fan_out2 = fan_out.add_data_point(x_new, y_new)
+    assert int(stacked2.count) == int(stacked.count) + 2
+    mean_s, err_s = map(np.asarray, stacked2(q))
+    mean_f, err_f = map(np.asarray, fan_out2(q))
+    assert_allclose(mean_s, mean_f, atol=1e-9)
+    assert_allclose(err_s, err_f, atol=1e-9)
+
+    # Growth past capacity keeps state intact.
+    grow = stacked2.add_data_point(
+        rng.uniform(-1, 1, size=(stacked2.capacity, 3)),
+        rng.normal(size=(stacked2.capacity, 2)))
+    assert grow.capacity > stacked2.capacity
+    assert int(grow.count) == int(stacked2.count) + stacked2.capacity
+
+
+def test_stacked_gp_unstack_roundtrip():
+    """from_gps -> unstack reproduces the members' posteriors."""
+    rng = np.random.default_rng(6)
+    gps, stacked = _pendulum_style_members(rng)
+    q = rng.uniform(-1, 1, size=(9, 3))
+    for orig, back in zip(gps, stacked.unstack()):
+        m0, v0 = map(np.asarray, orig.predict(q))
+        m1, v1 = map(np.asarray, back.predict(q))
+        assert_allclose(m1, m0, atol=1e-9)
+        assert_allclose(v1, v0, atol=1e-9)
+
+    # Mismatched training inputs are rejected.
+    from safe_learning_tpu import StackedGaussianProcess
+
+    other = GaussianProcess(RBF(1.0, 1.0, input_dim=3),
+                            rng.uniform(-1, 1, size=(9, 3)),
+                            rng.normal(size=(9, 1)), 1e-4)
+    with pytest.raises(ValueError):
+        StackedGaussianProcess.from_gps([gps[0], other])
+
+
+def test_stacked_gp_in_lyapunov_sweep():
+    """The stacked GP drives a full update_safe_set like the fan-out
+    stack (the flagship pendulum configuration)."""
+    from safe_learning_tpu import (GridWorld, Lyapunov, QuadraticFunction,
+                                   Saturation, LinearSystem)
+
+    rng = np.random.default_rng(7)
+    gps, stacked = _pendulum_style_members(rng)
+    grid = GridWorld([[-0.5, 0.5], [-0.5, 0.5]], 21)
+    policy = Saturation(LinearSystem([[-0.4, -0.6]]), -1.0, 1.0)
+    v = QuadraticFunction(np.array([[1.0, 0.1], [0.1, 1.0]]))
+
+    results = []
+    for dyn in (stacked, FunctionStack(gps)):
+        lyap = Lyapunov(grid, v, dyn, lipschitz_dynamics=0.9,
+                        lipschitz_lyapunov=2.0, tau=0.01, policy=policy,
+                        initial_set=[grid.nindex // 2])
+        lyap.update_safe_set()
+        results.append((lyap.safe_set.copy(), lyap.c_max))
+    assert np.array_equal(results[0][0], results[1][0])
+    assert_allclose(results[0][1], results[1][1], rtol=1e-12)

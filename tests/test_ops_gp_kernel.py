@@ -196,3 +196,147 @@ def test_compile_kernel_program_structure():
         pass
 
     assert compile_kernel_program(Weird(1.0, 1.0, input_dim=1)) is None
+
+
+# ---------------------------------------------------------------------------
+# Autodiff through the fused predict (custom_jvp with an XLA tangent rule)
+# ---------------------------------------------------------------------------
+def test_fused_predict_grad_matches_xla():
+    """jax.grad flows THROUGH the Pallas predict (policy training against
+    GP dynamics on TPU, rl.py future_values): the custom_jvp tangent is
+    the XLA-equivalent expression, so gradients match the fallback path."""
+    from safe_learning_tpu.ops.gp_kernel import (_stationary_xla_equiv,
+                                                 fused_gp_predict)
+
+    gp = _make_gp(RBF, n=12, d=2)
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.uniform(-2.0, 2.0, size=(64, 2)),
+                    dtype=config.dtype)
+    ls = gp.kernel.lengthscales
+    args = (gp.X_buf / ls, gp.chol_inv, gp.alpha, gp._mask(),
+            gp.kernel.variance)
+
+    def loss_pallas(qs):
+        mean, var = fused_gp_predict(qs, *args, kind="rbf", tile=64,
+                                     interpret=True)
+        return jnp.sum(mean ** 2) + jnp.sum(jnp.cos(var))
+
+    def loss_xla(qs):
+        mean, var = _stationary_xla_equiv(qs, *args, kind="rbf")
+        return jnp.sum(mean ** 2) + jnp.sum(jnp.cos(var))
+
+    g_pallas = np.asarray(jax.grad(loss_pallas)(q / ls))
+    g_xla = np.asarray(jax.grad(loss_xla)(q / ls))
+    assert np.all(np.isfinite(g_pallas))
+    assert_allclose(g_pallas, g_xla, atol=1e-8)
+
+
+def test_fused_general_and_stacked_grads():
+    """Gradients also flow through the composite-program and stacked
+    fused predicts (all three entry points carry the custom_jvp)."""
+    from safe_learning_tpu.functions.gp import (ActiveDims, LinearKernel,
+                                                StackedGaussianProcess)
+    from safe_learning_tpu.ops.gp_kernel import (compile_kernel_program,
+                                                 fused_gp_predict_general,
+                                                 fused_gp_predict_stacked)
+
+    rng = np.random.default_rng(12)
+    x = rng.uniform(-1.5, 1.5, size=(9, 3))
+    y = np.column_stack([np.sin(x[:, 0]), np.cos(x[:, 1])])
+    kernels = []
+    for dim in range(2):
+        kernels.append(
+            LinearKernel(variances=[0.3, 0.1, 0.5], input_dim=3)
+            + ActiveDims(Matern32(variance=1.0,
+                                  lengthscales=0.8 + 0.1 * dim,
+                                  input_dim=1), dims=[0])
+            * ActiveDims(LinearKernel(variances=0.4, input_dim=1),
+                         dims=[0]))
+    stacked = StackedGaussianProcess(kernels, x, y, [1e-4, 2e-4])
+    q = jnp.asarray(rng.uniform(-1, 1, size=(40, 3)), dtype=config.dtype)
+
+    # General (single-output) path.
+    gp0 = GaussianProcess(kernels[0], x, y[:, :1], 1e-4)
+    program, param_list = compile_kernel_program(gp0.kernel)
+    params = jnp.concatenate([jnp.asarray(p).reshape(-1)
+                              for p in param_list]).astype(q.dtype)
+
+    def loss_general(qs):
+        mean, var = fused_gp_predict_general(
+            qs, gp0.X_buf, params, gp0.chol_inv, gp0.alpha, gp0._mask(),
+            1.0, program, tile=64, interpret=True)
+        return jnp.sum(mean ** 2) + jnp.sum(var)
+
+    g = jax.grad(loss_general)(q)
+    fd = ((loss_general(q.at[0, 0].add(1e-6))
+           - loss_general(q.at[0, 0].add(-1e-6))) / 2e-6)
+    assert np.isfinite(np.asarray(g)).all()
+    assert_allclose(float(g[0, 0]), float(fd), rtol=1e-4, atol=1e-7)
+
+    # Stacked path.
+    params_list = []
+    programs = []
+    for kernel in stacked.kernels:
+        prog, params_list = compile_kernel_program(kernel,
+                                                   params=params_list)
+        programs.append(prog)
+    sparams = jnp.concatenate([jnp.asarray(p).reshape(-1)
+                               for p in params_list]).astype(q.dtype)
+
+    def loss_stacked(qs):
+        mean, var = fused_gp_predict_stacked(
+            qs, stacked.X_buf, sparams, stacked.chol_inv,
+            stacked.alpha[:, :, 0], stacked._mask(), 1.0,
+            tuple(programs), tile=64, interpret=True)
+        return jnp.sum(mean ** 2) + jnp.sum(var)
+
+    g = jax.grad(loss_stacked)(q)
+    fd = ((loss_stacked(q.at[0, 0].add(1e-6))
+           - loss_stacked(q.at[0, 0].add(-1e-6))) / 2e-6)
+    assert np.isfinite(np.asarray(g)).all()
+    assert_allclose(float(g[0, 0]), float(fd), rtol=1e-4, atol=1e-7)
+
+
+def test_stacked_fused_predict_matches_xla():
+    """The stacked Pallas kernel (shared covariance tiles across outputs)
+    equals the per-output XLA path."""
+    from safe_learning_tpu.functions.gp import (ActiveDims, LinearKernel,
+                                                StackedGaussianProcess)
+    from safe_learning_tpu.ops.gp_kernel import (compile_kernel_program,
+                                                 fused_gp_predict_stacked)
+
+    rng = np.random.default_rng(13)
+    x = rng.uniform(-1.5, 1.5, size=(11, 3))
+    y = np.column_stack([np.sin(x[:, 0] * 2), x[:, 1] - 0.3 * x[:, 2]])
+    kernels = [
+        RBF(variance=0.8, lengthscales=[0.5, 0.9, 1.3], input_dim=3),
+        LinearKernel(variances=[0.3, 0.1, 0.5], input_dim=3)
+        + ActiveDims(Matern32(variance=1.0, lengthscales=0.7,
+                              input_dim=1), dims=[0])
+        * ActiveDims(LinearKernel(variances=0.4, input_dim=1), dims=[0]),
+    ]
+    stacked = StackedGaussianProcess(kernels, x, y, [1e-4, 3e-4],
+                                     scale=1.4)
+    q = jnp.asarray(rng.uniform(-2, 2, size=(143, 3)), dtype=config.dtype)
+
+    mean_ref, var_ref = map(np.asarray, stacked.predict(q))
+
+    params_list = []
+    programs = []
+    for kernel in stacked.kernels:
+        prog, params_list = compile_kernel_program(kernel,
+                                                   params=params_list)
+        programs.append(prog)
+    params = jnp.concatenate([jnp.asarray(p).reshape(-1)
+                              for p in params_list]).astype(q.dtype)
+    s2 = stacked.scale ** 2
+    mean_num, var_num = fused_gp_predict_stacked(
+        q, stacked.X_buf, params, stacked.chol_inv,
+        stacked.alpha[:, :, 0], stacked._mask(), s2, tuple(programs),
+        tile=128, interpret=True)
+    mean = np.asarray(mean_num) / stacked.scale
+    kdiag = np.stack([np.asarray(k.diag(q)) for k in stacked.kernels],
+                     axis=1)
+    var = np.maximum(kdiag - np.asarray(var_num) / s2, 1e-12)
+    assert_allclose(mean, mean_ref, atol=1e-9)
+    assert_allclose(var, var_ref, atol=1e-9)

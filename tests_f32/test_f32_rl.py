@@ -32,7 +32,7 @@ def test_value_iteration_converges_to_dare_f32():
     xs = grid.all_points
     got = -np.asarray(rl.value_function(xs)).ravel()
     # Discounted LQR cost-to-go ~ x' P x for gamma near 1.
-    expected = (xs ** 2).ravel() * float(p)
+    expected = (xs ** 2).ravel() * float(p[0, 0])
     mask = np.abs(xs).ravel() < 0.5  # interior (boundary cells truncate)
     assert_allclose(got[mask], expected[mask], atol=0.1)
 
