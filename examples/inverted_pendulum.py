@@ -25,22 +25,25 @@ from examples._common import Timer, example_args, maybe_save_plot  # noqa: E402
 
 
 def build_gp_dynamics(a, b, a_true, b_true, noise_var=0.001 ** 2):
-    """Per-dimension GPs with wrong linearized prior (notebook cell 6)."""
+    """Per-dimension GPs with wrong linearized prior (notebook cell 6),
+    batched as a StackedGaussianProcess so all outputs run through ONE
+    fused TPU predict per sweep (FunctionStack of per-member GPs gives
+    identical results; see tests/test_gp.py)."""
     m_true = np.hstack([a_true, b_true])
     m = np.hstack([a, b])
     variances = np.clip((m_true - m) ** 2, 1e-5, None)
-    gps = []
+    kernels, means = [], []
     for dim in range(2):
-        kernel = (sl.LinearKernel(variances=variances[dim], input_dim=3)
-                  + sl.ActiveDims(sl.Matern32(lengthscales=1.0,
-                                              input_dim=1), dims=[0])
-                  * sl.ActiveDims(sl.LinearKernel(
-                      variances=variances[dim, 1], input_dim=1), dims=[0]))
-        mean = sl.LinearSystem([a[[dim]], b[[dim]]])
-        gps.append(sl.GaussianProcess(
-            kernel, np.empty((0, 3)), np.empty((0, 1)),
-            noise_variance=noise_var, beta=2.0, mean_function=mean))
-    return sl.FunctionStack(gps)
+        kernels.append(
+            sl.LinearKernel(variances=variances[dim], input_dim=3)
+            + sl.ActiveDims(sl.Matern32(lengthscales=1.0,
+                                        input_dim=1), dims=[0])
+            * sl.ActiveDims(sl.LinearKernel(
+                variances=variances[dim, 1], input_dim=1), dims=[0]))
+        means.append(sl.LinearSystem([a[[dim]], b[[dim]]]))
+    return sl.StackedGaussianProcess(
+        kernels, np.empty((0, 3)), np.empty((0, 2)),
+        noise_variances=noise_var, betas=2.0, mean_functions=means)
 
 
 def main():
@@ -191,7 +194,7 @@ def main():
         history.append(lyap.safe_set.mean())
         print("  safe fraction {:.3f}  c_max {:.4f}  data {}".format(
             history[-1], lyap.c_max,
-            int(lyap.dynamics.functions[0].count)))
+            int(lyap.dynamics.count)))
 
     # Closed-loop comparison old vs new policy (notebook cells 24-27).
     x0 = np.array([[1.0, -0.5]])
@@ -217,7 +220,7 @@ def main():
         fig, axes = plt.subplots(1, 2, figsize=(10, 4))
         axes[0].imshow(lyap.safe_set.reshape(safety_disc.shape).T,
                        origin="lower", extent=state_limits.ravel())
-        x_data = lyap.dynamics.functions[0].X
+        x_data = lyap.dynamics.X
         axes[0].plot(x_data[:, 0], x_data[:, 1], "rx", ms=4)
         axes[0].set_title("safe set + measurements")
         t = np.arange(len(states_new)) * true_dynamics.dt

@@ -133,3 +133,41 @@ def test_reference_pinned_posterior_values_f32():
                     atol=1e-5)
     assert_allclose(error, np.array([[1.37678679], [1.98183191]]),
                     atol=1e-5)
+
+
+def test_stacked_gp_matches_fan_out_f32():
+    """StackedGaussianProcess == FunctionStack of per-member GPs in the
+    TPU-default dtype (the flagship pendulum dynamics configuration),
+    including after an online measurement."""
+    rng = np.random.default_rng(4)
+    x = rng.uniform(-1, 1, size=(16, 3)).astype(np.float32)
+    y = np.column_stack([np.sin(2 * x[:, 0]) + 0.3 * x[:, 2],
+                         np.cos(x[:, 1]) - 0.2 * x[:, 2]]).astype(
+                             np.float32)
+    kernels, means, gps = [], [], []
+    for dim in range(2):
+        kernel = (sl.LinearKernel(variances=[0.3, 0.1, 0.4 + 0.1 * dim],
+                                  input_dim=3)
+                  + sl.ActiveDims(sl.Matern32(variance=1.0,
+                                              lengthscales=0.8,
+                                              input_dim=1), dims=[0])
+                  * sl.ActiveDims(sl.LinearKernel(variances=0.4,
+                                                  input_dim=1), dims=[0]))
+        mean = sl.LinearSystem([[0.9, 0.1 * dim, 0.05]])
+        kernels.append(kernel)
+        means.append(mean)
+        gps.append(sl.GaussianProcess(kernel, x, y[:, dim:dim + 1],
+                                      noise_variance=1e-6, beta=2.0,
+                                      mean_function=mean))
+    stacked = sl.StackedGaussianProcess.from_gps(gps)
+    fan_out = sl.FunctionStack(gps)
+    q = rng.uniform(-1, 1, size=(33, 3)).astype(np.float32)
+
+    for model_a, model_b in [(stacked, fan_out),
+                             (stacked.add_data_point(q[:1], q[:1, :2]),
+                              fan_out.add_data_point(q[:1], q[:1, :2]))]:
+        mean_a, err_a = map(np.asarray, model_a(q))
+        mean_b, err_b = map(np.asarray, model_b(q))
+        assert mean_a.dtype == np.float32
+        assert_allclose(mean_a, mean_b, atol=1e-5)
+        assert_allclose(err_a, err_b, atol=1e-5)
