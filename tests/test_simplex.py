@@ -334,3 +334,39 @@ def test_reference_pinned_3d_values():
                              [1 / 6, 1 / 6, 1 / 6, 1 / 2]])
     assert_allclose(np.asarray(fun(test_points)).ravel(), true_values,
                     atol=1e-10)
+
+
+@pytest.mark.parametrize("ndim", [1, 2, 3, 4])
+def test_corner_block_eval_matches_chain_path(ndim):
+    """The corner-block evaluation (one 2^d-wide row gather per query)
+    equals the per-vertex gather path exactly — values, input gradients,
+    and parameter gradients — including extrapolation outside the domain
+    (project=False)."""
+    from safe_learning_tpu.config import config
+
+    rng = np.random.default_rng(ndim)
+    grid = GridWorld([[-1, 1]] * ndim, 5)
+    params = rng.normal(size=(grid.nindex, 2))
+    points = rng.uniform(-1.4, 1.4, size=(57, ndim))  # includes outside
+
+    for project in (False, True):
+        tri = Triangulation(grid, params, project=project)
+
+        def value_sum(p, pts):
+            return jnp.sum(jnp.sin(tri.replace(parameters=p)(pts)))
+
+        results = []
+        old = config.block_gather_limit
+        try:
+            for limit in (1 << 30, 1):
+                config.block_gather_limit = limit
+                vals = np.asarray(tri(points))
+                g_params = np.asarray(jax.grad(value_sum)(
+                    tri.parameters, jnp.asarray(points)))
+                g_points = np.asarray(jax.grad(value_sum, argnums=1)(
+                    tri.parameters, jnp.asarray(points)))
+                results.append((vals, g_params, g_points))
+        finally:
+            config.block_gather_limit = old
+        for a, b in zip(results[0], results[1]):
+            assert_allclose(a, b, atol=1e-11)
