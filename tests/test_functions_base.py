@@ -178,3 +178,25 @@ def test_subtraction_algebra():
     x = np.array([[1.0], [2.0]])
     assert_allclose(np.asarray((f - g)(x)), 1.5 * x)
     assert_allclose(np.asarray((1.0 - g)(x)), 1.0 - 0.5 * x)
+
+
+def test_base_class_error_contracts():
+    """NotImplementedError contracts of the abstract bases and the
+    mean-function conversion on a stub (reference
+    test_functions.py:125-147)."""
+    import pytest
+
+    from safe_learning_tpu import (DeterministicFunction,
+                                   UncertainFunction)
+
+    with pytest.raises(NotImplementedError):
+        DeterministicFunction().evaluate(None)
+    with pytest.raises(NotImplementedError):
+        UncertainFunction().evaluate(None)
+
+    class Stub(UncertainFunction):
+        def evaluate(self, points):
+            return (jnp.ones((1, 1)), 2.0 * jnp.ones((1, 1)))
+
+    mean_fun = Stub().to_mean_function()
+    assert float(np.asarray(mean_fun(jnp.zeros((1, 1))))[0, 0]) == 1.0

@@ -98,3 +98,57 @@ def test_jit_compatible(grid):
 
     idx = jnp.arange(grid.nindex)
     assert_array_equal(np.asarray(roundtrip(idx)), np.arange(grid.nindex))
+
+
+def test_reference_gridworld_cases():
+    """Direct port of the reference's GridWorld cases
+    (test_functions.py:298-368): index/rectangle conversions, clipping
+    of out-of-domain points, integer num_points, and the 1-D grid."""
+    limits = [[-1.1, 1.5], [2.2, 2.4]]
+    grid = GridWorld(limits, [7, 8])
+
+    with pytest.raises(DimensionError):
+        grid._check_dimensions(np.array([[1.0, 2.0, 3.0]]))
+    with pytest.raises(DimensionError):
+        grid._check_dimensions(np.array([[1.0]]))
+
+    indices = np.arange(grid.nindex)
+    states = grid.index_to_state(indices)
+    assert_array_equal(np.asarray(grid.state_to_index(states)), indices)
+
+    # 1-D inputs are accepted.
+    grid.state_to_index([0.0, 2.3])
+    grid.index_to_state(1)
+
+    rectangles = np.arange(grid.nrectangles)
+    states = grid.rectangle_to_state(rectangles)
+    rect2 = grid.state_to_rectangle(
+        np.asarray(states) + np.asarray(grid.unit_maxes) / 2)
+    assert_array_equal(np.asarray(rect2), rectangles)
+
+    # Out-of-domain points clip to the first/last rectangle and index 0.
+    assert int(np.asarray(
+        grid.state_to_rectangle(100 * np.ones((1, 2))))) \
+        == grid.nrectangles - 1
+    assert int(np.asarray(
+        grid.state_to_rectangle(-100 * np.ones((1, 2))))) == 0
+    assert int(np.asarray(
+        grid.state_to_index(np.array([[-1.2, 2.0]])))) == 0
+
+    corners = grid.rectangle_corner_index(rectangles)
+    corner_states = grid.rectangle_to_state(rectangles)
+    assert_array_equal(np.asarray(grid.state_to_index(corner_states)),
+                       np.asarray(corners))
+
+    # Integer (scalar) num_points broadcasts.
+    grid2 = GridWorld([[1, 2], [3, 4]], 2)
+    assert_array_equal(np.asarray(grid2.num_points), [2, 2])
+
+    # 1-D grid (reference test_0d).
+    grid1 = GridWorld([[0, 1]], 3)
+    test = np.array([[0.1, 0.4, 0.9]]).T
+    assert_array_equal(np.asarray(grid1.state_to_index(test)), [0, 1, 2])
+    assert_array_equal(np.asarray(grid1.state_to_rectangle(test)),
+                       [0, 0, 1])
+    assert_allclose(np.asarray(grid1.rectangle_to_state(
+        np.array([0, 0, 1]))), np.array([[0.0], [0.0], [0.5]]))
