@@ -16,7 +16,8 @@ import jax
 import numpy as np
 
 __all__ = ["save_checkpoint", "restore_checkpoint", "lyapunov_state",
-           "restore_lyapunov_state"]
+           "restore_lyapunov_state", "policy_iteration_state",
+           "restore_policy_iteration_state"]
 
 
 def _flatten_with_paths(tree):
@@ -163,6 +164,37 @@ def lyapunov_state(lyapunov):
             hasattr(f, "X_buf") for f in dynamics.functions):
         state["gp_stack"] = [_gp_state(f) for f in dynamics.functions]
     return state
+
+
+def policy_iteration_state(rl):
+    """Extract the persistent state of a :class:`PolicyIteration` object:
+    policy and value-function parameters, plus full GP dynamics state
+    when the dynamics are (stacked) GPs."""
+    from .functions.gp import GaussianProcess, StackedGaussianProcess
+
+    state = {
+        "policy_parameters": rl.policy.parameters_dict,
+        "value_parameters": rl.value_function.parameters_dict,
+    }
+    if isinstance(rl.dynamics, StackedGaussianProcess):
+        state["gp_stacked"] = _stacked_gp_state(rl.dynamics)
+    elif isinstance(rl.dynamics, GaussianProcess):
+        state["gp"] = _gp_state(rl.dynamics)
+    return state
+
+
+def restore_policy_iteration_state(rl, state):
+    """Write a saved state back onto a :class:`PolicyIteration` object."""
+    if state.get("policy_parameters"):
+        rl.policy = rl.policy.with_parameters(state["policy_parameters"])
+    if state.get("value_parameters"):
+        rl.value_function = rl.value_function.with_parameters(
+            state["value_parameters"])
+    if "gp_stacked" in state and hasattr(rl.dynamics, "kernels"):
+        rl.dynamics = _restore_stacked_gp(rl.dynamics, state["gp_stacked"])
+    elif "gp" in state and hasattr(rl.dynamics, "X_buf"):
+        rl.dynamics = _restore_gp(rl.dynamics, state["gp"])
+    return rl
 
 
 def restore_lyapunov_state(lyapunov, state):

@@ -167,3 +167,53 @@ def test_function_stack_gp_state_roundtrip(tmp_path):
     mean_new, err_new = map(np.asarray, restored.dynamics(q))
     assert_allclose(mean_new, mean_ref, atol=1e-10)
     assert_allclose(err_new, err_ref, atol=1e-10)
+
+
+def test_policy_iteration_state_roundtrip(tmp_path):
+    """PolicyIteration state (policy + PWL value + GP dynamics) saves and
+    restores through the npz checkpoint."""
+    import jax.numpy as jnp
+
+    from safe_learning_tpu.checkpoints import (
+        policy_iteration_state, restore_checkpoint,
+        restore_policy_iteration_state, save_checkpoint)
+
+    rng = np.random.default_rng(0)
+    grid = sl.GridWorld([[-1, 1]], 21)
+    x = np.column_stack([rng.uniform(-1, 1, 9), rng.uniform(-1, 1, 9)])
+    y = 0.7 * x[:, :1] + 0.2 * x[:, 1:]
+    gp = sl.GaussianProcess(sl.RBF(0.5, [0.6, 0.9], input_dim=2), x, y,
+                            1e-4)
+    # PiecewiseConstant policy: the trainable policy representation used
+    # by discrete_policy_optimization (LinearSystem matrices are
+    # constants, as in the reference).
+    policy = sl.PiecewiseConstant(grid, -0.3 * grid.all_points[:, :1])
+    reward = sl.LambdaFunction(lambda xu: -(xu[:, :1] ** 2))
+    vf = sl.Triangulation(grid, rng.normal(size=grid.nindex),
+                          project=True)
+    rl = sl.PolicyIteration(policy, gp, reward, vf, gamma=0.9)
+    rl.optimize_value_function()
+    rl.dynamics = rl.dynamics.add_data_point([[0.5, 0.1]], [[0.37]])
+
+    state = policy_iteration_state(rl)
+    path = save_checkpoint(str(tmp_path / "rl_ckpt"), state)
+
+    fresh = sl.PolicyIteration(
+        sl.PiecewiseConstant(grid, np.zeros(grid.nindex)),
+        sl.GaussianProcess(sl.RBF(0.5, [0.6, 0.9], input_dim=2), x, y,
+                           1e-4, capacity=rl.dynamics.capacity),
+        reward, sl.Triangulation(grid, np.zeros(grid.nindex),
+                                 project=True), gamma=0.9)
+    restored = restore_checkpoint(path, policy_iteration_state(fresh))
+    restore_policy_iteration_state(fresh, restored)
+
+    q = rng.uniform(-1, 1, size=(7, 1))
+    assert_allclose(np.asarray(fresh.policy(q)), np.asarray(rl.policy(q)),
+                    atol=1e-12)
+    assert_allclose(np.asarray(fresh.value_function(q)),
+                    np.asarray(rl.value_function(q)), atol=1e-12)
+    qa = np.column_stack([q, 0.1 * np.ones_like(q)])
+    m0, e0 = map(np.asarray, rl.dynamics(jnp.asarray(qa)))
+    m1, e1 = map(np.asarray, fresh.dynamics(jnp.asarray(qa)))
+    assert_allclose(m1, m0, atol=1e-12)
+    assert_allclose(e1, e0, atol=1e-12)
