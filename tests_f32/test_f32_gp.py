@@ -171,3 +171,89 @@ def test_stacked_gp_matches_fan_out_f32():
         assert mean_a.dtype == np.float32
         assert_allclose(mean_a, mean_b, atol=1e-5)
         assert_allclose(err_a, err_b, atol=1e-5)
+
+
+def test_bordered_append_matches_refactorization():
+    """The O(n^2) bordered Cholesky append produces the same cache as a
+    full refactorization (same f64 host island, same recurrence) — for
+    both the single GP and the stacked per-dimension form, across a
+    sequence of additions."""
+    from safe_learning_tpu.config import config as cfg
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-1, 1, size=(10, 2)).astype(np.float32)
+    y = np.column_stack([np.sin(2 * x[:, 0]),
+                         np.cos(x[:, 1])]).astype(np.float32)
+    x_more = rng.uniform(-1, 1, size=(6, 2)).astype(np.float32)
+    y_more = np.column_stack([np.sin(2 * x_more[:, 0]),
+                              np.cos(x_more[:, 1])]).astype(np.float32)
+    q = rng.uniform(-1, 1, size=(23, 2)).astype(np.float32)
+
+    def run(incremental):
+        old = cfg.incremental_gp_updates
+        cfg.incremental_gp_updates = incremental
+        try:
+            gp = sl.GaussianProcess(
+                sl.RBF(1.2, [0.5, 0.8], input_dim=2), x, y[:, :1], 1e-6,
+                mean_function=sl.LinearSystem([[0.3, -0.1]]),
+                capacity=32)
+            stacked = sl.StackedGaussianProcess(
+                [sl.RBF(1.2, [0.5, 0.8], input_dim=2),
+                 sl.Matern32(0.8, [0.7, 0.6], input_dim=2)], x, y,
+                [1e-6, 2e-6], capacity=32)
+            for i in range(len(x_more)):
+                gp = gp.add_data_point(x_more[i], y_more[i, :1])
+                stacked = stacked.add_data_point(x_more[i], y_more[i])
+            # one multi-row append too
+            gp = gp.add_data_point(x_more[:3] * 0.5, y_more[:3, :1])
+            stacked = stacked.add_data_point(x_more[:3] * 0.5, y_more[:3])
+            return gp, stacked
+        finally:
+            cfg.incremental_gp_updates = old
+
+    gp_inc, st_inc = run(True)
+    gp_ref, st_ref = run(False)
+
+    # The incremental path actually ran (host mirror advanced in place).
+    assert gp_inc._host_cache is not None
+    assert gp_inc._host_cache.count == int(gp_inc.count)
+
+    # Both paths share the f32 device kernel assembly but see it through
+    # different matmul shapes, so they agree to the assembly-rounding
+    # scale (~1e-5 on the factor, ~2e-4 on predictions — the same scale
+    # as the f32-vs-f64-oracle gap asserted elsewhere in this lane), not
+    # to f64 roundoff.
+    assert_allclose(np.asarray(gp_inc.chol), np.asarray(gp_ref.chol),
+                    rtol=0, atol=2e-5)
+    for a, b in [(gp_inc.predict(q), gp_ref.predict(q)),
+                 (st_inc.predict(q), st_ref.predict(q))]:
+        assert_allclose(np.asarray(a[0]), np.asarray(b[0]), rtol=0,
+                        atol=5e-4)
+        assert_allclose(np.asarray(a[1]), np.asarray(b[1]), rtol=0,
+                        atol=5e-4)
+
+    # Cross-check against a float64 NumPy oracle on the final dataset.
+    variance, ls, noise = 1.2, np.array([0.5, 0.8]), 1e-6
+    prior = np.asarray(gp_inc.X, np.float64) @ np.array([0.3, -0.1])
+    ref_mean, _ = _oracle_rbf_predict(
+        gp_inc.X, np.asarray(gp_inc.Y, np.float64)
+        - prior[:, None], q, variance, ls, noise)
+    prior_q = np.asarray(q, np.float64) @ np.array([0.3, -0.1])
+    assert_allclose(np.asarray(gp_inc.predict(q)[0])[:, 0],
+                    ref_mean[:, 0] + prior_q, atol=5e-4)
+
+
+def test_bordered_append_falls_back_on_degenerate_addition():
+    """Adding a (near-)duplicate point makes the bordered pivot collapse;
+    the append must fall back to the jittered refactorization and stay
+    finite."""
+    rng = np.random.default_rng(8)
+    x = rng.uniform(-1, 1, size=(8, 2)).astype(np.float32)
+    y = np.sin(x[:, :1]).astype(np.float32)
+    gp = sl.GaussianProcess(sl.RBF(1.0, [0.5, 0.5], input_dim=2), x, y,
+                            1e-8, capacity=32)
+    dup = gp.add_data_point(x[0], y[0])  # exact duplicate input
+    q = rng.uniform(-1, 1, size=(9, 2)).astype(np.float32)
+    mean, var = map(np.asarray, dup.predict(q))
+    assert np.isfinite(mean).all() and np.isfinite(var).all()
+    assert int(dup.count) == 9
