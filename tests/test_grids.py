@@ -128,12 +128,12 @@ def test_reference_gridworld_cases():
 
     # Out-of-domain points clip to the first/last rectangle and index 0.
     assert int(np.asarray(
-        grid.state_to_rectangle(100 * np.ones((1, 2))))) \
+        grid.state_to_rectangle(100 * np.ones((1, 2)))).ravel()[0]) \
         == grid.nrectangles - 1
     assert int(np.asarray(
-        grid.state_to_rectangle(-100 * np.ones((1, 2))))) == 0
+        grid.state_to_rectangle(-100 * np.ones((1, 2)))).ravel()[0]) == 0
     assert int(np.asarray(
-        grid.state_to_index(np.array([[-1.2, 2.0]])))) == 0
+        grid.state_to_index(np.array([[-1.2, 2.0]]))).ravel()[0]) == 0
 
     corners = grid.rectangle_corner_index(rectangles)
     corner_states = grid.rectangle_to_state(rectangles)
