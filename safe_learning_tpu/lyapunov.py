@@ -184,9 +184,22 @@ def _fused_update(policy, dynamics, lyapunov_function, lipschitz_lyapunov,
     Returns ``(safe_set, c_max, values, any_safe)``.
     """
     values = lyapunov_function(points).reshape(-1)
-    negative, _, _ = _negative_batch(policy, dynamics, lyapunov_function,
-                                     lipschitz_lyapunov, lipschitz_dynamics,
-                                     tau, points)
+    # Inlined decrease check reusing ``values`` for v(x) — one candidate
+    # evaluation per sweep instead of two (matters for PWL / neural
+    # candidates, where v costs as much as the dynamics).
+    actions = policy(points)
+    next_states = dynamics(points, actions)
+    if isinstance(next_states, (tuple, list)):
+        next_states, error = next_states
+        lv = _eval_lipschitz(lipschitz_lyapunov, next_states)
+        bound = jnp.sum(jnp.atleast_2d(lv) * error, axis=1, keepdims=True)
+    else:
+        bound = 0.0
+    decrease = (lyapunov_function(next_states).reshape(-1, 1)
+                - values.reshape(-1, 1) + bound)
+    threshold = _threshold(lipschitz_lyapunov, lipschitz_dynamics, points,
+                           tau)
+    negative = jnp.squeeze(decrease < threshold, axis=1)
     eligible = negative | exempt
 
     inf = jnp.asarray(jnp.inf, dtype=values.dtype)
