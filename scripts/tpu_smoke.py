@@ -112,4 +112,42 @@ else:
     print("2. pallas kernel skipped (backend {} unsupported)".format(
         jax.default_backend()))
 
+# ---------------------------------------------------------------------
+# 3. Stacked per-dimension GP (flagship dynamics form): the single fused
+#    stacked kernel vs the per-output XLA path, and gradient flow THROUGH
+#    the fused predict (the policy-training path on TPU).
+# ---------------------------------------------------------------------
+kernels = []
+for dim in range(2):
+    kernels.append(
+        sl.LinearKernel(variances=[0.3, 0.1, 0.5], input_dim=3)
+        + sl.ActiveDims(sl.Matern32(variance=1.0,
+                                    lengthscales=0.8 + 0.1 * dim,
+                                    input_dim=1), [0])
+        * sl.ActiveDims(sl.LinearKernel(variances=0.4, input_dim=1), [0]))
+stacked = sl.StackedGaussianProcess(kernels, x_train, y_train,
+                                    noise_variances=[1e-4, 2e-4])
+
+config.use_pallas = False
+mean_s_xla, var_s_xla = map(np.asarray, stacked.predict(q))
+config.use_pallas = True
+mean_s, var_s = map(np.asarray, stacked.predict(q))
+dm = np.abs(mean_s - mean_s_xla).max()
+dv = np.abs(var_s - var_s_xla).max()
+print("3. stacked fused vs XLA: |dmean|={:.2e} |dvar|={:.2e}".format(
+    dm, dv))
+if pallas_supported():
+    assert dm < 5e-4 and dv < 5e-4, "stacked kernel drifted"
+
+
+def explore_score(points):
+    mean, err = stacked(points)
+    return jnp.sum(mean ** 2) + jnp.sum(err)
+
+
+g = np.asarray(jax.grad(explore_score)(q[:4096]))
+assert np.isfinite(g).all(), "gradient through fused predict not finite"
+print("3. STACKED PREDICT + GRADIENT OK (|g| max {:.3f})".format(
+    np.abs(g).max()))
+
 print("TPU SMOKE OK")
