@@ -33,12 +33,38 @@ init = np.where(vals <= np.quantile(vals, 0.001))[0]
 lyap = sl.Lyapunov(grid, v, gp, lf, lv, tau, policy, initial_set=init)
 
 t0 = time.perf_counter()
-lyap.update_safe_set()  # batched path: 6.8M points in gp_batch_size chunks
+lyap.update_safe_set()  # one fused device program over all 6.8M points
 t1 = time.perf_counter()
 print(f"first sweep (compile+run): {t1-t0:.1f}s")
 t0 = time.perf_counter()
 lyap.update_safe_set()
 t1 = time.perf_counter()
 n = grid.nindex
-print(f"second sweep: {t1-t0:.2f}s -> {n/(t1-t0):.3e} checks/s")
+print(f"end-to-end update_safe_set: {t1-t0:.2f}s -> {n/(t1-t0):.3e} "
+      "checks/s (includes relay dispatch latency + 6.8MB safe-set D2H "
+      "+ host state update)")
 print(f"c_max={lyap.c_max:.4f} safe_frac={lyap.safe_set.mean():.4f}")
+
+# Device-only sweep rate, relay effects amortized by a data-dependent
+# carry chain (same methodology as bench.py / flagship_3m_sweep.py).
+from safe_learning_tpu.lyapunov import _fused_update
+
+pts = lyap._device_points()
+exempt = jnp.asarray(lyap.initial_safe_set)
+
+@jax.jit
+def sweep(p_, carry):
+    safe, c_max, values, any_safe = _fused_update(
+        policy, gp, v, lv, lf, tau, p_ + carry * 1e-9, exempt)
+    return jnp.sin(values[0] + carry), c_max, safe
+
+carry = jnp.zeros((), jnp.float32)
+carry, c_max, safe = sweep(pts, carry)
+float(c_max)
+iters = 10
+t0 = time.perf_counter()
+for _ in range(iters):
+    carry, c_max, safe = sweep(pts, carry)
+float(c_max)
+dt = (time.perf_counter() - t0) / iters
+print(f"device sweep: {dt*1e3:.1f} ms -> {n/dt:.3e} checks/s")
