@@ -900,6 +900,24 @@ class StackedGaussianProcess(UncertainFunction):
         betas = jnp.asarray(self.betas, dtype=var.dtype)
         return mean, betas * jnp.sqrt(var)
 
+    # -- hyperparameter objective -----------------------------------------
+    def log_marginal_likelihood(self, kernels=None, noise_variances=None):
+        """Sum of the per-output exact log marginal likelihoods.
+
+        Differentiable with respect to the kernel pytrees and noise
+        variances (see :meth:`GaussianProcess.log_marginal_likelihood`).
+        """
+        kernels = self.kernels if kernels is None else kernels
+        noises = (self.noise_variances if noise_variances is None
+                  else jnp.asarray(noise_variances))
+        total = 0.0
+        for s in range(self.num_fun):
+            fun = self.mean_functions[s]
+            total = total + _log_marginal_likelihood(
+                kernels[s], noises[s], self.X_buf,
+                self.Y_buf[:, s:s + 1], fun, self.count)
+        return total
+
     # -- online learning --------------------------------------------------
     def add_data_point(self, x, y):
         """Append measurement(s) of ALL outputs and refresh the caches.
@@ -1018,7 +1036,24 @@ def fit_gp_hyperparameters(gp, steps=150, learning_rate=0.05,
     fitted : GaussianProcess
     history : ndarray
         Negative log marginal likelihood per step.
+
+    Notes
+    -----
+    A :class:`StackedGaussianProcess` is also accepted: its outputs are
+    independent GPs, so each is fitted separately and re-batched; the
+    returned history is the summed per-output NLL.
     """
+    if isinstance(gp, StackedGaussianProcess):
+        fitted_members, histories = [], []
+        for member in gp.unstack():
+            fitted_member, history = fit_gp_hyperparameters(
+                member, steps=steps, learning_rate=learning_rate,
+                optimize_noise=optimize_noise, min_noise=min_noise)
+            fitted_members.append(fitted_member)
+            histories.append(history)
+        return (StackedGaussianProcess.from_gps(fitted_members),
+                np.sum(histories, axis=0))
+
     if min_noise is None:
         min_noise = (1e-8 if np.dtype(config.np_dtype) == np.float64
                      else 1e-6)

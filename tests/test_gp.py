@@ -457,3 +457,33 @@ def test_stacked_gp_in_lyapunov_sweep():
         results.append((lyap.safe_set.copy(), lyap.c_max))
     assert np.array_equal(results[0][0], results[1][0])
     assert_allclose(results[0][1], results[1][1], rtol=1e-12)
+
+
+def test_stacked_gp_lml_and_fit():
+    """Stacked log marginal likelihood equals the sum of the members';
+    fit_gp_hyperparameters on a stack fits every output."""
+    from safe_learning_tpu import StackedGaussianProcess, fit_gp_hyperparameters
+
+    rng = np.random.default_rng(9)
+    x = rng.uniform(-2, 2, size=(30, 2))
+    y = np.column_stack([np.sin(2.5 * x[:, 0]),
+                         np.cos(0.8 * x[:, 1])])
+    y += 0.05 * rng.standard_normal(y.shape)
+    gps = [GaussianProcess(RBF(0.6, [1.0, 1.0], input_dim=2),
+                           x, y[:, s:s + 1], 0.05) for s in range(2)]
+    stacked = StackedGaussianProcess.from_gps(gps)
+
+    lml_sum = sum(float(g.log_marginal_likelihood()) for g in gps)
+    assert_allclose(float(stacked.log_marginal_likelihood()), lml_sum,
+                    rtol=1e-10)
+
+    fitted, history = fit_gp_hyperparameters(stacked, steps=120,
+                                             learning_rate=0.08)
+    assert history[-1] < history[0] - 2.0
+    # Per-output kernels were fitted independently (they now differ).
+    ls0 = np.asarray(fitted.kernels[0].lengthscales)
+    ls1 = np.asarray(fitted.kernels[1].lengthscales)
+    assert not np.allclose(ls0, ls1)
+    resid0 = np.abs(np.asarray(stacked.predict(x)[0]) - y).mean()
+    resid1 = np.abs(np.asarray(fitted.predict(x)[0]) - y).mean()
+    assert resid1 < resid0
