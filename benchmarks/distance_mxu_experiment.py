@@ -106,8 +106,10 @@ y_train = np.column_stack([np.sin(x_train @ [1.0, 0.5, 0.2]),
 gp = sl.GaussianProcess(sl.RBF(1.0, [0.3, 0.3, 0.3], input_dim=3),
                         x_train, y_train, noise_variance=1e-6)
 n_q = 1 << 20
-q = jnp.asarray(rng.uniform(-1, 1, size=(n_q, 3)), dtype=config.dtype)
 ls = gp.kernel.lengthscales
+# fused_gp_predict takes PRE-scaled queries (points / lengthscales).
+q = jnp.asarray(rng.uniform(-1, 1, size=(n_q, 3)),
+                dtype=config.dtype) / ls
 args = (gp.X_buf / ls, gp.chol_inv, gp.alpha, gp._mask(),
         gp.kernel.variance)
 
@@ -115,7 +117,7 @@ args = (gp.X_buf / ls, gp.chol_inv, gp.alpha, gp._mask(),
 q64 = np.asarray(q, np.float64)[:4096]
 x64 = np.asarray(gp.X_buf, np.float64)
 d64 = (x64 / np.asarray(ls, np.float64))[:, None, :] \
-    - (q64 / np.asarray(ls, np.float64))[None, :, :]
+    - q64[None, :, :]
 k64 = np.exp(-0.5 * np.sum(d64 ** 2, axis=2)) \
     * np.asarray(gp._mask(), np.float64)[:, None]
 a64 = np.asarray(gp.chol_inv, np.float64) @ k64
