@@ -19,6 +19,7 @@ from .functions import (AddedFunction, ConstantFunction,
                         UncertainFunction)
 from .functions.gp import (ActiveDims, GaussianProcess,
                            GPSampledFunction, LinearKernel,
+                           StackedSampledFunction,
                            Matern12, Matern32, Matern52, RBF,
                            StackedGaussianProcess,
                            fit_gp_hyperparameters, sample_gp_function)
@@ -39,7 +40,7 @@ __all__ = [
     "MultipliedFunction", "NeuralNetwork", "PiecewiseConstant",
     "GradientNorm", "QuadraticFunction", "RBFNetwork", "Saturation", "Triangulation",
     "UncertainFunction", "GaussianProcess", "StackedGaussianProcess",
-    "GPSampledFunction",
+    "GPSampledFunction", "StackedSampledFunction",
     "ActiveDims", "LinearKernel", "Matern12", "Matern32", "Matern52", "RBF",
     "fit_gp_hyperparameters", "sample_gp_function", "Lyapunov",
     "get_lyapunov_region",

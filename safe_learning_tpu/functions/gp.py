@@ -834,17 +834,36 @@ class StackedGaussianProcess(UncertainFunction):
         return jnp.concatenate(cols, axis=1)
 
     # -- prediction -------------------------------------------------------
-    def predict(self, points):
-        """Posterior mean and variance for every output, shapes
-        ``(Q, num_fun)``.
+    def predict(self, points, full_cov=False):
+        """Posterior mean and variance for every output.
+
+        Returns ``(mean, var)`` with shapes ``(Q, num_fun)``, or — with
+        ``full_cov=True`` — ``(mean, cov)`` where ``cov`` is
+        ``(num_fun, Q, Q)`` (outputs are independent GPs, so the
+        cross-output covariance is zero and omitted).
 
         On TPU all outputs run in ONE fused Pallas kernel sharing the
         query tile and per-dimension covariance work; elsewhere (or for
         kernels outside the compilable family) a per-output XLA matmul
-        chain is used.
+        chain is used. ``full_cov`` always takes the XLA path (it is
+        used for sampling on small discretizations, off the hot path).
         """
         points = jnp.atleast_2d(jnp.asarray(points))
         s2 = self.scale ** 2
+
+        if full_cov:
+            mask = self._mask()
+            means, covs = [], []
+            for s in range(self.num_fun):
+                kx = (s2 * self.kernels[s](self.X_buf, points)
+                      * mask[:, None])
+                a = mxu_dot(self.chol_inv[s], kx)
+                means.append(mxu_dot(a.T, self.alpha[s]) / self.scale)
+                covs.append(self.kernels[s](points, points)
+                            - mxu_dot(a.T, a) / s2)
+            mean = (jnp.concatenate(means, axis=1)
+                    + self._prior_means(points))
+            return mean, jnp.stack(covs, axis=0)
 
         if getattr(config, "use_pallas", True):
             from ..ops.gp_kernel import (compile_kernel_program,
@@ -1181,6 +1200,42 @@ class GPSampledFunction(DeterministicFunction):
         return mean + mxu_dot(cross, self.alpha)
 
 
+@register_pytree
+class StackedSampledFunction(DeterministicFunction):
+    """Per-output posterior samples of a :class:`StackedGaussianProcess`,
+    stacked into one multi-output deterministic function.
+
+    Members are :class:`GPSampledFunction` draws from the independent
+    per-output posteriors; evaluation concatenates them along the output
+    axis, mirroring the reference's ``FunctionStack``-of-samples pattern
+    for synthetic "true dynamics" (``functions.py:254-307, 1586-1662``).
+    """
+
+    _data_fields = ("members",)
+    _meta_fields = ()
+
+    def __init__(self, members):
+        self.members = tuple(members)
+        self.input_dim = self.members[0].input_dim
+        self.output_dim = len(self.members)
+
+    def __call__(self, *points, noise_key=None):
+        from .base import concatenate_inputs
+
+        merged = concatenate_inputs(*points)
+        if noise_key is None:
+            keys = (None,) * len(self.members)
+        else:
+            keys = jax.random.split(noise_key, len(self.members))
+        return jnp.concatenate(
+            [m(merged, noise_key=k)
+             for m, k in zip(self.members, keys)], axis=1)
+
+    def evaluate(self, points):
+        return jnp.concatenate(
+            [m.evaluate(points) for m in self.members], axis=1)
+
+
 def sample_gp_function(discretization, gp, key, number=1,
                        return_function=True, jitter=0.0, cut_rel=None):
     """Draw exact posterior sample(s) of a GP on a discretization.
@@ -1205,6 +1260,17 @@ def sample_gp_function(discretization, gp, key, number=1,
     if isinstance(discretization, GridWorld):
         discretization = discretization.all_points
     discretization = jnp.asarray(discretization, dtype=config.dtype)
+
+    if isinstance(gp, StackedGaussianProcess):
+        keys = jax.random.split(key, gp.num_fun)
+        per_out = [sample_gp_function(discretization, member, k, number,
+                                      return_function, jitter, cut_rel)
+                   for member, k in zip(gp.unstack(), keys)]
+        if not return_function:
+            return np.stack(per_out, axis=-1)
+        return [StackedSampledFunction([per_out[s][i]
+                                        for s in range(gp.num_fun)])
+                for i in range(number)]
 
     mean, cov = gp.predict(discretization, full_cov=True)
 

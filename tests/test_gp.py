@@ -487,3 +487,52 @@ def test_stacked_gp_lml_and_fit():
     resid0 = np.abs(np.asarray(stacked.predict(x)[0]) - y).mean()
     resid1 = np.abs(np.asarray(fitted.predict(x)[0]) - y).mean()
     assert resid1 < resid0
+
+
+def test_stacked_gp_full_cov_matches_members():
+    """full_cov predict on the stack equals the per-member full
+    covariances; its diagonal equals the marginal variances."""
+    rng = np.random.default_rng(11)
+    gps, stacked = _pendulum_style_members(rng)
+    q = rng.uniform(-1, 1, size=(17, 3))
+
+    mean, cov = stacked.predict(q, full_cov=True)
+    assert cov.shape == (2, 17, 17)
+    mean_m, var_m = stacked.predict(q)
+    assert_allclose(np.asarray(mean), np.asarray(mean_m), atol=1e-5)
+    for s, gp in enumerate(gps):
+        m_s, c_s = gp.predict(q, full_cov=True)
+        assert_allclose(np.asarray(cov[s]), np.asarray(c_s), atol=1e-5)
+        assert_allclose(np.diagonal(np.asarray(cov[s])),
+                        np.asarray(var_m)[:, s], atol=1e-5)
+
+
+def test_sample_stacked_gp_function():
+    """Posterior function samples from a stacked GP: one multi-output
+    callable per draw, consistent with its own sampled values
+    (reference pattern: FunctionStack of per-dim samples,
+    functions.py:254-307, 1586-1662)."""
+    from safe_learning_tpu import sample_gp_function
+
+    rng = np.random.default_rng(12)
+    _, stacked = _pendulum_style_members(rng)
+    grid = rng.uniform(-1, 1, size=(40, 3))
+
+    key = jax.random.PRNGKey(7)
+    raw = sample_gp_function(grid, stacked, key, number=3,
+                             return_function=False)
+    assert raw.shape == (3, 40, 2)
+
+    funs = sample_gp_function(grid, stacked, key, number=3)
+    assert len(funs) == 3
+    vals = np.asarray(funs[1](grid))
+    assert vals.shape == (40, 2)
+    # The closure reproduces the sampled values on the discretization.
+    assert_allclose(vals, raw[1], atol=1e-3)
+    # Noisy evaluation differs per output but stays close at small noise.
+    noisy = np.asarray(funs[1](grid, noise_key=jax.random.PRNGKey(3)))
+    assert not np.allclose(noisy, vals)
+    assert_allclose(noisy, vals, atol=0.1)
+    # Samples pass near the training data of every output.
+    at_data = np.asarray(funs[0](stacked.X))
+    assert_allclose(at_data, stacked.Y, atol=0.3)
