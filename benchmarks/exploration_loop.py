@@ -1,0 +1,159 @@
+"""End-to-end safe active-learning iteration at notebook full scale.
+
+The reference's flagship loop (`adaptive_safety_verification.ipynb`
+cell 25, driven by `lyapunov.py:657-797`) alternates: pick the most
+informative provably-safe state-action pair (`get_safe_sample`), measure
+the true dynamics, append it to the GP (`add_data_point`), and re-verify
+the certified level set (`update_safe_set`). The reference pays three
+`session.run` round-trips per sample plus a full O(n^3) Cholesky
+refactorization per append on a 4-core CPU; here the candidate scoring
+is one fused device program, the append is an O(n^2) bordered Cholesky
+update in a float64 host island, and the sweep is the fused adaptive
+verification program.
+
+This script times each phase separately at the notebook's full scale
+(501^2 grid, 15 measurements per verification round) so the end-to-end
+iteration cost — not just the sweep — is on record.
+"""
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import safe_learning_tpu as sl  # noqa: E402
+
+print("backend:", jax.default_backend())
+
+
+def build(num_states=501, n_max=16):
+    """The adaptive notebook's full-scale instance, with the per-dim GPs
+    batched into a StackedGaussianProcess (the TPU-native form)."""
+    dt = 0.01
+    g = 9.81
+    m_true, length_true, b_fric_true = 0.15, 0.5, 0.1
+    theta_max = np.deg2rad(30)
+    omega_max = np.sqrt(g / length_true)
+    u_max = g * m_true * length_true * np.sin(theta_max)
+    norms = ((theta_max, omega_max), (u_max,))
+
+    true_pendulum = sl.InvertedPendulum(m_true, length_true, b_fric_true,
+                                        dt, normalization=norms)
+    a_true, b_true = (np.asarray(m) for m in true_pendulum.linearize())
+    wrong = sl.InvertedPendulum(0.1, 0.4, 0.0, dt, normalization=norms)
+    a, b = (np.asarray(m) for m in wrong.linearize())
+
+    m_err = np.hstack([a_true, b_true]) - np.hstack([a, b])
+    prior_variances = np.clip(m_err ** 2, 1e-3, None)
+    kernels, means = [], []
+    for dim in range(2):
+        kernels.append(
+            sl.LinearKernel(variances=prior_variances[dim], input_dim=3)
+            + sl.ActiveDims(sl.Matern32(lengthscales=1.0, input_dim=1),
+                            dims=[0])
+            * sl.ActiveDims(sl.LinearKernel(variances=prior_variances[dim, 1],
+                                            input_dim=1), dims=[0]))
+        means.append(sl.LinearSystem([a[[dim]], b[[dim]]]))
+    # Preallocate the data buffers for the whole run: capacity growth
+    # re-traces every program that closes over the GP (the sweep, the
+    # candidate scorer), so an expected-size hint up front keeps the
+    # loop on ONE compiled program per phase.
+    dynamics = sl.StackedGaussianProcess(
+        kernels, np.zeros((1, 3)), np.zeros((1, 2)),
+        noise_variances=[0.001 ** 2] * 2, betas=2.0,
+        mean_functions=means, capacity=128)
+
+    grid = sl.GridWorld([[-1.0, 1.0]] * 2, num_states)
+    tau = float(np.sum(grid.unit_maxes) / 2)
+    initial = np.linalg.norm(grid.all_points, ord=2, axis=1) <= 0.2
+
+    q = np.diag([1.0, 2.0])
+    r = 1.2 * np.identity(1)
+    k, p = sl.utils.dlqr(a_true, b_true, q, r)
+    p = p / np.abs(p).max()
+    policy = sl.Saturation(sl.LinearSystem(-k), -1.0, 1.0)
+    l_pol = np.linalg.norm(-k, 1)
+    l_dyn = np.linalg.norm(a_true, 1) + np.linalg.norm(b_true, 1) * l_pol
+    grad_v = sl.LinearSystem([2 * p])
+    l_v = sl.LambdaFunction(lambda x: jnp.abs(grad_v(x)),
+                            input_dim=2, output_dim=2)
+
+    lyap = sl.Lyapunov(grid, sl.QuadraticFunction(p), dynamics, l_dyn,
+                       l_v, tau, policy,
+                       initial_set=np.where(initial)[0], adaptive=True)
+    return lyap, true_pendulum, n_max
+
+
+def main():
+    lyap, true_pendulum, n_max = build()
+    sweep = dict(can_shrink=False, max_refinement=n_max, safety_factor=1.0)
+    rng = np.random.default_rng(0)
+    action_variation = np.array([[0.0]])
+    action_limits = np.array([[-1.0, 1.0]])
+
+    # The "true system" is the benchmark's environment: jit it so a
+    # measurement is one dispatch, not an eager op-by-op ODE rollout.
+    measure = jax.jit(lambda s, a: true_pendulum(s, a))
+
+    lyap.update_safe_set(**sweep)  # compile + initial certificate
+    print("grid {}  initial safe fraction {:.3f}".format(
+        lyap.discretization.nindex, lyap.safe_set.mean()))
+
+    # Warmup iteration: compiles the candidate-scoring size buckets and
+    # the sweep; excluded from the steady-state numbers below.
+    rng_w = np.random.default_rng(1)
+    for _ in range(15):
+        xu, _ = sl.get_safe_sample(lyap, action_variation, action_limits,
+                                   positive=True, num_samples=1000,
+                                   rng=rng_w)
+        y = np.asarray(measure(jnp.asarray(xu[:, :2]),
+                               jnp.asarray(xu[:, 2:])))
+        lyap.dynamics = lyap.dynamics.add_data_point(xu, y)
+    lyap.update_safe_set(**sweep)
+    print("warmup done: safe fraction {:.3f}  n_data {}".format(
+        lyap.safe_set.mean(), int(lyap.dynamics.count)))
+
+    iters, per_iter = 4, 15
+    t_sample = t_measure = t_append = t_sweep = 0.0
+    n_samples = 0
+    for it in range(iters):
+        for _ in range(per_iter):
+            t0 = time.perf_counter()
+            xu, _ = sl.get_safe_sample(lyap, action_variation,
+                                       action_limits, positive=True,
+                                       num_samples=1000, rng=rng)
+            t1 = time.perf_counter()
+            y = np.asarray(measure(jnp.asarray(xu[:, :2]),
+                                   jnp.asarray(xu[:, 2:])))
+            t2 = time.perf_counter()
+            lyap.dynamics = lyap.dynamics.add_data_point(xu, y)
+            t3 = time.perf_counter()
+            t_sample += t1 - t0
+            t_measure += t2 - t1
+            t_append += t3 - t2
+            n_samples += 1
+        t0 = time.perf_counter()
+        lyap.update_safe_set(**sweep)
+        jax.block_until_ready(lyap.c_max)
+        t_sweep += time.perf_counter() - t0
+        print("iter {}: safe fraction {:.3f}  c_max {:.4f}  n_data {}"
+              .format(it + 1, lyap.safe_set.mean(), float(lyap.c_max),
+                      int(lyap.dynamics.count)))
+
+    total = t_sample + t_measure + t_append + t_sweep
+    print("\nper exploration sample ({} samples, capacity {}):".format(
+        n_samples, lyap.dynamics.capacity))
+    print("  get_safe_sample   {:7.1f} ms".format(1e3 * t_sample / n_samples))
+    print("  true measurement  {:7.1f} ms".format(1e3 * t_measure / n_samples))
+    print("  add_data_point    {:7.1f} ms".format(1e3 * t_append / n_samples))
+    print("per verification sweep (adaptive, 501^2, N<=16):")
+    print("  update_safe_set   {:7.1f} ms".format(1e3 * t_sweep / iters))
+    print("full iteration ({} samples + verify): {:.2f} s".format(
+        per_iter, total / iters))
+
+
+if __name__ == "__main__":
+    main()

@@ -3,13 +3,18 @@ provably map back into the certified safe level set.
 
 TPU-native equivalent of reference ``get_safe_sample`` / ``perturb_actions``
 (``/root/reference/safe_learning/lyapunov.py:609-797``). The reference runs
-three ``session.run`` round-trips per exploration step; here candidate
-generation, GP prediction, safety filtering, and the argmax-variance
-selection are one fused jitted program over a fixed-size candidate batch.
+three ``session.run`` round-trips per exploration step; here the ENTIRE
+step — policy evaluation, candidate generation (perturbation or action
+cross-product), action clipping, GP prediction, level-set test, safe-set
+membership lookup, and the argmax-variance selection — is one fused jitted
+program: a single device dispatch returns the chosen pair. Only the
+safe-state subsampling (host RNG) and the rare backup-policy fallback stay
+on the host.
 """
 
 from __future__ import annotations
 
+import functools
 import warnings
 
 import jax
@@ -58,6 +63,74 @@ def _candidate_scores(dynamics, lyapunov_function, lipschitz_lyapunov,
     return mean, bound, maps_inside
 
 
+def _select_best(dynamics, lyapunov_function, lipschitz_lyapunov, c_max,
+                 grid, safe_set_dev, state_actions, check_membership):
+    """Score every candidate and pick the argmax-variance safe one.
+
+    Shared core of the fused paths: returns the winning row, its
+    informativeness (summed predictive std), and whether it is provably
+    safe (False only when NO candidate is — safe scores always dominate
+    the ``-inf`` given to unsafe ones).
+    """
+    mean, std = dynamics(state_actions)
+    bound = jnp.sum(std, axis=1)
+    lv = _lv_threshold_term(lipschitz_lyapunov, mean)
+    error = jnp.sum(jnp.atleast_2d(lv) * std, axis=1)
+    future = lyapunov_function(mean).reshape(-1) + error
+    safe = future < c_max
+    if check_membership:
+        # Mean next state must lie in the current safe set
+        # (reference lyapunov.py:773-776).
+        safe &= safe_set_dev[grid.state_to_index(mean)]
+    score = jnp.where(safe, bound, -jnp.inf)
+    best = jnp.argmax(score)
+    return state_actions[best], bound[best], safe[best]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("grid", "use_limits",
+                                    "check_membership"))
+def _fused_sample_perturb(dynamics, policy, lyapunov_function,
+                          lipschitz_lyapunov, c_max, safe_set_dev,
+                          safe_states, perturbations, limits, *, grid,
+                          use_limits, check_membership):
+    """One-dispatch exploration step, perturbation mode: candidates are
+    the current policy's actions at the sampled safe states, perturbed
+    (reference ``perturb_actions``, ``lyapunov.py:609-651``, fused with
+    the scoring of ``:703-797``)."""
+    n, d = safe_states.shape
+    p, m = perturbations.shape
+    actions = jnp.atleast_2d(policy(safe_states))
+    acts = actions[:, None, :] + perturbations[None, :, :]
+    if use_limits:
+        acts = jnp.clip(acts, limits[:, 0], limits[:, 1])
+    states = jnp.broadcast_to(safe_states[:, None, :], (n, p, d))
+    state_actions = jnp.concatenate(
+        [states, acts], axis=-1).reshape(n * p, d + m)
+    return _select_best(dynamics, lyapunov_function, lipschitz_lyapunov,
+                        c_max, grid, safe_set_dev, state_actions,
+                        check_membership)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("grid", "check_membership"))
+def _fused_sample_actions(dynamics, lyapunov_function, lipschitz_lyapunov,
+                          c_max, safe_set_dev, safe_states, actions, *,
+                          grid, check_membership):
+    """One-dispatch exploration step, explicit-action mode: candidates
+    are the full cross product of sampled safe states and the given
+    actions (reference ``lyapunov.py:748-760``)."""
+    n, d = safe_states.shape
+    na, m = actions.shape
+    states = jnp.broadcast_to(safe_states[:, None, :], (n, na, d))
+    acts = jnp.broadcast_to(actions[None, :, :], (n, na, m))
+    state_actions = jnp.concatenate(
+        [states, acts], axis=-1).reshape(n * na, d + m)
+    return _select_best(dynamics, lyapunov_function, lipschitz_lyapunov,
+                        c_max, grid, safe_set_dev, state_actions,
+                        check_membership)
+
+
 def get_safe_sample(lyapunov, perturbations=None, limits=None,
                     positive=False, num_samples=None, actions=None,
                     rng=None):
@@ -77,12 +150,27 @@ def get_safe_sample(lyapunov, perturbations=None, limits=None,
     grid = lyapunov.discretization
     state_dim = grid.ndim
 
-    # Subsample safe states (reference lyapunov.py:737-742).
+    # Subsample safe states (reference lyapunov.py:737-742) — host side:
+    # the grid points are static host metadata, so no device round-trip.
     safe_idx = np.where(lyapunov.safe_set)[0]
-    safe_states = np.asarray(grid.index_to_state(safe_idx))
+    safe_states = np.asarray(grid.all_points)[safe_idx]
     if num_samples is not None and len(safe_states) > num_samples:
         pick = rng.choice(len(safe_states), num_samples, replace=True)
         safe_states = safe_states[pick]
+    # Pad to the next power of two so varying safe-set sizes reuse one
+    # compiled program per bucket (padding duplicates the last state —
+    # duplicate candidates cannot change the argmax winner's content).
+    n = len(safe_states)
+    padded = 1 << max(3, (n - 1).bit_length())
+    if padded != n:
+        safe_states = np.vstack([
+            safe_states,
+            np.broadcast_to(safe_states[-1:], (padded - n, state_dim))])
+    safe_states_dev = jnp.asarray(safe_states, dtype=config.dtype)
+
+    check_membership = not positive
+    safe_set_dev = (_device_safe_set(lyapunov) if check_membership
+                    else jnp.zeros(1, dtype=bool))
 
     if perturbations is None:
         if actions is None:
@@ -91,37 +179,52 @@ def get_safe_sample(lyapunov, perturbations=None, limits=None,
         # reference's np.meshgrid ravel at lyapunov.py:750-753 silently
         # produces invalid rows for state_dim > 1 or action_dim > 1.)
         actions = np.atleast_2d(actions)
-        state_actions = np.column_stack([
-            np.repeat(safe_states, len(actions), axis=0),
-            np.tile(actions, (len(safe_states), 1))])
+        action_dim = actions.shape[1]
+        sa_best, bound_best, is_safe = _fused_sample_actions(
+            lyapunov.dynamics, lyapunov.lyapunov_function,
+            lyapunov._lipschitz_lyapunov, lyapunov.c_max, safe_set_dev,
+            safe_states_dev, jnp.asarray(actions, dtype=config.dtype),
+            grid=grid, check_membership=check_membership)
     else:
-        safe_actions = np.asarray(lyapunov.policy(jnp.asarray(safe_states)))
-        state_actions = perturb_actions(safe_states, safe_actions,
-                                        np.atleast_2d(perturbations),
-                                        limits=limits)
+        perturbations = np.atleast_2d(perturbations)
+        action_dim = perturbations.shape[1]
+        use_limits = limits is not None
+        limits_dev = jnp.asarray(
+            np.atleast_2d(limits) if use_limits
+            else np.zeros((1, 2)), dtype=config.dtype)
+        sa_best, bound_best, is_safe = _fused_sample_perturb(
+            lyapunov.dynamics, lyapunov.policy,
+            lyapunov.lyapunov_function, lyapunov._lipschitz_lyapunov,
+            lyapunov.c_max, safe_set_dev, safe_states_dev,
+            jnp.asarray(perturbations, dtype=config.dtype), limits_dev,
+            grid=grid, use_limits=use_limits,
+            check_membership=check_membership)
 
-    mean, bound, maps_inside = _evaluate_candidates(lyapunov, state_actions,
-                                                    positive)
+    if bool(is_safe):
+        return (np.asarray(sa_best, dtype=config.np_dtype)[None],
+                float(bound_best))
 
-    bound_safe = bound[maps_inside]
-    if len(bound_safe) == 0:
-        # Nothing is safe: fall back to the backup policy (zero
-        # perturbation around the current policy, reference
-        # lyapunov.py:780-793).
-        warnings.warn("No safe state-action pairs found! "
-                      "Using backup policy ...", RuntimeWarning)
-        safe_actions = np.asarray(lyapunov.policy(jnp.asarray(safe_states)))
-        zero = np.zeros((1, state_actions.shape[1] - state_dim),
-                        dtype=config.np_dtype)
-        state_actions = perturb_actions(safe_states, safe_actions, zero,
-                                        limits=limits)
-        _, bound, _ = _evaluate_candidates(lyapunov, state_actions,
-                                           positive)
-        max_id = int(np.argmax(bound))
-        return state_actions[[max_id]], float(bound[max_id])
+    # Nothing is safe: fall back to the backup policy (zero perturbation
+    # around the current policy, reference lyapunov.py:780-793).
+    warnings.warn("No safe state-action pairs found! "
+                  "Using backup policy ...", RuntimeWarning)
+    safe_actions = np.asarray(lyapunov.policy(safe_states_dev))
+    zero = np.zeros((1, action_dim), dtype=config.np_dtype)
+    state_actions = perturb_actions(safe_states, safe_actions, zero,
+                                    limits=limits)
+    _, bound, _ = _evaluate_candidates(lyapunov, state_actions, positive)
+    max_id = int(np.argmax(bound))
+    return state_actions[[max_id]], float(bound[max_id])
 
-    max_id = int(np.argmax(bound_safe))
-    return (state_actions[maps_inside][[max_id]], float(bound_safe[max_id]))
+
+def _device_safe_set(lyapunov):
+    """Device copy of the boolean safe set, cached until the host array
+    is replaced (``update_safe_set`` assigns a fresh array)."""
+    cache = getattr(lyapunov, "_safe_set_dev_cache", None)
+    if cache is None or cache[0] is not lyapunov.safe_set:
+        cache = (lyapunov.safe_set, jnp.asarray(lyapunov.safe_set))
+        lyapunov._safe_set_dev_cache = cache
+    return cache[1]
 
 
 def _evaluate_candidates(lyapunov, state_actions, positive):

@@ -29,6 +29,8 @@ All state is an immutable pytree; ``add_data_point`` returns a new instance.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -222,6 +224,23 @@ class ProductKernel(Kernel):
 # ---------------------------------------------------------------------------
 def _round_capacity(n):
     return max(8, int(2 ** np.ceil(np.log2(max(n, 1)))))
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _kernel_columns(kernel, x_buf, n, m):
+    """Covariance columns ``K(X_buf, X_buf[n:n+m])`` in one dispatch."""
+    x_new = jax.lax.dynamic_slice(
+        x_buf, (n, jnp.zeros_like(n)), (m, x_buf.shape[1]))
+    return kernel(x_buf, x_new)
+
+
+@jax.jit
+def _append_rows(x_buf, y_buf, x, y, n):
+    """Write new rows into both data buffers in ONE device dispatch
+    (dispatch latency, not bandwidth, dominates online updates)."""
+    zero = jnp.zeros_like(n)
+    return (jax.lax.dynamic_update_slice(x_buf, x, (n, zero)),
+            jax.lax.dynamic_update_slice(y_buf, y, (n, zero)))
 
 
 @register_pytree
@@ -436,12 +455,11 @@ class GaussianProcess(UncertainFunction):
                 self.noise_variance, beta=self.beta,
                 mean_function=self.mean_function,
                 capacity=_round_capacity(n + n_new), scale=self.scale)
-        new = self.replace(
-            X_buf=jax.lax.dynamic_update_slice(
-                self.X_buf, jnp.asarray(x), (n, 0)),
-            Y_buf=jax.lax.dynamic_update_slice(
-                self.Y_buf, jnp.asarray(y), (n, 0)),
-            count=jnp.asarray(n + n_new, dtype=jnp.int32))
+        x_dev, y_dev = _append_rows(self.X_buf, self.Y_buf,
+                                    jnp.asarray(x), jnp.asarray(y),
+                                    jnp.asarray(n, dtype=jnp.int32))
+        new = self.replace(X_buf=x_dev, Y_buf=y_dev,
+                           count=jnp.asarray(n + n_new, dtype=jnp.int32))
 
         host = getattr(self, "_host_cache", None)
         host_new = None
@@ -624,11 +642,15 @@ def _bordered_append(host, kernel, x_buf_new, y_new, prior_new,
     s2 = s * s
     host_dtype = np.dtype(config.solve_dtype or np.float64)
 
-    x_new = x_buf_new[n:n + m]
     # Kernel columns for the new points (device assembly, like the full
     # factorization) against every buffer row — rows above n + m are
-    # masked out by construction below.
-    k_cols = np.asarray(kernel(x_buf_new, x_new), dtype=host_dtype) * s2
+    # masked out by construction below. One jitted dispatch: a composite
+    # kernel evaluated eagerly is dozens of op dispatches, which through
+    # a high-latency link dominates the whole O(n^2) append.
+    k_cols = np.asarray(
+        _kernel_columns(kernel, x_buf_new,
+                        jnp.asarray(n, dtype=jnp.int32), m=m),
+        dtype=host_dtype) * s2
     noise = float(noise_variance)
 
     chol = host.chol.copy()
@@ -957,12 +979,11 @@ class StackedGaussianProcess(UncertainFunction):
                 betas=np.asarray(self.betas),
                 mean_functions=self.mean_functions,
                 capacity=_round_capacity(n + n_new), scale=self.scale)
-        new = self.replace(
-            X_buf=jax.lax.dynamic_update_slice(
-                self.X_buf, jnp.asarray(x), (n, 0)),
-            Y_buf=jax.lax.dynamic_update_slice(
-                self.Y_buf, jnp.asarray(y), (n, 0)),
-            count=jnp.asarray(n + n_new, dtype=jnp.int32))
+        x_dev, y_dev = _append_rows(self.X_buf, self.Y_buf,
+                                    jnp.asarray(x), jnp.asarray(y),
+                                    jnp.asarray(n, dtype=jnp.int32))
+        new = self.replace(X_buf=x_dev, Y_buf=y_dev,
+                           count=jnp.asarray(n + n_new, dtype=jnp.int32))
 
         hosts = getattr(self, "_host_caches", None)
         hosts_new = None
@@ -984,10 +1005,17 @@ class StackedGaussianProcess(UncertainFunction):
                     break
                 hosts_new.append(updated)
         if hosts_new is not None:
-            parts = [_host_cache_to_device(h) for h in hosts_new]
-            chol = jnp.stack([p[0] for p in parts])
-            chol_inv = jnp.stack([p[1] for p in parts])
-            alpha = jnp.stack([p[2] for p in parts])
+            # Stack on the host so the refreshed caches ride ONE upload
+            # per tensor (three dispatches total) instead of
+            # 3*num_fun uploads + device stacks — dispatch latency, not
+            # bandwidth, dominates the online-learning loop.
+            dtype = config.dtype
+            chol = jnp.asarray(np.stack([h.chol for h in hosts_new]),
+                               dtype=dtype)
+            chol_inv = jnp.asarray(
+                np.stack([h.chol_inv for h in hosts_new]), dtype=dtype)
+            alpha = jnp.asarray(np.stack([h.alpha for h in hosts_new]),
+                                dtype=dtype)
         else:
             host_out = []
             chol, chol_inv, alpha = _stacked_cache(new, host_out=host_out)
