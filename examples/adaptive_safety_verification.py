@@ -23,7 +23,7 @@ import safe_learning_tpu as sl  # noqa: E402
 from examples._common import Timer, example_args, maybe_save_plot  # noqa: E402
 
 
-def pendulum_gp_model(a_true, b_true, a, b, noise_var):
+def pendulum_gp_model(a_true, b_true, a, b, noise_var, capacity=None):
     """Per-dimension GPs with linearized prior mean (notebook cell 9)."""
     m_true = np.hstack([a_true, b_true])
     m = np.hstack([a, b])
@@ -41,7 +41,8 @@ def pendulum_gp_model(a_true, b_true, a, b, noise_var):
         mean = sl.LinearSystem([a[[dim]], b[[dim]]])
         gps.append(sl.GaussianProcess(
             kernel, np.zeros((1, 3)), np.zeros((1, 1)),
-            noise_variance=noise_var, beta=2.0, mean_function=mean))
+            noise_variance=noise_var, beta=2.0, mean_function=mean,
+            capacity=capacity))
     return sl.FunctionStack(gps)
 
 
@@ -69,9 +70,13 @@ def main():
     wrong = sl.InvertedPendulum(0.1, 0.4, 0.0, dt, normalization=norms)
     a, b = wrong.linearize()
 
+    # capacity hint: 1 prior point + updates*data_per_update appends;
+    # preallocating keeps every program on one compiled shape.
     dynamics = pendulum_gp_model(np.asarray(a_true), np.asarray(b_true),
                                  np.asarray(a), np.asarray(b),
-                                 noise_var=0.001 ** 2)
+                                 noise_var=0.001 ** 2,
+                                 capacity=max(
+                                     64, 1 + updates * data_per_update))
 
     grid = sl.GridWorld([[-1.0, 1.0]] * 2, num_states)
     tau = float(np.sum(grid.unit_maxes) / 2)

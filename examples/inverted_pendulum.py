@@ -24,7 +24,8 @@ import safe_learning_tpu as sl  # noqa: E402
 from examples._common import Timer, example_args, maybe_save_plot  # noqa: E402
 
 
-def build_gp_dynamics(a, b, a_true, b_true, noise_var=0.001 ** 2):
+def build_gp_dynamics(a, b, a_true, b_true, noise_var=0.001 ** 2,
+                      capacity=None):
     """Per-dimension GPs with wrong linearized prior (notebook cell 6),
     batched as a StackedGaussianProcess so all outputs run through ONE
     fused TPU predict per sweep (FunctionStack of per-member GPs gives
@@ -43,7 +44,8 @@ def build_gp_dynamics(a, b, a_true, b_true, noise_var=0.001 ** 2):
         means.append(sl.LinearSystem([a[[dim]], b[[dim]]]))
     return sl.StackedGaussianProcess(
         kernels, np.empty((0, 3)), np.empty((0, 2)),
-        noise_variances=noise_var, betas=2.0, mean_functions=means)
+        noise_variances=noise_var, betas=2.0, mean_functions=means,
+        capacity=capacity)
 
 
 def main():
@@ -81,7 +83,11 @@ def main():
 
     a, b = map(np.asarray, wrong_pendulum.linearize())
     a_true, b_true = map(np.asarray, true_dynamics.linearize())
-    dynamics = build_gp_dynamics(a, b, a_true, b_true)
+    # capacity hint: outer_iters*data_per_iter appends; one compiled
+    # shape for the whole run.
+    dynamics = build_gp_dynamics(
+        a, b, a_true, b_true,
+        capacity=max(64, outer_iters * data_per_iter))
 
     # Initial LQR policy / Lyapunov candidate for the wrong model.
     k, s = sl.utils.dlqr(a, b, q, r)

@@ -48,9 +48,12 @@ def main():
               * sl.LinearKernel(variances=[0.2, 1.0], input_dim=2))
     mean_function = sl.LinearSystem([[1.0, 0.1]])
     true_dynamics = sl.LinearSystem([[1.2, 1.0]])
+    # capacity hint: the loop adds n_updates points; preallocating keeps
+    # every program on one compiled shape (no retrace at 8->16->32).
     gp = sl.GaussianProcess(kernel, np.empty((0, 2)), np.empty((0, 1)),
                             noise_variance=0.01 ** 2, beta=2.0,
-                            mean_function=mean_function)
+                            mean_function=mean_function,
+                            capacity=max(32, n_updates))
     lipschitz_dynamics = 0.8 + 0.5
 
     # PWL Lyapunov candidate |x| (notebook cell 7).

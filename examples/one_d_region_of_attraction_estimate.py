@@ -37,9 +37,11 @@ def main():
                               dims=[0]))
     mean_function = sl.LinearSystem([[0.25, 0.0]])
     noise_var = 0.01 ** 2
+    # capacity hint: n_updates appends; one compiled shape for the run.
     gp = sl.GaussianProcess(kernel, np.empty((0, 2)), np.empty((0, 1)),
                             noise_variance=noise_var, beta=2.0,
-                            mean_function=mean_function)
+                            mean_function=mean_function,
+                            capacity=max(32, n_updates))
 
     # One GP sample is the hidden true system (notebook cell 6). The key
     # offset picks a draw whose ROA genuinely extends beyond the initial
