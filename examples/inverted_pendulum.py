@@ -107,24 +107,15 @@ def main():
     rl = sl.PolicyIteration(policy, dynamics, reward_function,
                             value_function, gamma=gamma)
 
-    from safe_learning_tpu.rl import (_future_values_core,
-                                      _future_values_lyapunov)
-
-    @jax.jit
-    def pretrain_step(pol, vf, states):
-        def loss(p):
-            return -jnp.mean(_future_values_core(
-                p, rl.dynamics, rl.reward_function, vf, gamma, states,
-                None))
-        return jax.tree_util.tree_map(lambda w, g: w - 0.1 * g, pol,
-                                      jax.grad(loss)(pol))
-
     rng = np.random.default_rng(args.seed)
+    key = jax.random.PRNGKey(args.seed)
     with Timer("pretrain policy on mean dynamics"):
-        for _ in range(pretrain_iters):
-            states = jnp.asarray(policy_disc.sample_continuous(1000,
-                                                               rng=rng))
-            rl.policy = pretrain_step(rl.policy, rl.value_function, states)
+        # One compiled scan for the whole pretrain (notebook cell 9 runs
+        # one session.run per SGD step).
+        key, sub = jax.random.split(key)
+        rl.optimize_policy(steps=pretrain_iters, learning_rate=0.1,
+                           batch_size=1000, key=sub,
+                           sample_space=policy_disc)
 
     # Lyapunov candidate = -value function; local L_v from its gradient
     # (notebook cell 14).
@@ -144,31 +135,22 @@ def main():
     print("initial safe fraction: {:.3f}  c_max: {:.4f}".format(
         lyap.safe_set.mean(), lyap.c_max))
 
-    @jax.jit
-    def safe_policy_step(pol, vf, states, lf, lyap_fun, lip_lyap):
-        def loss(p):
-            return -jnp.mean(_future_values_lyapunov(
-                p, rl.dynamics, rl.reward_function, vf, gamma, states,
-                None, lyap_fun, lip_lyap, lf, tau, 1.0))
-        return jax.tree_util.tree_map(lambda w, g: w - 0.01 * g, pol,
-                                      jax.grad(loss)(pol))
-
     def rl_optimize_policy(num_iter):
+        nonlocal key
         rl.optimize_value_function()
-        lyap_fun = -rl.value_function
-        lip_lyap = sl.GradientNorm(rl.value_function, ord=np.inf)
-        lf = lipschitz_dynamics_const()
-        for _ in range(num_iter):
-            states = jnp.asarray(safety_disc.sample_continuous(1000,
-                                                               rng=rng))
-            rl.policy = safe_policy_step(rl.policy, rl.value_function,
-                                         states, lf, lyap_fun, lip_lyap)
-        # Refresh the Lyapunov object with the updated pytrees.
-        lyap.policy = rl.policy
+        # Refresh the Lyapunov pieces from the new value function, then
+        # run the whole Lagrangian-penalized ascent (notebook cell 17) as
+        # one compiled scan.
         lyap.lyapunov_function = -rl.value_function
         lyap._lipschitz_lyapunov = sl.GradientNorm(rl.value_function,
                                                    ord=np.inf)
-        lyap._lipschitz_dynamics = lf
+        lyap._lipschitz_dynamics = lipschitz_dynamics_const()
+        key, sub = jax.random.split(key)
+        rl.optimize_policy(steps=num_iter, learning_rate=0.01,
+                           batch_size=1000, key=sub, lyapunov=lyap,
+                           lagrange_multiplier=1.0,
+                           sample_space=safety_disc)
+        lyap.policy = rl.policy
 
     action_variation = np.array([[-0.02], [0.0], [0.02]])
 

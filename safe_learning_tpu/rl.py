@@ -74,6 +74,68 @@ def _future_values_lyapunov(policy, dynamics, reward_function,
     return updated - lagrange_multiplier * constraint
 
 
+@partial(jax.jit, static_argnames=("steps", "batch_size", "space"))
+def _policy_ascent_core(policy, dynamics, reward_function, value_function,
+                        gamma, learning_rate, key, *, steps, batch_size,
+                        space):
+    """``steps`` policy-gradient ascent steps on the mean future value as
+    ONE compiled ``lax.scan`` program, minibatches drawn on device."""
+    lo = jnp.asarray(np.asarray(space.limits)[:, 0], dtype=config.dtype)
+    hi = jnp.asarray(np.asarray(space.limits)[:, 1], dtype=config.dtype)
+
+    def body(carry, _):
+        pol, k = carry
+        k, k_batch = jax.random.split(k)
+        states = jax.random.uniform(k_batch, (batch_size, space.ndim),
+                                    config.dtype, lo, hi)
+
+        def loss(p):
+            return -jnp.mean(_future_values_core(
+                p, dynamics, reward_function, value_function, gamma,
+                states, None))
+
+        value, grads = jax.value_and_grad(loss)(pol)
+        pol = jax.tree_util.tree_map(lambda w, g: w - learning_rate * g,
+                                     pol, grads)
+        return (pol, k), value
+
+    (pol, _), losses = jax.lax.scan(body, (policy, key), None,
+                                    length=steps)
+    return pol, losses
+
+
+@partial(jax.jit, static_argnames=("steps", "batch_size", "space"))
+def _policy_ascent_lyapunov(policy, dynamics, reward_function,
+                            value_function, gamma, lyapunov_function,
+                            lipschitz_lyapunov, lipschitz_dynamics, tau,
+                            lagrange_multiplier, learning_rate, key, *,
+                            steps, batch_size, space):
+    """Lyapunov-penalized variant of :func:`_policy_ascent_core`."""
+    lo = jnp.asarray(np.asarray(space.limits)[:, 0], dtype=config.dtype)
+    hi = jnp.asarray(np.asarray(space.limits)[:, 1], dtype=config.dtype)
+
+    def body(carry, _):
+        pol, k = carry
+        k, k_batch = jax.random.split(k)
+        states = jax.random.uniform(k_batch, (batch_size, space.ndim),
+                                    config.dtype, lo, hi)
+
+        def loss(p):
+            return -jnp.mean(_future_values_lyapunov(
+                p, dynamics, reward_function, value_function, gamma,
+                states, None, lyapunov_function, lipschitz_lyapunov,
+                lipschitz_dynamics, tau, lagrange_multiplier))
+
+        value, grads = jax.value_and_grad(loss)(pol)
+        pol = jax.tree_util.tree_map(lambda w, g: w - learning_rate * g,
+                                     pol, grads)
+        return (pol, k), value
+
+    (pol, _), losses = jax.lax.scan(body, (policy, key), None,
+                                    length=steps)
+    return pol, losses
+
+
 @partial(jax.jit, static_argnames=("max_iter",))
 def _pwl_fixed_point(vertices, weights, rewards, gamma, init_values, tol,
                      max_iter):
@@ -162,6 +224,57 @@ class PolicyIteration:
         self.value_function = self.value_function.replace(
             parameters=new_values)
         return new_values
+
+    def optimize_policy(self, steps=100, learning_rate=0.01,
+                        batch_size=1000, key=None, lyapunov=None,
+                        lagrange_multiplier=1.0, sample_space=None):
+        """Run ``steps`` policy-gradient ascent steps on the mean future
+        value as ONE compiled program.
+
+        The reference runs one ``session.run`` of
+        ``GradientDescentOptimizer.minimize(-mean(future_values))`` per
+        step (``inverted_pendulum.ipynb`` cells 9/17 behind
+        ``reinforcement_learning.py:65-114``); here the whole loop is a
+        ``lax.scan`` with on-device uniform minibatch sampling, so a
+        200-step optimization is one dispatch instead of 200.
+
+        Parameters
+        ----------
+        steps, batch_size : int (static: one compile per distinct value)
+        learning_rate : float (traced; changing it does not recompile)
+        key : jax PRNG key for minibatch sampling
+        lyapunov : Lyapunov, optional
+            Penalize the decrease-condition violation (Lagrangian
+            constraint, reference ``:107-112``).
+        lagrange_multiplier : float
+        sample_space : GridWorld, optional
+            Domain to sample minibatches from (default: the value
+            function's discretization).
+
+        Returns
+        -------
+        losses : (steps,) per-step negated mean future values.
+        """
+        space = (sample_space if sample_space is not None
+                 else self.value_function.discretization)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        lr = jnp.asarray(learning_rate, dtype=config.dtype)
+        if lyapunov is None:
+            pol, losses = _policy_ascent_core(
+                self.policy, self.dynamics, self.reward_function,
+                self.value_function, self.gamma, lr, key, steps=steps,
+                batch_size=batch_size, space=space)
+        else:
+            pol, losses = _policy_ascent_lyapunov(
+                self.policy, self.dynamics, self.reward_function,
+                self.value_function, self.gamma,
+                lyapunov.lyapunov_function, lyapunov._lipschitz_lyapunov,
+                lyapunov._lipschitz_dynamics, lyapunov.tau,
+                jnp.asarray(lagrange_multiplier, dtype=config.dtype),
+                lr, key, steps=steps, batch_size=batch_size, space=space)
+        self.policy = pol
+        return losses
 
     # ------------------------------------------------------------------
     def optimize_value_function(self, tol=None, max_iter=20000):

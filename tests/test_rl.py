@@ -271,3 +271,57 @@ def test_pwl_fixed_point_matches_cvxpy_lp():
     prob.solve()
     assert prob.status == cvxpy.OPTIMAL
     assert_allclose(values, np.asarray(v.value).ravel(), atol=1e-5)
+
+
+def test_optimize_policy_scanned_ascent_recovers_lqr_gain():
+    """optimize_policy runs K gradient steps as one compiled scan and
+    drives a linear policy toward the DARE-optimal gain (reference
+    pattern: per-step GradientDescentOptimizer session.runs,
+    inverted_pendulum.ipynb cell 9 / test_rl.py:59-69)."""
+    a, b, q, r, k, p = _scalar_lq_setup()
+    gamma = 0.98
+    grid = GridWorld([[-1, 1]], 41)
+
+    dynamics = LinearSystem([a, b])
+    reward = LambdaFunction(
+        lambda xu: -(q[0, 0] * xu[:, :1] ** 2 + r[0, 0] * xu[:, 1:] ** 2))
+    value = Triangulation(grid, np.zeros(grid.nindex), project=True)
+
+    # Solve the value function under the OPTIMAL policy; the ascent from
+    # a zero policy against that fixed v* is a policy-improvement step
+    # whose maximizer is the DARE gain.
+    rl = PolicyIteration(LinearSystem(-k), dynamics, reward, value,
+                         gamma=gamma)
+    rl.optimize_value_function()
+    rl.policy = LinearSystem(np.zeros((1, 1)))
+    losses = rl.optimize_policy(steps=200, learning_rate=0.1,
+                                batch_size=256,
+                                key=jax.random.PRNGKey(0))
+    assert losses.shape == (200,)
+    gain = -float(np.asarray(rl.policy.matrix).item())
+    assert losses[-1] < losses[0]
+    assert abs(gain - float(k.item())) < 0.1
+
+
+def test_optimize_policy_lyapunov_penalty_runs():
+    """The Lyapunov-penalized scanned ascent compiles and reduces the
+    penalized objective (reference :107-112)."""
+    a, b, q, r, k, p = _scalar_lq_setup()
+    grid = GridWorld([[-1, 1]], 21)
+    dynamics = LinearSystem([a, b])
+    reward = LambdaFunction(
+        lambda xu: -(q[0, 0] * xu[:, :1] ** 2 + r[0, 0] * xu[:, 1:] ** 2))
+    value = Triangulation(grid, -np.abs(grid.all_points[:, 0]),
+                          project=True)
+    rl = PolicyIteration(LinearSystem(-0.5 * k), dynamics, reward, value,
+                         gamma=0.98)
+    lyap = sl.Lyapunov(grid, QuadraticFunction(p), dynamics,
+                       float(np.abs(a).item() + np.abs(b).item()), 1.0,
+                       1e-2, rl.policy)
+    losses = rl.optimize_policy(steps=40, learning_rate=0.02,
+                                batch_size=128, lyapunov=lyap,
+                                lagrange_multiplier=0.5,
+                                key=jax.random.PRNGKey(0))
+    assert losses.shape == (40,)
+    assert np.isfinite(np.asarray(losses)).all()
+    assert losses[-1] <= losses[0]
