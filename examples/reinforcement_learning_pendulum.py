@@ -64,13 +64,12 @@ def main():
     value_function = sl.NeuralNetwork([2, 64, 64, 1],
                                       ["relu", "relu", None], key=k2)
 
-    rng = np.random.default_rng(args.seed)
+    def _sample(k, n=100):
+        return jax.random.uniform(k, (n, 2), minval=-1.0, maxval=1.0)
 
-    def sample_states(n):
-        return jnp.asarray(rng.uniform(-1.0, 1.0, size=(n, 2)))
-
-    # Stage 1: policy evaluation for the LQR policy (notebook cells 16-20).
-    @jax.jit
+    # Stage 1: policy evaluation for the LQR policy (notebook cells
+    # 16-20) — the whole loop is ONE compiled scan (the notebook runs one
+    # session.run per TD step).
     def eval_step_lqr(vf, states):
         actions = policy_lqr(states)
         rewards = reward_function(states, actions)
@@ -84,11 +83,22 @@ def main():
         return jax.tree_util.tree_map(lambda w, grad: w - 0.005 * grad,
                                       vf, jax.grad(loss)(vf))
 
+    @jax.jit
+    def eval_scan(vf, key):
+        def body(carry, _):
+            vf, k = carry
+            k, k_batch = jax.random.split(k)
+            return (eval_step_lqr(vf, _sample(k_batch)), k), None
+
+        (vf, _), _ = jax.lax.scan(body, (vf, key), None,
+                                  length=eval_iters)
+        return vf
+
     with Timer("policy evaluation (LQR policy)"):
-        vf_params = value_function.parameters_dict
-        for _ in range(eval_iters):
-            vf_params = eval_step_lqr(vf_params, sample_states(100))
-        value_function = value_function.with_parameters(vf_params)
+        key, sub = jax.random.split(key)
+        value_function = value_function.with_parameters(
+            jax.block_until_ready(
+                eval_scan(value_function.parameters_dict, sub)))
 
     # True ROA + value function of the LQR policy (notebook cell 24).
     grid = sl.GridWorld([[-1.0, 1.0]] * 2, num_states)
@@ -118,7 +128,6 @@ def main():
         scale = jnp.minimum(1.0, max_norm / (norm + 1e-12))
         return jax.tree_util.tree_map(lambda x: x * scale, tree)
 
-    @jax.jit
     def value_step(vf, pol, states):
         actions = policy.with_parameters(pol)(states)
         rewards = reward_function(states, actions)
@@ -132,7 +141,6 @@ def main():
         return jax.tree_util.tree_map(lambda w, grad: w - 0.005 * grad,
                                       vf, _clip(jax.grad(loss)(vf)))
 
-    @jax.jit
     def policy_step(pol, vf, states):
         v = value_function.with_parameters(vf)
 
@@ -147,16 +155,37 @@ def main():
         return jax.tree_util.tree_map(lambda w, grad: w - 4.0 * grad,
                                       pol, _clip(jax.grad(loss)(pol)))
 
+    @jax.jit
+    def actor_critic_scan(pol, vf, key):
+        """The full stage-2 training (joint_iters x (value_iters TD steps
+        + policy_iters ascent steps)) as ONE compiled program — the
+        notebook pays one session.run per step (44k at full scale)."""
+        def value_body(carry, _):
+            vf, pol, k = carry
+            k, k_batch = jax.random.split(k)
+            return (value_step(vf, pol, _sample(k_batch)), pol, k), None
+
+        def policy_body(carry, _):
+            pol, vf, k = carry
+            k, k_batch = jax.random.split(k)
+            return (policy_step(pol, vf, _sample(k_batch)), vf, k), None
+
+        def joint_body(carry, _):
+            pol, vf, k = carry
+            (vf, pol, k), _ = jax.lax.scan(value_body, (vf, pol, k),
+                                           None, length=value_iters)
+            (pol, vf, k), _ = jax.lax.scan(policy_body, (pol, vf, k),
+                                           None, length=policy_iters)
+            return (pol, vf, k), None
+
+        (pol, vf, _), _ = jax.lax.scan(joint_body, (pol, vf, key), None,
+                                       length=joint_iters)
+        return pol, vf
+
     with Timer("joint actor-critic ({} iterations)".format(joint_iters)):
-        pol_params = policy.parameters_dict
-        vf_params = value_function.parameters_dict
-        for _ in range(joint_iters):
-            for _ in range(value_iters):
-                vf_params = value_step(vf_params, pol_params,
-                                       sample_states(100))
-            for _ in range(policy_iters):
-                pol_params = policy_step(pol_params, vf_params,
-                                         sample_states(100))
+        key, sub = jax.random.split(key)
+        pol_params, vf_params = jax.block_until_ready(actor_critic_scan(
+            policy.parameters_dict, value_function.parameters_dict, sub))
         policy = policy.with_parameters(pol_params)
         value_function = value_function.with_parameters(vf_params)
 
