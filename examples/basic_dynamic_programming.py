@@ -55,7 +55,6 @@ def main():
                             gamma=gamma)
     states = rl.state_space
 
-    @jax.jit
     def policy_step(pol, vf):
         """One gradient-ascent step on the mean lookahead value."""
         def loss(p):
@@ -66,14 +65,23 @@ def main():
         grads = jax.grad(loss)(pol)
         return jax.tree_util.tree_map(lambda w, g: w - 1.0 * g, pol, grads)
 
+    @jax.jit
+    def policy_ascent(pol, vf):
+        """All 200 ascent steps of one policy-improvement round as a
+        single compiled scan (the notebook runs one session.run each)."""
+        def body(p, _):
+            return policy_step(p, vf), None
+
+        pol, _ = jax.lax.scan(body, pol, None, length=200)
+        return pol
+
     old_values = np.zeros((discretization.nindex, 1))
     old_actions = np.zeros((discretization.nindex, 1))
     converged = False
     with Timer("policy iteration"):
         for i in range(30):
             rl.optimize_value_function()
-            for _ in range(200):
-                rl.policy = policy_step(rl.policy, rl.value_function)
+            rl.policy = policy_ascent(rl.policy, rl.value_function)
 
             values = np.asarray(rl.value_function.parameters)
             actions = np.clip(np.asarray(rl.policy.fun.parameters),

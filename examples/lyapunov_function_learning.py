@@ -22,7 +22,6 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import safe_learning_tpu as sl  # noqa: E402
-from safe_learning_tpu.utils import balanced_class_weights  # noqa: E402
 from examples._common import Timer, example_args, maybe_save_plot  # noqa: E402
 
 # Degree-3 SOS Lyapunov candidate computed offline with SOSTOOLS for the
@@ -128,9 +127,7 @@ def main():
     p_sphere = 0.1 * np.eye(2)
     sphere = sl.QuadraticFunction(p_sphere)
     level_states = grid.all_points[initial_safe_set]
-    rng = np.random.default_rng(args.seed)
 
-    @jax.jit
     def pretrain_step(params, states):
         target = sphere(states)
 
@@ -141,13 +138,26 @@ def main():
         return jax.tree_util.tree_map(lambda w, grad: w - 0.1 * grad,
                                       params, jax.grad(loss)(params))
 
+    @jax.jit
+    def pretrain_scan(params, key):
+        """The whole pre-training as ONE compiled scan (the notebook runs
+        one session.run per step, cells 25-26)."""
+        states_all = jnp.asarray(level_states)
+
+        def body(carry, _):
+            p, k = carry
+            k, kb = jax.random.split(k)
+            idx = jax.random.randint(kb, (1000,), 0,
+                                     states_all.shape[0])
+            return (pretrain_step(p, states_all[idx]), k), None
+
+        (params, _), _ = jax.lax.scan(body, (params, key), None,
+                                      length=pretrain_iters)
+        return params
+
     with Timer("pre-train NN candidate"):
-        params = net.parameters_dict
-        for _ in range(pretrain_iters):
-            idx = rng.integers(0, len(level_states), 1000)
-            states = jnp.asarray(level_states[idx])
-            params = pretrain_step(params, states)
-        net = net.with_parameters(params)
+        net = net.with_parameters(jax.block_until_ready(pretrain_scan(
+            net.parameters_dict, jax.random.PRNGKey(args.seed))))
 
     lyap_nn = sl.Lyapunov(grid, net, pendulum, l_dyn,
                           sl.GradientNorm(net, ord=1), tau, policy,
@@ -193,6 +203,31 @@ def main():
         return jax.tree_util.tree_map(lambda w, grad: w - 5e-3 * grad,
                                       params, jax.grad(loss)(params))
 
+    @jax.jit
+    def classifier_scan(params, states_all, labels_all, n_valid, key):
+        """``inner_iters`` weighted-classifier steps as one compiled
+        scan; per-batch class balancing in-graph (the semantics of
+        ``utils.balanced_class_weights``). ``states_all`` is padded to a
+        power-of-two bucket so varying target-set sizes reuse compiled
+        programs; sampling indices stay below ``n_valid``."""
+        def body(carry, _):
+            p, k = carry
+            k, kb = jax.random.split(k)
+            idx = jax.random.randint(kb, (1000,), 0, n_valid)
+            batch = states_all[idx]
+            labels = labels_all[idx]
+            y = labels > 0.5
+            n_pos = jnp.maximum(jnp.sum(y), 1)
+            n_neg = jnp.maximum(y.size - jnp.sum(y), 1)
+            weights = jnp.where(y, y.size / n_pos,
+                                y.size / n_neg).astype(labels.dtype)
+            return (train_step(p, batch, labels, weights), k), None
+
+        (params, _), _ = jax.lax.scan(body, (params, key), None,
+                                      length=inner_iters)
+        return params
+
+    key = jax.random.PRNGKey(args.seed + 1)
     roa_estimate = np.copy(lyap_nn.safe_set)
     level_multiplier = 1.3
     c_history = [lyap_nn.c_max]
@@ -222,17 +257,19 @@ def main():
             target_labels = roa_estimate[target_idx].astype(
                 np.float64).reshape(-1, 1)
 
-            params = net.parameters_dict
-            for _ in range(inner_iters):
-                idx = rng.integers(0, len(target_set), 1000)
-                batch = target_set[idx]
-                labels = target_labels[idx]
-                weights, _ = balanced_class_weights(
-                    labels.ravel().astype(bool))
-                params = train_step(params, jnp.asarray(batch),
-                                    jnp.asarray(labels),
-                                    jnp.asarray(weights.reshape(-1, 1)))
-            net = net.with_parameters(params)
+            n_valid = len(target_set)
+            padded = 1 << max(8, (n_valid - 1).bit_length())
+            pad = padded - n_valid
+            if pad:
+                target_set = np.vstack([
+                    target_set, np.zeros((pad, target_set.shape[1]))])
+                target_labels = np.vstack([target_labels,
+                                           np.zeros((pad, 1))])
+            key, sub = jax.random.split(key)
+            net = net.with_parameters(classifier_scan(
+                net.parameters_dict, jnp.asarray(target_set),
+                jnp.asarray(target_labels),
+                jnp.asarray(n_valid, dtype=jnp.int32), sub))
 
             lyap_nn.lyapunov_function = net
             lyap_nn._lipschitz_lyapunov = sl.GradientNorm(net, ord=1)
