@@ -408,8 +408,19 @@ class Lyapunov:
             # the chunked refinement handles the failing suffix.
             batch = max(batch, min(nindex, fused_limit))
         # Round the batch to the grid size (one compiled shape, no huge
-        # padding) while keeping a lane-friendly multiple of 256.
+        # padding) while keeping a lane-friendly multiple of 256 (which
+        # any mesh's grid axis also divides).
         batch = min(batch, -(-nindex // 256) * 256)
+
+        def _shard(states_dev):
+            """Shard a batch over the active mesh's grid axis (SPMD:
+            the decrease check is per-point; reductions ride the ICI)."""
+            if self.mesh is None:
+                return states_dev
+            from .parallel.mesh import grid_sharding
+
+            return jax.device_put(states_dev,
+                                  grid_sharding(self.mesh, 2))
 
         values = np.asarray(self.values)
         order = np.argsort(values, kind="stable")
@@ -440,7 +451,7 @@ class Lyapunov:
                     states,
                     np.broadcast_to(states[-1:], (batch - n_valid,
                                                   grid.ndim))])
-            states_dev = jnp.asarray(states)
+            states_dev = _shard(jnp.asarray(states))
             negative, decrease, threshold = map(
                 np.asarray,
                 _negative_batch(self.policy, self.dynamics,
@@ -470,6 +481,8 @@ class Lyapunov:
                     # refinable suffix so each dispatch stays near `batch`
                     # evaluated points.
                     chunk = max(64, batch // int(max_refinement) ** grid.ndim)
+                    # Multiple of 256 so a mesh's grid axis divides it.
+                    chunk = -(-chunk // 256) * 256
                     refine_bound = 0
                     for j in range(0, stop, chunk):
                         hi = min(j + chunk, stop)
@@ -485,7 +498,7 @@ class Lyapunov:
                             self.lyapunov_function,
                             self._lipschitz_lyapunov,
                             self._lipschitz_dynamics,
-                            tau, jnp.asarray(check_states),
+                            tau, _shard(jnp.asarray(check_states)),
                             unit_maxes, int(max_refinement),
                             grid.ndim))[:hi - j]
                         # Exempt states (initial set; previous safe set

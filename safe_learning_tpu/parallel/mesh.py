@@ -64,16 +64,22 @@ def shard_points(points, mesh, axis=None):
     return jax.device_put(points, grid_sharding(mesh, points.ndim, axis))
 
 
-def sharded_safe_set_update(lyapunov, mesh, can_shrink=True):
+def sharded_safe_set_update(lyapunov, mesh, can_shrink=True, **kwargs):
     """Run ``lyapunov.update_safe_set`` SPMD over the mesh.
 
-    Temporarily installs the mesh on the Lyapunov object and uses the
-    fused whole-grid device path.
+    Temporarily installs the mesh on the Lyapunov object. Non-adaptive
+    verifications take the fused whole-grid device path; adaptive ones
+    (or explicit ``max_refinement``/``batch_size`` kwargs) go through
+    ``update_safe_set``, whose main and refinement batches are sharded
+    over the mesh's grid axis.
     """
     old_mesh = lyapunov.mesh
     lyapunov.mesh = mesh
     try:
-        lyapunov._update_safe_set_fused(can_shrink)
+        if lyapunov.adaptive or kwargs:
+            lyapunov.update_safe_set(can_shrink=can_shrink, **kwargs)
+        else:
+            lyapunov._update_safe_set_fused(can_shrink)
     finally:
         lyapunov.mesh = old_mesh
     return lyapunov.safe_set, lyapunov.c_max

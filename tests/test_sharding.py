@@ -113,3 +113,37 @@ def test_sharded_sweep_keeps_data_distributed(mesh):
     assert len(values.sharding.device_set) == 8
     assert not safe.sharding.is_fully_replicated
     assert c_max.sharding.is_fully_replicated
+
+
+def test_sharded_adaptive_update_matches_single_device(mesh):
+    """The ADAPTIVE flagship path (main + refinement batches sharded
+    over the mesh's grid axis) must equal the unsharded result."""
+    def make(adaptive):
+        grid = GridWorld([[-1, 1], [-1, 1]], [33, 33])
+        policy = LambdaFunction(lambda x: 0.0 * x[:, :1])
+        a = np.array([[0.92, 0.0], [0.0, 0.9]])
+        dyn = LinearSystem([a, np.zeros((2, 1))])
+        v = QuadraticFunction(np.eye(2))
+        # Local L_v = |grad v| = 2|x|: the decrease margin scales as
+        # |x|^2 vs a threshold ~ |x| tau, so at tau = 4e-3 the innermost
+        # ring fails the coarse check but verifies at tau / 4.
+        lv = LambdaFunction(lambda x: 2.0 * jnp.abs(x))
+        return Lyapunov(grid, v, dyn, 0.95, lv, 4e-3, policy,
+                        initial_set=[grid.nindex // 2],
+                        adaptive=adaptive)
+
+    lyap_single = make(True)
+    lyap_single.update_safe_set(max_refinement=4)
+    single_safe = lyap_single.safe_set.copy()
+    single_ref = lyap_single._refinement.copy()
+    # The refinement rescues states the base check cannot certify.
+    plain = make(False)
+    plain.update_safe_set()
+    assert lyap_single.safe_set.sum() > plain.safe_set.sum()
+
+    lyap_sharded = make(True)
+    safe, c_max = sharded_safe_set_update(lyap_sharded, mesh,
+                                          max_refinement=4)
+    assert_array_equal(safe, single_safe)
+    assert_array_equal(lyap_sharded._refinement, single_ref)
+    assert c_max == lyap_single.c_max
