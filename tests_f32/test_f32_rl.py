@@ -73,3 +73,31 @@ def test_pwl_fixed_point_matches_scipy_linprog_f32():
                   b_ub=rewards, bounds=[(None, None)] * n, method="highs")
     assert res.status == 0
     assert_allclose(values, res.x, atol=5e-4)
+
+
+def test_optimize_policy_scanned_ascent_f32():
+    """The one-dispatch scanned policy ascent recovers the DARE gain in
+    float32 (policy improvement against the optimal value function)."""
+    import jax
+
+    a, b = np.array([[1.2]]), np.array([[1.0]])
+    q, r = np.array([[1.0]]), np.array([[1.0]])
+    k, _ = dlqr(a, b, q, r)
+    gamma = 0.98
+
+    grid = GridWorld([[-1, 1]], 41)
+    dynamics = LinearSystem([a, b])
+    reward = LambdaFunction(
+        lambda xu: -(q[0, 0] * xu[:, :1] ** 2 + r[0, 0] * xu[:, 1:] ** 2))
+    value = sl.Triangulation(grid, np.zeros(grid.nindex), project=True)
+    rl = sl.PolicyIteration(LinearSystem(-k), dynamics, reward, value,
+                            gamma=gamma)
+    rl.optimize_value_function()
+    rl.policy = LinearSystem(np.zeros((1, 1)))
+    losses = rl.optimize_policy(steps=200, learning_rate=0.1,
+                                batch_size=256,
+                                key=jax.random.PRNGKey(0))
+    gain = -float(np.asarray(rl.policy.matrix).item())
+    assert losses.dtype == np.float32
+    assert losses[-1] < losses[0]
+    assert abs(gain - float(k.item())) < 0.1
