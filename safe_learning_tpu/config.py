@@ -49,6 +49,12 @@ class Configuration:
         # Largest grid verified as ONE fused device program (above this
         # the sweep streams gp_batch_size chunks to bound device memory).
         self.fused_sweep_limit = 2 ** 24
+        # Largest GP data capacity routed through the fused Pallas
+        # predict: the (stacked) inverse Cholesky factors are resident in
+        # VMEM, so S * cap^2 floats must fit comfortably (2048^2 f32 =
+        # 16 MB). Larger GPs fall back to the XLA matmul chain, which
+        # streams from HBM.
+        self.pallas_max_capacity = 2048
         # PWL evaluation gathers ONE cell-corner block row per query
         # (2^d values; measured 2.4-5.6x over per-vertex gathers) as long
         # as the 2^d-fold corner table stays under this many entries

@@ -344,7 +344,10 @@ class GaussianProcess(UncertainFunction):
         points = jnp.atleast_2d(jnp.asarray(points))
         s2 = self.scale ** 2
 
-        if not full_cov and getattr(config, "use_pallas", True):
+        if (not full_cov and getattr(config, "use_pallas", True)
+                and self.capacity <= getattr(config,
+                                             "pallas_max_capacity",
+                                             2048)):
             from ..ops.gp_kernel import (compile_kernel_program,
                                          fused_gp_predict,
                                          fused_gp_predict_general,
@@ -887,7 +890,9 @@ class StackedGaussianProcess(UncertainFunction):
                     + self._prior_means(points))
             return mean, jnp.stack(covs, axis=0)
 
-        if getattr(config, "use_pallas", True):
+        if (getattr(config, "use_pallas", True)
+                and self.num_fun * self.capacity ** 2 <= getattr(
+                    config, "pallas_max_capacity", 2048) ** 2):
             from ..ops.gp_kernel import (compile_kernel_program,
                                          fused_gp_predict_stacked,
                                          pallas_supported)

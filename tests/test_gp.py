@@ -536,3 +536,22 @@ def test_sample_stacked_gp_function():
     # Samples pass near the training data of every output.
     at_data = np.asarray(funs[0](stacked.X))
     assert_allclose(at_data, stacked.Y, atol=0.3)
+
+
+def test_large_capacity_falls_back_to_xla():
+    """GPs whose VMEM-resident factors would overflow take the XLA path
+    and still predict correctly (config.pallas_max_capacity guard)."""
+    from safe_learning_tpu.config import config
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-1, 1, size=(10, 2))
+    y = np.sin(x[:, :1])
+    q = rng.uniform(-1, 1, size=(33, 2))
+    small = GaussianProcess(RBF(1.0, [0.5, 0.5], input_dim=2), x, y, 1e-5)
+    big = GaussianProcess(RBF(1.0, [0.5, 0.5], input_dim=2), x, y, 1e-5,
+                          capacity=4096)
+    assert big.capacity > config.pallas_max_capacity
+    m_small, v_small = (np.asarray(a) for a in small.predict(q))
+    m_big, v_big = (np.asarray(a) for a in big.predict(q))
+    assert_allclose(m_big, m_small, atol=1e-6)
+    assert_allclose(v_big, v_small, atol=1e-6)
