@@ -234,6 +234,19 @@ def _kernel_columns(kernel, x_buf, n, m):
     return kernel(x_buf, x_new)
 
 
+@functools.partial(jax.jit, static_argnames=("m",))
+def _stacked_append_parts(gp, n, m):
+    """Everything a stacked bordered append needs from the device, in
+    ONE dispatch: per-output covariance columns against the buffer
+    (stacked ``(S, cap, m)``) and the stacked prior means at the new
+    points ``(m, S)``."""
+    x_buf = gp.X_buf
+    x_new = jax.lax.dynamic_slice(
+        x_buf, (n, jnp.zeros_like(n)), (m, x_buf.shape[1]))
+    k_cols = jnp.stack([kern(x_buf, x_new) for kern in gp.kernels])
+    return k_cols, gp._prior_means(x_new)
+
+
 @jax.jit
 def _append_rows(x_buf, y_buf, x, y, n):
     """Write new rows into both data buffers in ONE device dispatch
@@ -613,7 +626,7 @@ def _host_cache_to_device(host):
 
 
 def _bordered_append(host, kernel, x_buf_new, y_new, prior_new,
-                     noise_variance, scale):
+                     noise_variance, scale, k_cols=None):
     """O(n^2) bordered Cholesky append of ``m`` new observations.
 
     Mathematically the same recurrence a fresh factorization runs for the
@@ -649,11 +662,13 @@ def _bordered_append(host, kernel, x_buf_new, y_new, prior_new,
     # factorization) against every buffer row — rows above n + m are
     # masked out by construction below. One jitted dispatch: a composite
     # kernel evaluated eagerly is dozens of op dispatches, which through
-    # a high-latency link dominates the whole O(n^2) append.
-    k_cols = np.asarray(
-        _kernel_columns(kernel, x_buf_new,
-                        jnp.asarray(n, dtype=jnp.int32), m=m),
-        dtype=host_dtype) * s2
+    # a high-latency link dominates the whole O(n^2) append. Callers
+    # with several outputs pass precomputed columns (one dispatch for
+    # the whole stack).
+    if k_cols is None:
+        k_cols = _kernel_columns(kernel, x_buf_new,
+                                 jnp.asarray(n, dtype=jnp.int32), m=m)
+    k_cols = np.asarray(k_cols, dtype=host_dtype) * s2
     noise = float(noise_variance)
 
     chol = host.chol.copy()
@@ -996,15 +1011,16 @@ class StackedGaussianProcess(UncertainFunction):
                 and all(h.count == n for h in hosts)
                 and getattr(config, "incremental_gp_updates", True)):
             hosts_new = []
+            # One dispatch + one sync for all outputs' kernel columns
+            # and prior means.
+            k_all, priors = jax.device_get(_stacked_append_parts(
+                new, jnp.asarray(n, dtype=jnp.int32), m=n_new))
+            priors = np.asarray(priors, dtype=np.float64)
             for s in range(self.num_fun):
-                fun = self.mean_functions[s]
-                prior_new = (np.zeros((n_new, 1))
-                             if fun is None
-                             else np.asarray(fun(jnp.asarray(x)),
-                                             dtype=np.float64))
                 updated = _bordered_append(
                     hosts[s], self.kernels[s], new.X_buf, y[:, s:s + 1],
-                    prior_new, self.noise_variances[s], self.scale)
+                    priors[:, s:s + 1], self.noise_variances[s],
+                    self.scale, k_cols=k_all[s])
                 if updated is None:
                     hosts_new = None
                     break
