@@ -55,25 +55,26 @@ def main():
                             gamma=gamma)
     states = rl.state_space
 
-    def policy_step(pol, vf):
-        """One gradient-ascent step on the mean lookahead value."""
-        def loss(p):
-            from safe_learning_tpu.rl import _future_values_core
-            return -1.0 / (1 - gamma) * jnp.mean(_future_values_core(
-                p, dynamics, reward, vf, gamma, states, None))
-
-        grads = jax.grad(loss)(pol)
-        return jax.tree_util.tree_map(lambda w, g: w - 1.0 * g, pol, grads)
-
     @jax.jit
     def policy_ascent(pol, vf):
         """All 200 ascent steps of one policy-improvement round as a
-        single compiled scan (the notebook runs one session.run each)."""
+        single compiled scan (the notebook runs one session.run each).
+        Ascends only the TRAINABLE parameters (the PWL action table),
+        never the Saturation action bounds."""
         def body(p, _):
-            return policy_step(p, vf), None
+            def loss(pp):
+                from safe_learning_tpu.rl import _future_values_core
+                return -1.0 / (1 - gamma) * jnp.mean(_future_values_core(
+                    pol.with_parameters(pp), dynamics, reward, vf, gamma,
+                    states, None))
 
-        pol, _ = jax.lax.scan(body, pol, None, length=200)
-        return pol
+            grads = jax.grad(loss)(p)
+            return jax.tree_util.tree_map(lambda w, g: w - 1.0 * g, p,
+                                          grads), None
+
+        params, _ = jax.lax.scan(body, pol.parameters_dict, None,
+                                 length=200)
+        return pol.with_parameters(params)
 
     old_values = np.zeros((discretization.nindex, 1))
     old_actions = np.zeros((discretization.nindex, 1))

@@ -49,18 +49,26 @@ def perturb_actions(states, actions, perturbations, limits=None):
     return state_actions
 
 
-@jax.jit
-def _candidate_scores(dynamics, lyapunov_function, lipschitz_lyapunov,
+def _score_candidates(dynamics, lyapunov_function, lipschitz_lyapunov,
                       c_max, state_actions):
-    """Fused candidate scoring (reference ``lyapunov.py:703-732``):
-    GP predict, confidence-weighted future value, level-set membership."""
+    """THE candidate-safety scoring (reference ``lyapunov.py:703-732``):
+    GP predict, confidence-weighted future value, level-set test. The
+    single definition shared by the fused selection and the
+    backup-fallback path."""
     mean, std = dynamics(state_actions)
     bound = jnp.sum(std, axis=1)
     lv = _lv_threshold_term(lipschitz_lyapunov, mean)
-    error = jnp.sum(jnp.atleast_2d(lv) * std, axis=1, keepdims=True)
-    future_values = lyapunov_function(mean).reshape(-1, 1) + error
-    maps_inside = (future_values < c_max).reshape(-1)
-    return mean, bound, maps_inside
+    error = jnp.sum(jnp.atleast_2d(lv) * std, axis=1)
+    future_values = lyapunov_function(mean).reshape(-1) + error
+    return mean, bound, future_values < c_max
+
+
+@jax.jit
+def _candidate_scores(dynamics, lyapunov_function, lipschitz_lyapunov,
+                      c_max, state_actions):
+    """Jitted scoring for the backup-fallback path."""
+    return _score_candidates(dynamics, lyapunov_function,
+                             lipschitz_lyapunov, c_max, state_actions)
 
 
 def _select_best(dynamics, lyapunov_function, lipschitz_lyapunov, c_max,
@@ -72,12 +80,9 @@ def _select_best(dynamics, lyapunov_function, lipschitz_lyapunov, c_max,
     safe (False only when NO candidate is — safe scores always dominate
     the ``-inf`` given to unsafe ones).
     """
-    mean, std = dynamics(state_actions)
-    bound = jnp.sum(std, axis=1)
-    lv = _lv_threshold_term(lipschitz_lyapunov, mean)
-    error = jnp.sum(jnp.atleast_2d(lv) * std, axis=1)
-    future = lyapunov_function(mean).reshape(-1) + error
-    safe = future < c_max
+    mean, bound, safe = _score_candidates(
+        dynamics, lyapunov_function, lipschitz_lyapunov, c_max,
+        state_actions)
     if check_membership:
         # Mean next state must lie in the current safe set
         # (reference lyapunov.py:773-776).
@@ -218,11 +223,17 @@ def get_safe_sample(lyapunov, perturbations=None, limits=None,
 
 
 def _device_safe_set(lyapunov):
-    """Device copy of the boolean safe set, cached until the host array
-    is replaced (``update_safe_set`` assigns a fresh array)."""
+    """Device copy of the boolean safe set, cached on CONTENT.
+
+    ``update_safe_set`` assigns a fresh array, but user code also
+    mutates in place (``lyap.safe_set |= mask`` — the examples' idiom),
+    so identity alone would serve a stale copy to the membership check;
+    the content digest (~0.1 ms/Mpoint) guards both."""
+    arr = lyapunov.safe_set
+    key = (id(arr), hash(arr.tobytes()))
     cache = getattr(lyapunov, "_safe_set_dev_cache", None)
-    if cache is None or cache[0] is not lyapunov.safe_set:
-        cache = (lyapunov.safe_set, jnp.asarray(lyapunov.safe_set))
+    if cache is None or cache[0] != key:
+        cache = (key, jnp.asarray(arr))
         lyapunov._safe_set_dev_cache = cache
     return cache[1]
 

@@ -831,14 +831,36 @@ class StackedGaussianProcess(UncertainFunction):
                    scale=gps[0].scale)
 
     def unstack(self):
-        """Return the per-output :class:`GaussianProcess` views (fresh
-        caches); inverse of :meth:`from_gps`."""
-        x, y = self.X, self.Y
-        return [GaussianProcess(
-            self.kernels[s], x, y[:, s:s + 1],
-            noise_variance=self.noise_variances[s], beta=self.betas[s],
-            mean_function=self.mean_functions[s], capacity=self.capacity,
-            scale=self.scale) for s in range(self.num_fun)]
+        """Return the per-output :class:`GaussianProcess` views; inverse
+        of :meth:`from_gps`.
+
+        The views REUSE the stack's cached factors (sliced along the
+        output axis) and its float64 host mirrors — no refactorization.
+        """
+        views = []
+        hosts = getattr(self, "_host_caches", None) or (None,) * \
+            self.num_fun
+        for s in range(self.num_fun):
+            gp = object.__new__(GaussianProcess)
+            object.__setattr__(gp, "kernel", self.kernels[s])
+            object.__setattr__(gp, "beta", self.betas[s])
+            object.__setattr__(gp, "scale", self.scale)
+            object.__setattr__(gp, "input_dim", self.input_dim)
+            object.__setattr__(gp, "output_dim", 1)
+            object.__setattr__(gp, "mean_function",
+                               self.mean_functions[s])
+            object.__setattr__(gp, "noise_variance",
+                               jnp.asarray(self.noise_variances[s],
+                                           dtype=config.dtype))
+            object.__setattr__(gp, "X_buf", self.X_buf)
+            object.__setattr__(gp, "Y_buf", self.Y_buf[:, s:s + 1])
+            object.__setattr__(gp, "count", self.count)
+            object.__setattr__(gp, "chol", self.chol[s])
+            object.__setattr__(gp, "chol_inv", self.chol_inv[s])
+            object.__setattr__(gp, "alpha", self.alpha[s])
+            object.__setattr__(gp, "_host_cache", hosts[s])
+            views.append(gp)
+        return views
 
     # -- data views -------------------------------------------------------
     @property
@@ -1261,7 +1283,7 @@ class StackedSampledFunction(DeterministicFunction):
     """
 
     _data_fields = ("members",)
-    _meta_fields = ()
+    _meta_fields = ("input_dim", "output_dim")
 
     def __init__(self, members):
         self.members = tuple(members)

@@ -26,6 +26,7 @@ class LinearSystem(DeterministicFunction):
     """
 
     _data_fields = ("matrix",)
+    _param_fields = ("matrix",)
 
     def __init__(self, matrices):
         if isinstance(matrices, (list, tuple)):

@@ -407,10 +407,11 @@ class Lyapunov:
             # fits; the batched loop below then only iterates once and
             # the chunked refinement handles the failing suffix.
             batch = max(batch, min(nindex, fused_limit))
-        # Round the batch to the grid size (one compiled shape, no huge
-        # padding) while keeping a lane-friendly multiple of 256 (which
-        # any mesh's grid axis also divides).
-        batch = min(batch, -(-nindex // 256) * 256)
+        # Round the batch UP to a multiple of 256 (lane-friendly, and
+        # any mesh's grid axis divides it — jax.device_put rejects a
+        # sharded axis the device count does not divide), capped at the
+        # grid size rounded the same way (no huge padding).
+        batch = -(-min(batch, nindex) // 256) * 256
 
         def _shard(states_dev):
             """Shard a batch over the active mesh's grid axis (SPMD:

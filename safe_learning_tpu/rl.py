@@ -75,65 +75,48 @@ def _future_values_lyapunov(policy, dynamics, reward_function,
 
 
 @partial(jax.jit, static_argnames=("steps", "batch_size", "space"))
-def _policy_ascent_core(policy, dynamics, reward_function, value_function,
-                        gamma, learning_rate, key, *, steps, batch_size,
-                        space):
+def _policy_ascent(policy, params, dynamics, reward_function,
+                   value_function, gamma, lyap, learning_rate, key, *,
+                   steps, batch_size, space):
     """``steps`` policy-gradient ascent steps on the mean future value as
-    ONE compiled ``lax.scan`` program, minibatches drawn on device."""
+    ONE compiled ``lax.scan`` program, minibatches drawn on device.
+
+    Only the policy's TRAINABLE parameters (``parameters_dict`` — the
+    analogue of the reference's trainable-variable scopes) receive
+    updates; structural leaves such as :class:`Saturation` action bounds
+    stay fixed. ``lyap`` is ``None`` or the tuple of Lyapunov-penalty
+    pieces (reference ``:107-112``).
+    """
     lo = jnp.asarray(np.asarray(space.limits)[:, 0], dtype=config.dtype)
     hi = jnp.asarray(np.asarray(space.limits)[:, 1], dtype=config.dtype)
 
     def body(carry, _):
-        pol, k = carry
+        p, k = carry
         k, k_batch = jax.random.split(k)
         states = jax.random.uniform(k_batch, (batch_size, space.ndim),
                                     config.dtype, lo, hi)
 
-        def loss(p):
-            return -jnp.mean(_future_values_core(
-                p, dynamics, reward_function, value_function, gamma,
-                states, None))
-
-        value, grads = jax.value_and_grad(loss)(pol)
-        pol = jax.tree_util.tree_map(lambda w, g: w - learning_rate * g,
-                                     pol, grads)
-        return (pol, k), value
-
-    (pol, _), losses = jax.lax.scan(body, (policy, key), None,
-                                    length=steps)
-    return pol, losses
-
-
-@partial(jax.jit, static_argnames=("steps", "batch_size", "space"))
-def _policy_ascent_lyapunov(policy, dynamics, reward_function,
-                            value_function, gamma, lyapunov_function,
-                            lipschitz_lyapunov, lipschitz_dynamics, tau,
-                            lagrange_multiplier, learning_rate, key, *,
-                            steps, batch_size, space):
-    """Lyapunov-penalized variant of :func:`_policy_ascent_core`."""
-    lo = jnp.asarray(np.asarray(space.limits)[:, 0], dtype=config.dtype)
-    hi = jnp.asarray(np.asarray(space.limits)[:, 1], dtype=config.dtype)
-
-    def body(carry, _):
-        pol, k = carry
-        k, k_batch = jax.random.split(k)
-        states = jax.random.uniform(k_batch, (batch_size, space.ndim),
-                                    config.dtype, lo, hi)
-
-        def loss(p):
+        def loss(pp):
+            pol = policy.with_parameters(pp)
+            if lyap is None:
+                return -jnp.mean(_future_values_core(
+                    pol, dynamics, reward_function, value_function,
+                    gamma, states, None))
+            (lyapunov_function, lipschitz_lyapunov, lipschitz_dynamics,
+             tau, lagrange_multiplier) = lyap
             return -jnp.mean(_future_values_lyapunov(
-                p, dynamics, reward_function, value_function, gamma,
+                pol, dynamics, reward_function, value_function, gamma,
                 states, None, lyapunov_function, lipschitz_lyapunov,
                 lipschitz_dynamics, tau, lagrange_multiplier))
 
-        value, grads = jax.value_and_grad(loss)(pol)
-        pol = jax.tree_util.tree_map(lambda w, g: w - learning_rate * g,
-                                     pol, grads)
-        return (pol, k), value
+        value, grads = jax.value_and_grad(loss)(p)
+        p = jax.tree_util.tree_map(lambda w, g: w - learning_rate * g,
+                                   p, grads)
+        return (p, k), value
 
-    (pol, _), losses = jax.lax.scan(body, (policy, key), None,
-                                    length=steps)
-    return pol, losses
+    (params, _), losses = jax.lax.scan(body, (params, key), None,
+                                       length=steps)
+    return params, losses
 
 
 @partial(jax.jit, static_argnames=("max_iter",))
@@ -259,21 +242,23 @@ class PolicyIteration:
                  else self.value_function.discretization)
         if key is None:
             key = jax.random.PRNGKey(0)
-        lr = jnp.asarray(learning_rate, dtype=config.dtype)
-        if lyapunov is None:
-            pol, losses = _policy_ascent_core(
-                self.policy, self.dynamics, self.reward_function,
-                self.value_function, self.gamma, lr, key, steps=steps,
-                batch_size=batch_size, space=space)
-        else:
-            pol, losses = _policy_ascent_lyapunov(
-                self.policy, self.dynamics, self.reward_function,
-                self.value_function, self.gamma,
-                lyapunov.lyapunov_function, lyapunov._lipschitz_lyapunov,
-                lyapunov._lipschitz_dynamics, lyapunov.tau,
-                jnp.asarray(lagrange_multiplier, dtype=config.dtype),
-                lr, key, steps=steps, batch_size=batch_size, space=space)
-        self.policy = pol
+        params = self.policy.parameters_dict
+        if not params:
+            raise ValueError(
+                "policy has no trainable parameters (parameters_dict is "
+                "empty) — wrap it in a parameterized Function")
+        lyap = None
+        if lyapunov is not None:
+            lyap = (lyapunov.lyapunov_function,
+                    lyapunov._lipschitz_lyapunov,
+                    lyapunov._lipschitz_dynamics, lyapunov.tau,
+                    jnp.asarray(lagrange_multiplier, dtype=config.dtype))
+        params, losses = _policy_ascent(
+            self.policy, params, self.dynamics, self.reward_function,
+            self.value_function, self.gamma, lyap,
+            jnp.asarray(learning_rate, dtype=config.dtype), key,
+            steps=steps, batch_size=batch_size, space=space)
+        self.policy = self.policy.with_parameters(params)
         return losses
 
     # ------------------------------------------------------------------

@@ -144,3 +144,22 @@ def test_get_safe_sample_actions_mode_multidim():
         grid.state_to_index(sa[:, :2])))
     assert_allclose(states, sa[:, :2], atol=1e-6)
     assert any(np.allclose(sa[0, 2:], a) for a in actions)
+
+
+def test_safe_set_inplace_mutation_visible_to_membership_check():
+    """The cached device safe set must track IN-PLACE host mutations
+    (the examples' `lyap.safe_set |= mask` idiom), not just
+    reassignments."""
+    lyap = _make_lyapunov_with_gp()
+    pert = np.zeros((1, 1))
+    # Populate the device cache with the current safe set.
+    get_safe_sample(lyap, pert, rng=np.random.default_rng(0))
+    # Shrink the safe set in place to ONLY the initial set.
+    keep = np.zeros_like(lyap.safe_set)
+    keep[[4, 5, 6]] = True
+    lyap.safe_set &= keep
+    sa, _ = get_safe_sample(lyap, pert, rng=np.random.default_rng(0))
+    # The chosen pair's mean next state must lie in the SHRUNK set.
+    mean, _ = lyap.dynamics(jnp.asarray(sa))
+    idx = int(np.asarray(lyap.discretization.state_to_index(mean))[0])
+    assert lyap.safe_set[idx]

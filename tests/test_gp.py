@@ -555,3 +555,34 @@ def test_large_capacity_falls_back_to_xla():
     m_big, v_big = (np.asarray(a) for a in big.predict(q))
     assert_allclose(m_big, m_small, atol=1e-6)
     assert_allclose(v_big, v_small, atol=1e-6)
+
+
+def test_stacked_sampled_function_pytree_roundtrip():
+    """StackedSampledFunction keeps its dims across pytree boundaries."""
+    from safe_learning_tpu import sample_gp_function
+
+    rng = np.random.default_rng(13)
+    _, stacked = _pendulum_style_members(rng)
+    disc = rng.uniform(-1, 1, size=(12, 3))
+    fn = sample_gp_function(disc, stacked, jax.random.PRNGKey(0))[0]
+    fn2 = jax.tree_util.tree_map(lambda a: a, fn)
+    assert fn2.input_dim == fn.input_dim == 3
+    assert fn2.output_dim == fn.output_dim == 2
+    assert_allclose(np.asarray(fn2(disc)), np.asarray(fn(disc)),
+                    atol=1e-6)
+
+
+def test_unstack_reuses_stacked_caches():
+    """unstack() slices the stacked factors instead of refactorizing;
+    the views predict identically to the stack."""
+    rng = np.random.default_rng(14)
+    _, stacked = _pendulum_style_members(rng)
+    q = rng.uniform(-1, 1, size=(9, 3))
+    mean_s, var_s = (np.asarray(a) for a in stacked.predict(q))
+    for s, view in enumerate(stacked.unstack()):
+        m, v = (np.asarray(a) for a in view.predict(q))
+        assert_allclose(m[:, 0], mean_s[:, s], atol=1e-5)
+        assert_allclose(v[:, 0], var_s[:, s], atol=1e-5)
+        # The view's factor IS the stack's slice (no refactorization).
+        assert_allclose(np.asarray(view.chol_inv),
+                        np.asarray(stacked.chol_inv[s]), atol=0)

@@ -325,3 +325,36 @@ def test_optimize_policy_lyapunov_penalty_runs():
     assert losses.shape == (40,)
     assert np.isfinite(np.asarray(losses)).all()
     assert losses[-1] <= losses[0]
+
+
+def test_optimize_policy_preserves_saturation_bounds():
+    """Gradient ascent must update only TRAINABLE parameters: a
+    Saturation-wrapped policy keeps its action limits exactly (the
+    reference's trainable-variable-scope semantics — bounds were
+    constants there)."""
+    a, b = np.array([[1.2]]), np.array([[1.0]])
+    grid = GridWorld([[-1, 1]], 21)
+    dynamics = LinearSystem([a, b])
+    reward = LambdaFunction(lambda xu: -(xu[:, :1] ** 2 + xu[:, 1:] ** 2))
+    value = Triangulation(grid, -np.abs(grid.all_points[:, 0]),
+                          project=True)
+    policy = sl.Saturation(LinearSystem([[-2.0]]), -0.1, 0.1)
+    rl = PolicyIteration(policy, dynamics, reward, value, gamma=0.98)
+    rl.optimize_policy(steps=50, learning_rate=0.1,
+                       key=jax.random.PRNGKey(0))
+    assert float(rl.policy.lower) == -0.1
+    assert float(rl.policy.upper) == 0.1
+    # ... while the wrapped gain did move.
+    assert not np.allclose(np.asarray(rl.policy.fun.matrix), -2.0)
+
+
+def test_optimize_policy_rejects_parameterless_policy():
+    grid = GridWorld([[-1, 1]], 11)
+    rl = PolicyIteration(
+        LambdaFunction(lambda x: -0.5 * x),
+        LinearSystem([np.array([[0.8]]), np.array([[1.0]])]),
+        LambdaFunction(lambda xu: -xu[:, :1] ** 2),
+        Triangulation(grid, np.zeros(grid.nindex), project=True),
+        gamma=0.9)
+    with pytest.raises(ValueError, match="trainable"):
+        rl.optimize_policy(steps=5)

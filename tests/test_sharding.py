@@ -147,3 +147,27 @@ def test_sharded_adaptive_update_matches_single_device(mesh):
     assert_array_equal(safe, single_safe)
     assert_array_equal(lyap_sharded._refinement, single_ref)
     assert c_max == lyap_single.c_max
+
+
+def test_sharded_adaptive_batched_non_divisible(mesh):
+    """Grid sizes and batch kwargs the device count does not divide must
+    still shard (batches round up to multiples of 256)."""
+    grid = GridWorld([[-1, 1], [-1, 1]], [33, 33])  # 1089 points
+    policy = LambdaFunction(lambda x: 0.0 * x[:, :1])
+    dyn = LinearSystem([np.array([[0.92, 0.0], [0.0, 0.9]]),
+                        np.zeros((2, 1))])
+    lv = LambdaFunction(lambda x: 2.0 * jnp.abs(x))
+
+    def make():
+        return Lyapunov(grid, QuadraticFunction(np.eye(2)), dyn, 0.95,
+                        lv, 4e-3, policy,
+                        initial_set=[grid.nindex // 2], adaptive=True)
+
+    single = make()
+    single.update_safe_set(max_refinement=4, batch_size=100)
+    sharded = make()
+    safe, c_max = sharded_safe_set_update(sharded, mesh,
+                                          max_refinement=4,
+                                          batch_size=100)
+    assert_array_equal(safe, single.safe_set)
+    assert c_max == single.c_max
