@@ -20,7 +20,8 @@ from scipy.linalg import block_diag
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import safe_learning_tpu as sl  # noqa: E402
-from examples._common import Timer, example_args, maybe_save_plot  # noqa: E402
+from examples._common import (Timer, example_args,  # noqa: E402
+                              make_actor_critic_scan, maybe_save_plot)
 
 
 def main():
@@ -121,66 +122,13 @@ def main():
         - np.asarray(true_values).ravel())) / r_max
     print("TD value fit error vs rollout: {:.3f}".format(value_err))
 
-    # Stage 2: joint actor-critic (notebook cells 48-52).
-    def _clip(tree, max_norm=1.0):
-        norm = jnp.sqrt(sum(jnp.sum(x ** 2)
-                            for x in jax.tree_util.tree_leaves(tree)))
-        scale = jnp.minimum(1.0, max_norm / (norm + 1e-12))
-        return jax.tree_util.tree_map(lambda x: x * scale, tree)
-
-    def value_step(vf, pol, states):
-        actions = policy.with_parameters(pol)(states)
-        rewards = reward_function(states, actions)
-        future = pendulum(states, actions)
-
-        def loss(p):
-            v = value_function.with_parameters(p)
-            target = jax.lax.stop_gradient(rewards + gamma * v(future))
-            return jnp.mean(jnp.abs(v(states) - target)) / r_max
-
-        return jax.tree_util.tree_map(lambda w, grad: w - 0.005 * grad,
-                                      vf, _clip(jax.grad(loss)(vf)))
-
-    def policy_step(pol, vf, states):
-        v = value_function.with_parameters(vf)
-
-        def loss(p):
-            actions = policy.with_parameters(p)(states)
-            rewards = reward_function(states, actions)
-            future = pendulum(states, actions)
-            return -(1 - gamma) / r_max * jnp.mean(rewards
-                                                   + gamma * v(future))
-
-        # lr scaled so (1 - gamma) * lr matches the notebook's 0.965/0.6.
-        return jax.tree_util.tree_map(lambda w, grad: w - 4.0 * grad,
-                                      pol, _clip(jax.grad(loss)(pol)))
-
-    @jax.jit
-    def actor_critic_scan(pol, vf, key):
-        """The full stage-2 training (joint_iters x (value_iters TD steps
-        + policy_iters ascent steps)) as ONE compiled program — the
-        notebook pays one session.run per step (44k at full scale)."""
-        def value_body(carry, _):
-            vf, pol, k = carry
-            k, k_batch = jax.random.split(k)
-            return (value_step(vf, pol, _sample(k_batch)), pol, k), None
-
-        def policy_body(carry, _):
-            pol, vf, k = carry
-            k, k_batch = jax.random.split(k)
-            return (policy_step(pol, vf, _sample(k_batch)), vf, k), None
-
-        def joint_body(carry, _):
-            pol, vf, k = carry
-            (vf, pol, k), _ = jax.lax.scan(value_body, (vf, pol, k),
-                                           None, length=value_iters)
-            (pol, vf, k), _ = jax.lax.scan(policy_body, (pol, vf, k),
-                                           None, length=policy_iters)
-            return (pol, vf, k), None
-
-        (pol, vf, _), _ = jax.lax.scan(joint_body, (pol, vf, key), None,
-                                       length=joint_iters)
-        return pol, vf
+    # Stage 2: joint actor-critic (notebook cells 48-52) — the shared
+    # one-dispatch harness (examples/_common.py). lr 4.0 scaled so
+    # (1 - gamma) * lr matches the notebook's 0.965/0.6.
+    actor_critic_scan = make_actor_critic_scan(
+        policy, value_function, pendulum, reward_function, gamma, r_max,
+        state_dim=2, value_iters=value_iters, policy_iters=policy_iters,
+        joint_iters=joint_iters)
 
     with Timer("joint actor-critic ({} iterations)".format(joint_iters)):
         key, sub = jax.random.split(key)

@@ -158,6 +158,10 @@ def get_safe_sample(lyapunov, perturbations=None, limits=None,
     # Subsample safe states (reference lyapunov.py:737-742) — host side:
     # the grid points are static host metadata, so no device round-trip.
     safe_idx = np.where(lyapunov.safe_set)[0]
+    if len(safe_idx) == 0:
+        raise RuntimeError(
+            "the safe set is empty — no state to explore from (provide "
+            "an initial_set or verify with a smaller tau first)")
     safe_states = np.asarray(grid.all_points)[safe_idx]
     if num_samples is not None and len(safe_states) > num_samples:
         pick = rng.choice(len(safe_states), num_samples, replace=True)

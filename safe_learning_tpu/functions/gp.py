@@ -841,23 +841,32 @@ class StackedGaussianProcess(UncertainFunction):
         hosts = getattr(self, "_host_caches", None) or (None,) * \
             self.num_fun
         for s in range(self.num_fun):
+            fields = {
+                "kernel": self.kernels[s],
+                "beta": self.betas[s],
+                "scale": self.scale,
+                "input_dim": self.input_dim,
+                "output_dim": 1,
+                "mean_function": self.mean_functions[s],
+                "noise_variance": jnp.asarray(self.noise_variances[s],
+                                              dtype=config.dtype),
+                "X_buf": self.X_buf,
+                "Y_buf": self.Y_buf[:, s:s + 1],
+                "count": self.count,
+                "chol": self.chol[s],
+                "chol_inv": self.chol_inv[s],
+                "alpha": self.alpha[s],
+            }
             gp = object.__new__(GaussianProcess)
-            object.__setattr__(gp, "kernel", self.kernels[s])
-            object.__setattr__(gp, "beta", self.betas[s])
-            object.__setattr__(gp, "scale", self.scale)
-            object.__setattr__(gp, "input_dim", self.input_dim)
-            object.__setattr__(gp, "output_dim", 1)
-            object.__setattr__(gp, "mean_function",
-                               self.mean_functions[s])
-            object.__setattr__(gp, "noise_variance",
-                               jnp.asarray(self.noise_variances[s],
-                                           dtype=config.dtype))
-            object.__setattr__(gp, "X_buf", self.X_buf)
-            object.__setattr__(gp, "Y_buf", self.Y_buf[:, s:s + 1])
-            object.__setattr__(gp, "count", self.count)
-            object.__setattr__(gp, "chol", self.chol[s])
-            object.__setattr__(gp, "chol_inv", self.chol_inv[s])
-            object.__setattr__(gp, "alpha", self.alpha[s])
+            # Drift-proof: iterate the declared field lists so a future
+            # GaussianProcess field missing here fails loudly.
+            for name in (GaussianProcess._all_data_fields
+                         + GaussianProcess._all_meta_fields):
+                object.__setattr__(gp, name, fields.pop(name))
+            if fields:
+                raise AssertionError(
+                    "unstack set unknown fields: {}".format(
+                        sorted(fields)))
             object.__setattr__(gp, "_host_cache", hosts[s])
             views.append(gp)
         return views

@@ -407,11 +407,16 @@ class Lyapunov:
             # fits; the batched loop below then only iterates once and
             # the chunked refinement handles the failing suffix.
             batch = max(batch, min(nindex, fused_limit))
-        # Round the batch UP to a multiple of 256 (lane-friendly, and
-        # any mesh's grid axis divides it — jax.device_put rejects a
-        # sharded axis the device count does not divide), capped at the
-        # grid size rounded the same way (no huge padding).
-        batch = -(-min(batch, nindex) // 256) * 256
+        # Round the batch UP to a multiple of 256 (lane-friendly) and of
+        # the mesh's grid-axis size (jax.device_put rejects a sharded
+        # axis the device count does not divide — e.g. a 6-device mesh),
+        # capped at the grid size rounded the same way (no huge padding).
+        unit = 256
+        if self.mesh is not None:
+            import math
+
+            unit = math.lcm(256, int(self.mesh.devices.size))
+        batch = -(-min(batch, nindex) // unit) * unit
 
         def _shard(states_dev):
             """Shard a batch over the active mesh's grid axis (SPMD:
@@ -482,8 +487,10 @@ class Lyapunov:
                     # refinable suffix so each dispatch stays near `batch`
                     # evaluated points.
                     chunk = max(64, batch // int(max_refinement) ** grid.ndim)
-                    # Multiple of 256 so a mesh's grid axis divides it.
-                    chunk = -(-chunk // 256) * 256
+                    if self.mesh is not None:
+                        # Mesh divisibility; unsharded sweeps keep the
+                        # small chunk (R^d inflates memory per point).
+                        chunk = -(-chunk // unit) * unit
                     refine_bound = 0
                     for j in range(0, stop, chunk):
                         hi = min(j + chunk, stop)

@@ -163,3 +163,12 @@ def test_safe_set_inplace_mutation_visible_to_membership_check():
     mean, _ = lyap.dynamics(jnp.asarray(sa))
     idx = int(np.asarray(lyap.discretization.state_to_index(mean))[0])
     assert lyap.safe_set[idx]
+
+
+def test_get_safe_sample_empty_safe_set_raises():
+    lyap = _make_lyapunov_with_gp()
+    lyap.safe_set[:] = False
+    lyap.initial_safe_set = None
+    with pytest.raises(RuntimeError, match="safe set is empty"):
+        get_safe_sample(lyap, np.zeros((1, 1)),
+                        rng=np.random.default_rng(0))

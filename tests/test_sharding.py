@@ -171,3 +171,28 @@ def test_sharded_adaptive_batched_non_divisible(mesh):
                                           batch_size=100)
     assert_array_equal(safe, single.safe_set)
     assert c_max == single.c_max
+
+
+def test_sharded_adaptive_non_power_of_two_mesh():
+    """A 6-device mesh (not a divisor of 256) must still shard: batches
+    round to multiples of lcm(256, mesh size)."""
+    mesh6 = make_mesh(6)
+    grid = GridWorld([[-1, 1], [-1, 1]], [33, 33])
+    policy = LambdaFunction(lambda x: 0.0 * x[:, :1])
+    dyn = LinearSystem([np.array([[0.92, 0.0], [0.0, 0.9]]),
+                        np.zeros((2, 1))])
+    lv = LambdaFunction(lambda x: 2.0 * jnp.abs(x))
+
+    def make():
+        return Lyapunov(grid, QuadraticFunction(np.eye(2)), dyn, 0.95,
+                        lv, 4e-3, policy,
+                        initial_set=[grid.nindex // 2], adaptive=True)
+
+    single = make()
+    single.update_safe_set(max_refinement=4, batch_size=100)
+    sharded = make()
+    safe, c_max = sharded_safe_set_update(sharded, mesh6,
+                                          max_refinement=4,
+                                          batch_size=100)
+    assert_array_equal(safe, single.safe_set)
+    assert c_max == single.c_max
