@@ -77,22 +77,28 @@ def reward_rollout(grid, closed_loop_dynamics, reward_function, discount,
     points = _grid_points(grid)
 
     def step(carry, t):
-        states, rollout = carry
+        states, rollout, done = carry
         contrib = (discount ** t) * reward_function(states).reshape(-1)
-        rollout = rollout + contrib
+        # The reference accumulates the first below-tol contribution and
+        # then BREAKS (examples/utilities.py:534-538); freezing the sum
+        # once `done` reproduces that exactly under lax.scan.
+        rollout = rollout + jnp.where(done, 0.0, contrib)
         max_contrib = jnp.max(jnp.abs(contrib))
+        done_next = done | (max_contrib < tol)
         nxt = closed_loop_dynamics(states)
         if isinstance(nxt, tuple):
             nxt = nxt[0]
-        return (nxt, rollout), max_contrib
+        return (nxt, rollout, done_next), jnp.where(done, jnp.inf,
+                                                    max_contrib)
 
-    init = (points, jnp.zeros(points.shape[0], dtype=points.dtype))
-    (_, rollout), max_contribs = jax.lax.scan(
+    init = (points, jnp.zeros(points.shape[0], dtype=points.dtype),
+            jnp.asarray(False))
+    (_, rollout, _), max_contribs = jax.lax.scan(
         step, init, jnp.arange(horizon))
-    converged = bool(np.asarray(max_contribs)[-1] < tol)
-    if converged:
-        steps = int(np.argmax(np.asarray(max_contribs) < tol)) + 1
-        print("Reward sums converged after {} steps!".format(steps))
+    below = np.asarray(max_contribs) < tol
+    if below.any():
+        print("Reward sums converged after {} steps!".format(
+            int(np.argmax(below)) + 1))
     else:
         print("Reward sums did not converge!")
     return np.asarray(rollout)

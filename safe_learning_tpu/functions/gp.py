@@ -388,7 +388,8 @@ class GaussianProcess(UncertainFunction):
                     # stationary + linear — the reference notebooks'
                     # models) compile to a covariance program executed
                     # inside the same fused kernel.
-                    compiled = compile_kernel_program(self.kernel)
+                    compiled = compile_kernel_program(
+                        self.kernel, input_dim=self.input_dim)
                     if compiled is not None:
                         program, param_list = compiled
                         params = jnp.concatenate(
@@ -947,8 +948,9 @@ class StackedGaussianProcess(UncertainFunction):
                 params_list = []
                 programs = []
                 for kernel in self.kernels:
-                    compiled = compile_kernel_program(kernel,
-                                                      params=params_list)
+                    compiled = compile_kernel_program(
+                        kernel, input_dim=self.input_dim,
+                        params=params_list)
                     if compiled is None:
                         programs = None
                         break

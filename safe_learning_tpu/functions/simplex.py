@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import config
-from ..grids import GridWorld
+from ..grids import GridWorld, row_major_strides
 from .base import DeterministicFunction, register_pytree
 
 __all__ = ["Triangulation", "PiecewiseConstant"]
@@ -86,8 +86,7 @@ def _cell_shape(grid):
 
 def _vertex_strides(grid):
     """Flat-index stride of +1 step along each dimension, vertex indexing."""
-    shape = np.asarray(grid.shape, dtype=np.int64)
-    return np.concatenate([np.cumprod(shape[1:][::-1])[::-1], [1]])
+    return row_major_strides(grid.shape)
 
 
 @register_pytree
@@ -276,9 +275,7 @@ class Triangulation(DeterministicFunction):
 
         _, weights, _, rank, cell = self._locate_all(points)
         w_corner = self._corner_weights(rank, weights)  # (N, 2^d)
-        cellstrides = np.concatenate(
-            [np.cumprod(np.asarray(_cell_shape(grid))[1:][::-1])[::-1],
-             [1]])
+        cellstrides = row_major_strides(_cell_shape(grid))
         cell_flat = jnp.sum(cell * jnp.asarray(cellstrides,
                                                dtype=jnp.int32), axis=-1)
         block = _gather_rows(self._corner_table(), cell_flat)

@@ -21,6 +21,14 @@ from .config import config
 __all__ = ["GridWorld", "DimensionError"]
 
 
+def row_major_strides(shape):
+    """Row-major flat-index strides for ``shape`` — THE single source of
+    the indexing arithmetic shared by GridWorld and the triangulation."""
+    return np.concatenate(
+        [np.cumprod(np.asarray(shape[1:], dtype=np.int64)[::-1])[::-1],
+         [1]])
+
+
 class DimensionError(Exception):
     """Raised when an input has the wrong dimensionality."""
 
@@ -110,9 +118,8 @@ class GridWorld:
 
     @functools.cached_property
     def strides(self):
-        """Row-major flat-index strides per dimension."""
-        return tuple(int(s) for s in
-                     np.cumprod((self.num_points[1:][::-1]))[::-1]) + (1,)
+        """Row-major flat-index strides per dimension (vertex indexing)."""
+        return tuple(int(s) for s in row_major_strides(self.shape))
 
     def __len__(self):
         return self.nindex
@@ -203,7 +210,5 @@ class GridWorld:
 
     @staticmethod
     def _ravel(ijk, shape):
-        strides = np.concatenate(
-            [np.cumprod(np.asarray(shape[1:], dtype=np.int64)[::-1])[::-1],
-             [1]])
+        strides = row_major_strides(shape)
         return jnp.sum(ijk * jnp.asarray(strides, dtype=ijk.dtype), axis=-1)

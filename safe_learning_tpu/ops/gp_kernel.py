@@ -38,7 +38,7 @@ def pallas_supported():
 # ---------------------------------------------------------------------------
 # Kernel-structure compiler: Kernel pytree -> static program + flat params
 # ---------------------------------------------------------------------------
-def compile_kernel_program(kernel, dims=None, params=None):
+def compile_kernel_program(kernel, input_dim=None, dims=None, params=None):
     """Compile a :class:`Kernel` pytree into a static covariance program.
 
     Supports the full composite family the reference notebooks use —
@@ -46,6 +46,13 @@ def compile_kernel_program(kernel, dims=None, params=None):
     ``LinearKernel``, ``ActiveDims`` restriction, and arbitrary
     sums/products of those — so composite GP models run through the
     fused Pallas predict instead of the XLA fallback.
+
+    ``input_dim`` is the DATA dimensionality the kernel will be applied
+    to. A kernel whose parameter vector is scalar broadcasts over every
+    input dimension (like ``Kernel.__call__``); a vector parameter must
+    span the input exactly, otherwise ``None`` is returned (XLA
+    fallback). Without ``input_dim`` the parameter length is trusted —
+    callers with data at hand should always pass it.
 
     Returns ``(program, params_list)`` where ``program`` is a hashable
     nested tuple interpreted at trace time inside the Pallas kernel and
@@ -63,15 +70,33 @@ def compile_kernel_program(kernel, dims=None, params=None):
     def offset():
         return sum(int(np.prod(p.shape)) for p in params)
 
+    def span_for(n):
+        """Input dims this leaf covers, or None for an XLA fallback.
+
+        Mirrors ``Kernel.__call__`` broadcasting: a scalar parameter
+        stretches over the whole (restricted) input span; a vector must
+        match it exactly.
+        """
+        if dims is not None:
+            sel = tuple(dims)
+        elif input_dim is not None:
+            sel = tuple(range(int(input_dim)))
+        else:
+            sel = tuple(range(n))
+        if n != len(sel) and n != 1:
+            return None
+        return sel
+
     kind_map = {RBF: "rbf", Matern12: "matern12", Matern32: "matern32",
                 Matern52: "matern52"}
 
     if type(kernel) in kind_map:
         ls = jnp.atleast_1d(kernel.lengthscales)
-        n = int(ls.shape[0])
-        sel = tuple(range(n)) if dims is None else tuple(dims)
-        if len(sel) != n:
+        sel = span_for(int(ls.shape[0]))
+        if sel is None:
             return None
+        if ls.shape[0] == 1 and len(sel) > 1:
+            ls = jnp.broadcast_to(ls, (len(sel),))
         ls_off = offset()
         params.append(1.0 / ls)
         var_off = offset()
@@ -80,10 +105,11 @@ def compile_kernel_program(kernel, dims=None, params=None):
                  var_off), params)
     if isinstance(kernel, LinearKernel):
         v = jnp.atleast_1d(kernel.variances)
-        n = int(v.shape[0])
-        sel = tuple(range(n)) if dims is None else tuple(dims)
-        if len(sel) != n:
+        sel = span_for(int(v.shape[0]))
+        if sel is None:
             return None
+        if v.shape[0] == 1 and len(sel) > 1:
+            v = jnp.broadcast_to(v, (len(sel),))
         v_off = offset()
         params.append(v)
         return (("linear", sel, v_off), params)
@@ -95,11 +121,13 @@ def compile_kernel_program(kernel, dims=None, params=None):
         return compile_kernel_program(kernel.kernel, dims=sel,
                                       params=params)
     if isinstance(kernel, (SumKernel, ProductKernel)):
-        left = compile_kernel_program(kernel.k1, dims=dims, params=params)
+        left = compile_kernel_program(kernel.k1, input_dim=input_dim,
+                                      dims=dims, params=params)
         if left is None:
             return None
         prog1, params = left
-        right = compile_kernel_program(kernel.k2, dims=dims, params=params)
+        right = compile_kernel_program(kernel.k2, input_dim=input_dim,
+                                       dims=dims, params=params)
         if right is None:
             return None
         prog2, params = right

@@ -233,7 +233,7 @@ def constrained_batch_sampler(key, dynamics, policy, state_dim, batch_size,
                                dtype=config.dtype, minval=-1.0, maxval=1.0)
     actions = policy(batch)
     future = dynamics(batch, actions)
-    if not isinstance(future, jnp.ndarray):
+    if isinstance(future, (tuple, list)):
         future = future[0]
     mask = jnp.all((future >= -1.0) & (future <= 1.0), axis=1)
     if action_limit is not None:

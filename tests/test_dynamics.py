@@ -137,10 +137,16 @@ def test_reward_rollout(capsys):
     rollout = reward_rollout(grid, lambda x: dyn(x),
                              lambda x: jnp.asarray(x)[:, :1] ** 2,
                              discount=0.9, horizon=100)
-    # Geometric series: sum_t 0.9^t (0.25^t x^2) = x^2 / (1 - 0.225).
-    expected = grid.all_points[:, 0] ** 2 / (1 - 0.9 * 0.25)
+    # Reference semantics (examples/utilities.py:534-538): accumulate the
+    # geometric series 0.9^t (0.25^t x^2) up to AND INCLUDING the first
+    # step whose max contribution drops below tol=1e-3, then stop.
+    q = 0.9 * 0.25
+    steps = next(t for t in range(100) if q ** t < 1e-3) + 1
+    expected = (grid.all_points[:, 0] ** 2
+                * sum(q ** t for t in range(steps)))
     assert_allclose(rollout, expected, atol=1e-6)
-    assert "converged" in capsys.readouterr().out
+    assert "converged after {} steps".format(steps) \
+        in capsys.readouterr().out
 
 
 def test_compute_closedloop_response():

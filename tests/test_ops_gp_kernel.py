@@ -340,3 +340,42 @@ def test_stacked_fused_predict_matches_xla():
     var = np.maximum(kdiag - np.asarray(var_num) / s2, 1e-12)
     assert_allclose(mean, mean_ref, atol=1e-9)
     assert_allclose(var, var_ref, atol=1e-9)
+
+
+def test_compile_kernel_program_scalar_params_broadcast():
+    """A kernel whose scalar parameters broadcast over multi-dim inputs
+    (default input_dim=1, the Kernel.__call__ semantics) must compile to
+    a program spanning EVERY input dimension — regression for the silent
+    dim-0-only covariance bug — and a 2-vector on 3-dim data must fall
+    back (None) instead of compiling wrong."""
+    from safe_learning_tpu.functions.gp import LinearKernel
+    from safe_learning_tpu.ops.gp_kernel import (compile_kernel_program,
+                                                 fused_gp_predict_general)
+
+    # Scalar lengthscale, used over 2-D data.
+    kernel = RBF(1.0, 0.5) + LinearKernel(0.3)
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-1, 1, size=(9, 2))
+    y = np.sin(x.sum(axis=1, keepdims=True))
+    gp = GaussianProcess(kernel, x, y, noise_variance=1e-4)
+    q = jnp.asarray(rng.uniform(-1, 1, size=(33, 2)), dtype=config.dtype)
+    mean_ref, var_ref = map(np.asarray, gp.predict(q))
+
+    compiled = compile_kernel_program(gp.kernel, input_dim=2)
+    assert compiled is not None
+    program, param_list = compiled
+    assert program[1][2] == (0, 1)  # rbf spans BOTH dims
+    assert program[2][1] == (0, 1)  # linear spans BOTH dims
+    params = jnp.concatenate([jnp.asarray(p).reshape(-1)
+                              for p in param_list]).astype(q.dtype)
+    mean_num, var_num = fused_gp_predict_general(
+        q, gp.X_buf, params, gp.chol_inv, gp.alpha, gp._mask(), 1.0,
+        program, tile=128, interpret=True)
+    assert_allclose(np.asarray(mean_num), mean_ref, atol=1e-9)
+    var = np.maximum(np.asarray(gp.kernel.diag(q))
+                     - np.asarray(var_num), 1e-12)[:, None]
+    assert_allclose(var, var_ref, atol=1e-9)
+
+    # Parameter vector that spans NEITHER 1 nor input_dim -> fallback.
+    bad = RBF(1.0, [0.5, 0.7], input_dim=2)
+    assert compile_kernel_program(bad, input_dim=3) is None
