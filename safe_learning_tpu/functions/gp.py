@@ -114,7 +114,8 @@ class _StationaryKernel(Kernel):
 class RBF(_StationaryKernel):
     """Squared-exponential kernel ``v * exp(-r^2 / 2)``."""
 
-    def _from_sqdist(self, r2):
+    @staticmethod
+    def _from_sqdist(r2):
         return jnp.exp(-0.5 * r2)
 
 
@@ -122,7 +123,8 @@ class RBF(_StationaryKernel):
 class Matern12(_StationaryKernel):
     """Matern-1/2 (exponential) kernel."""
 
-    def _from_sqdist(self, r2):
+    @staticmethod
+    def _from_sqdist(r2):
         return jnp.exp(-jnp.sqrt(r2 + 1e-36))
 
 
@@ -130,7 +132,8 @@ class Matern12(_StationaryKernel):
 class Matern32(_StationaryKernel):
     """Matern-3/2 kernel."""
 
-    def _from_sqdist(self, r2):
+    @staticmethod
+    def _from_sqdist(r2):
         r = jnp.sqrt(3.0 * r2 + 1e-36)
         return (1.0 + r) * jnp.exp(-r)
 
@@ -139,9 +142,21 @@ class Matern32(_StationaryKernel):
 class Matern52(_StationaryKernel):
     """Matern-5/2 kernel."""
 
-    def _from_sqdist(self, r2):
+    @staticmethod
+    def _from_sqdist(r2):
         r = jnp.sqrt(5.0 * r2 + 1e-36)
         return (1.0 + r + r * r / 3.0) * jnp.exp(-r)
+
+
+#: r2 -> normalized covariance, by stationary family name — THE single
+#: source of the formulas; the Pallas kernels consume this map so the
+#: fused forward pass can never desynchronize from the XLA path.
+STATIONARY_COVARIANCES = {
+    "rbf": RBF._from_sqdist,
+    "matern12": Matern12._from_sqdist,
+    "matern32": Matern32._from_sqdist,
+    "matern52": Matern52._from_sqdist,
+}
 
 
 @register_pytree

@@ -137,17 +137,17 @@ def compile_kernel_program(kernel, input_dim=None, dims=None, params=None):
 
 
 def _covariance(kind, r2):
-    if kind == "rbf":
-        return jnp.exp(-0.5 * r2)
-    if kind == "matern12":
-        return jnp.exp(-jnp.sqrt(r2 + 1e-36))
-    if kind == "matern32":
-        r = jnp.sqrt(3.0 * r2 + 1e-36)
-        return (1.0 + r) * jnp.exp(-r)
-    if kind == "matern52":
-        r = jnp.sqrt(5.0 * r2 + 1e-36)
-        return (1.0 + r + r * r / 3.0) * jnp.exp(-r)
-    raise ValueError(kind)
+    """Normalized stationary covariance from squared distance.
+
+    Delegates to the kernel classes' own formulas
+    (``functions.gp.STATIONARY_COVARIANCES``) so the fused Pallas
+    forward pass and the XLA/gradient paths share ONE definition."""
+    from ..functions.gp import STATIONARY_COVARIANCES
+
+    try:
+        return STATIONARY_COVARIANCES[kind](r2)
+    except KeyError:
+        raise ValueError(kind) from None
 
 
 def _gp_predict_kernel(q_ref, x_ref, chol_inv_ref, alpha_t_ref, mask_ref,
@@ -160,7 +160,7 @@ def _gp_predict_kernel(q_ref, x_ref, chol_inv_ref, alpha_t_ref, mask_ref,
       x_ref        (d, cap)    scaled training inputs
       chol_inv_ref (cap, cap)  scaled Cholesky inverse
       alpha_t_ref  (p, cap)    alpha transposed
-      mask_ref     (cap, 1)    active-row mask (includes s2 scaling)
+      mask_ref     (cap, 1)    0/1 active-row mask (s2 rides var_ref)
       var_ref      (1, 1)      kernel variance * s2 (SMEM)
       mean_ref     (p, TQ)     output: scaled posterior mean numerator
       pvar_ref     (1, TQ)     output: scaled posterior variance numerator
