@@ -58,8 +58,24 @@ def save_checkpoint(path, state, use_orbax=False):
 
 
 def restore_checkpoint(path, target):
-    """Restore a pytree checkpoint into the structure of ``target``."""
-    if path.endswith(".npz") or os.path.exists(path + ".npz"):
+    """Restore a pytree checkpoint into the structure of ``target``.
+
+    When BOTH an ``npz`` file and an orbax directory exist for ``path``,
+    the newer one wins (with a warning) — a run that switched formats
+    must never silently resume from the stale snapshot."""
+    use_npz = path.endswith(".npz") or os.path.exists(path + ".npz")
+    if (not path.endswith(".npz") and os.path.exists(path + ".npz")
+            and os.path.isdir(path)):
+        import warnings
+
+        newer_orbax = (os.path.getmtime(path)
+                       > os.path.getmtime(path + ".npz"))
+        warnings.warn(
+            "both an orbax directory and an npz file exist at {!r}; "
+            "restoring the newer {} checkpoint".format(
+                path, "orbax" if newer_orbax else "npz"))
+        use_npz = not newer_orbax
+    if use_npz:
         if not path.endswith(".npz"):
             path = path + ".npz"
         data = np.load(path)
@@ -155,6 +171,19 @@ def lyapunov_state(lyapunov):
         "lyapunov_parameters": lyapunov.lyapunov_function.parameters_dict,
         "policy_parameters": lyapunov.policy.parameters_dict,
     }
+    # The Lipschitz specs are often parameterized Functions wrapping the
+    # same nets (e.g. GradientNorm(net)); persist their parameters too,
+    # or a restore would silently compute thresholds from the
+    # pre-restore gradients (an unsound certificate).
+    from .functions.base import Function as _Function
+
+    for name, attr in (("lipschitz_lyapunov_parameters",
+                        "_lipschitz_lyapunov"),
+                       ("lipschitz_dynamics_parameters",
+                        "_lipschitz_dynamics")):
+        fun = getattr(lyapunov, attr)
+        if isinstance(fun, _Function) and fun.parameters_dict:
+            state[name] = fun.parameters_dict
     dynamics = lyapunov.dynamics
     if isinstance(dynamics, StackedGaussianProcess):
         state["gp_stacked"] = _stacked_gp_state(dynamics)
@@ -211,6 +240,15 @@ def restore_lyapunov_state(lyapunov, state):
     if state.get("policy_parameters"):
         lyapunov.policy = lyapunov.policy.with_parameters(
             state["policy_parameters"])
+    from .functions.base import Function as _Function
+
+    for name, attr in (("lipschitz_lyapunov_parameters",
+                        "_lipschitz_lyapunov"),
+                       ("lipschitz_dynamics_parameters",
+                        "_lipschitz_dynamics")):
+        fun = getattr(lyapunov, attr)
+        if state.get(name) and isinstance(fun, _Function):
+            setattr(lyapunov, attr, fun.with_parameters(state[name]))
     if "gp_stacked" in state and hasattr(lyapunov.dynamics, "kernels"):
         lyapunov.dynamics = _restore_stacked_gp(lyapunov.dynamics,
                                                 state["gp_stacked"])

@@ -65,9 +65,15 @@ class _OdeDynamics(DeterministicFunction):
     def linearize(self):
         """Discrete-time ZOH linearization around the origin.
 
-        Equivalent to the reference's hand-written Jacobians +
-        ``scipy.signal.cont2discrete`` (``examples/utilities.py:207-240``)
-        but derived automatically from the ODE with ``jax.jacobian``.
+        The EXACT Jacobian of :meth:`ode`, derived with
+        ``jax.jacobian`` + ``scipy.signal.cont2discrete``, replacing the
+        reference's hand-written matrices
+        (``examples/utilities.py:207-240``). For the pendulum the two
+        coincide; for the cart-pole the reference's hand-written ``A``
+        is inconsistent with its own ODE (its v-dot row differs by a
+        factor of the pole length) — autodiff is self-consistent with
+        the dynamics actually simulated, which is what a certificate
+        must linearize.
         """
         x0 = jnp.zeros((1, self.state_dim), dtype=config.dtype)
         u0 = jnp.zeros((1, self.action_dim), dtype=config.dtype)
@@ -238,21 +244,10 @@ class VanDerPol(_OdeDynamics):
             return None
         return self.tx, None
 
-    def evaluate(self, points):
-        state = points[:, :2]
-        state, _ = self.denormalize(state)
-        dt = self.dt / self.inner_euler_steps
-        for _ in range(self.inner_euler_steps):
-            state = state + dt * self.ode(state, None)
-        return self.normalize(state)[0]
-
     def ode(self, state, action):
+        del action  # uncontrolled system
         x = state[:, :1]
         y = state[:, 1:]
         x_dot = -y
         y_dot = x + self.damping * (x ** 2 - 1) * y
         return jnp.concatenate((x_dot, y_dot), axis=1)
-
-    def linearize(self):
-        """Discrete-time state matrix (no inputs)."""
-        return super().linearize()

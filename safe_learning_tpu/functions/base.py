@@ -144,9 +144,21 @@ class Function:
         return params
 
     def with_parameters(self, params):
-        """Return a copy of this function with updated parameters."""
+        """Return a copy of this function with updated parameters.
+
+        Unknown names are rejected (like :meth:`replace`) — silently
+        attaching them would leave the real parameters unchanged while
+        reporting success (e.g. a params dict saved from a
+        differently-wrapped model)."""
+        allowed = (set(self._all_data_fields)
+                   | set(_collect(type(self), "_param_fields")))
         new = self.replace()
         for name, value in params.items():
+            if name not in allowed:
+                raise ValueError(
+                    "{} has no parameter field {!r} (expected a subset "
+                    "of {})".format(type(self).__name__, name,
+                                    sorted(allowed)))
             current = getattr(new, name)
             if isinstance(current, Function):
                 value = current.with_parameters(value)

@@ -139,7 +139,9 @@ def _svd_singular_values(a):
     """
     u0, _, vt0 = jnp.linalg.svd(jax.lax.stop_gradient(a),
                                 full_matrices=True)
-    s = u0.T @ a @ vt0.T
+    # Full-precision matmuls: a single-pass bf16 reconstruction could
+    # UNDER-estimate the spectral norm feeding the safety threshold.
+    s = mxu_dot(mxu_dot(u0.T, a), vt0.T)
     return jnp.diagonal(s)
 
 

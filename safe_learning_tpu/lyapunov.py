@@ -59,13 +59,29 @@ def _eval_lipschitz(lip, states):
     return lip
 
 
+def _as_column_batch(lv):
+    """Normalize a local-Lipschitz evaluation to a per-state column.
+
+    A callable returning shape ``(N,)`` means one constant PER STATE —
+    ``atleast_2d`` would turn it into a single ``(1, N)`` row and the
+    L1 reduction would then sum constants ACROSS the batch (silently
+    certifying nothing); reshape to ``(N, 1)`` instead. Scalars become
+    ``(1, 1)`` and broadcast."""
+    lv = jnp.asarray(lv)
+    if lv.ndim == 1:
+        return lv.reshape(-1, 1)
+    if lv.ndim == 0:
+        return lv.reshape(1, 1)
+    return lv
+
+
 def _lv_threshold_term(lipschitz_lyapunov, states):
     """L_v factor of the threshold; vector-valued local constants are
     reduced with the L1 norm (reference ``lyapunov.py:282-288``)."""
     lv = _eval_lipschitz(lipschitz_lyapunov, states)
     if isinstance(lipschitz_lyapunov, Function) or callable(
             lipschitz_lyapunov):
-        lv = jnp.atleast_2d(lv)
+        lv = _as_column_batch(lv)
         if lv.shape[1] > 1:
             lv = jnp.sum(jnp.abs(lv), axis=1, keepdims=True)
     return lv
@@ -84,8 +100,9 @@ def _decrease_bound(lyapunov_function, lipschitz_lyapunov, states,
     (reference ``lyapunov.py:324-376``)."""
     if isinstance(next_states, (tuple, list)):
         next_states, error = next_states
-        lv = _eval_lipschitz(lipschitz_lyapunov, next_states)
-        bound = jnp.sum(jnp.atleast_2d(lv) * error, axis=1, keepdims=True)
+        lv = _as_column_batch(_eval_lipschitz(lipschitz_lyapunov,
+                                              next_states))
+        bound = jnp.sum(lv * error, axis=1, keepdims=True)
     else:
         bound = 0.0
     v_decrease = (lyapunov_function(next_states).reshape(-1, 1)
@@ -191,8 +208,9 @@ def _fused_update(policy, dynamics, lyapunov_function, lipschitz_lyapunov,
     next_states = dynamics(points, actions)
     if isinstance(next_states, (tuple, list)):
         next_states, error = next_states
-        lv = _eval_lipschitz(lipschitz_lyapunov, next_states)
-        bound = jnp.sum(jnp.atleast_2d(lv) * error, axis=1, keepdims=True)
+        lv = _as_column_batch(_eval_lipschitz(lipschitz_lyapunov,
+                                              next_states))
+        bound = jnp.sum(lv * error, axis=1, keepdims=True)
     else:
         bound = 0.0
     decrease = (lyapunov_function(next_states).reshape(-1, 1)
@@ -305,7 +323,11 @@ class Lyapunov:
         if pts is None or getattr(self, "_points_mesh", None) is not \
                 self.mesh:
             pts = jnp.asarray(self.discretization.all_points)
-            if self.mesh is not None:
+            if (self.mesh is not None
+                    and pts.shape[0] % int(self.mesh.devices.size) == 0):
+                # Shard only when the mesh divides the grid; otherwise
+                # keep the copy replicated (correct either way — XLA
+                # still partitions the sweep internally).
                 from jax.sharding import NamedSharding, PartitionSpec
 
                 axis = self.mesh.axis_names[0]
@@ -347,9 +369,8 @@ class Lyapunov:
         """Mean decrease and error bound (reference ``lyapunov.py:324-354``)."""
         if isinstance(next_states, (tuple, list)):
             next_states, error = next_states
-            lv = self.lipschitz_lyapunov(next_states)
-            bound = jnp.sum(jnp.atleast_2d(lv) * error, axis=1,
-                            keepdims=True)
+            lv = _as_column_batch(self.lipschitz_lyapunov(next_states))
+            bound = jnp.sum(lv * error, axis=1, keepdims=True)
         else:
             bound = jnp.zeros((), dtype=config.dtype)
         v_decrease = (self.lyapunov_function(next_states).reshape(-1, 1)
@@ -428,6 +449,11 @@ class Lyapunov:
             return jax.device_put(states_dev,
                                   grid_sharding(self.mesh, 2))
 
+        # Refresh v on the grid first: the fused path recomputes values
+        # inside its program, so the batched/adaptive path must not rank
+        # states (or report c_max) from values of a superseded candidate
+        # while _negative_batch evaluates the current one.
+        self.update_values()
         values = np.asarray(self.values)
         order = np.argsort(values, kind="stable")
         all_points = grid.all_points
@@ -458,12 +484,14 @@ class Lyapunov:
                     np.broadcast_to(states[-1:], (batch - n_valid,
                                                   grid.ndim))])
             states_dev = _shard(jnp.asarray(states))
-            negative, decrease, threshold = map(
-                np.asarray,
-                _negative_batch(self.policy, self.dynamics,
-                                self.lyapunov_function,
-                                self._lipschitz_lyapunov,
-                                self._lipschitz_dynamics, tau, states_dev))
+            # Only the boolean verdict comes back to the host (the
+            # decrease/threshold outputs exist for diagnostics callers;
+            # transferring them here would add two f32 grid-sized D2H
+            # copies per batch).
+            negative = np.asarray(_negative_batch(
+                self.policy, self.dynamics, self.lyapunov_function,
+                self._lipschitz_lyapunov, self._lipschitz_dynamics, tau,
+                states_dev)[0])
             negative = negative[:n_valid]
             safe_b = negative | exempt_sorted[i:i + n_valid]
             refinement_sorted[i:i + n_valid][safe_b] = 1
@@ -509,18 +537,30 @@ class Lyapunov:
                             tau, _shard(jnp.asarray(check_states)),
                             unit_maxes, int(max_refinement),
                             grid.ndim))[:hi - j]
-                        # Exempt states (initial set; previous safe set
-                        # when can_shrink=False) never block the prefix
-                        # (reference lyapunov.py:545-548 marks them N=1).
-                        refined = refined | exempt_sorted[i + bound + j:
-                                                          i + bound + hi]
+                        # A state passes if its COARSE check passed (the
+                        # suffix beyond the first failure contains such
+                        # states — their tau-level certificate stands;
+                        # the refined sub-grid test is a different
+                        # sufficient condition they need not satisfy),
+                        # if it is exempt (initial set; previous safe
+                        # set when can_shrink=False; reference
+                        # lyapunov.py:545-548 marks both N=1), or if the
+                        # refined check rescues it.
+                        coarse_seg = safe_b[bound + j:bound + hi]
+                        refined = (refined | coarse_seg
+                                   | exempt_sorted[i + bound + j:
+                                                   i + bound + hi])
                         seg_ok = (len(refined) if refined.all()
                                   else int(np.argmin(refined)))
+                        # Refined-only rescues get N = R; coarse passes
+                        # keep N = 1.
+                        ok_abs = slice(i + bound + j,
+                                       i + bound + j + seg_ok)
+                        refinement_sorted[ok_abs] = np.where(
+                            coarse_seg[:seg_ok], 1, int(max_refinement))
                         refine_bound += seg_ok
                         if seg_ok < hi - j:
                             break
-                    seg = slice(i + bound, i + bound + refine_bound)
-                    refinement_sorted[seg] = int(max_refinement)
 
                 max_index = i + bound + refine_bound - 1
                 if refine_bound < stop:

@@ -217,3 +217,64 @@ def test_policy_iteration_state_roundtrip(tmp_path):
     m1, e1 = map(np.asarray, fresh.dynamics(jnp.asarray(qa)))
     assert_allclose(m1, m0, atol=1e-12)
     assert_allclose(e1, e0, atol=1e-12)
+
+
+def test_restore_refreshes_lipschitz_wrapper(tmp_path):
+    """Restoring a Lyapunov state must also restore a parameterized
+    Lipschitz function (GradientNorm over the trained candidate) — a
+    stale wrapper computes thresholds from pre-restore gradients, an
+    unsound certificate."""
+    import jax
+
+    from safe_learning_tpu import (GridWorld, LambdaFunction,
+                                   LinearSystem, Lyapunov,
+                                   NeuralNetwork, GradientNorm)
+    from safe_learning_tpu.checkpoints import (lyapunov_state,
+                                               restore_lyapunov_state)
+
+    grid = GridWorld([[-1, 1]], 11)
+    dyn = LinearSystem([np.array([[0.5]]), np.zeros((1, 1))])
+    policy = LambdaFunction(lambda x: 0.0 * x)
+
+    def make(key):
+        net = NeuralNetwork([1, 8, 1], ["tanh", None],
+                            key=jax.random.PRNGKey(key))
+        return Lyapunov(grid, net, dyn, 0.5, GradientNorm(net, ord=1),
+                        1e-3, policy, initial_set=[5]), net
+
+    lyap_trained, net_trained = make(0)
+    lyap_trained.update_safe_set()
+    state = lyapunov_state(lyap_trained)
+
+    lyap_fresh, net_fresh = make(1)  # different init weights
+    restore_lyapunov_state(lyap_fresh, state)
+    x = np.linspace(-1, 1, 7)[:, None]
+    np.testing.assert_allclose(
+        np.asarray(lyap_fresh.lyapunov_function(x)),
+        np.asarray(lyap_trained.lyapunov_function(x)), atol=1e-6)
+    # The Lipschitz wrapper's gradients must come from the RESTORED net.
+    np.testing.assert_allclose(
+        np.asarray(lyap_fresh._lipschitz_lyapunov(x)),
+        np.asarray(lyap_trained._lipschitz_lyapunov(x)), atol=1e-6)
+
+
+def test_restore_prefers_newer_checkpoint_format(tmp_path):
+    """When both an npz file and an orbax directory exist at a path, the
+    newer one is restored (with a warning)."""
+    import time
+    import warnings
+
+    pytest.importorskip("orbax.checkpoint")
+    from safe_learning_tpu.checkpoints import (restore_checkpoint,
+                                               save_checkpoint)
+
+    target = {"w": np.zeros(3)}
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, {"w": np.ones(3)}, use_orbax=False)
+    time.sleep(0.05)
+    save_checkpoint(path, {"w": 2.0 * np.ones(3)}, use_orbax=True)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        restored = restore_checkpoint(path, target)
+    assert any("newer orbax" in str(w.message) for w in caught)
+    np.testing.assert_allclose(np.asarray(restored["w"]), 2.0)

@@ -200,3 +200,15 @@ def test_base_class_error_contracts():
 
     mean_fun = Stub().to_mean_function()
     assert float(np.asarray(mean_fun(jnp.zeros((1, 1))))[0, 0]) == 1.0
+
+
+def test_with_parameters_rejects_unknown_names():
+    """Unknown parameter names raise instead of silently attaching dead
+    attributes while the real parameters stay unchanged."""
+    import pytest
+
+    from safe_learning_tpu import LinearSystem
+
+    fn = LinearSystem([[1.0, 2.0]])
+    with pytest.raises(ValueError, match="no parameter field"):
+        fn.with_parameters({"wieghts": np.zeros((1, 2))})

@@ -374,3 +374,52 @@ def test_adaptive_soundness_cost_vs_reference_formulation():
     # may exceed it: points the reference deems uncheckable, N(x) > R,
     # can still pass the sound sub-grid check).
     assert ratio >= 0.9, f"soundness cost too large: ratio={ratio:.3f}"
+
+
+def test_local_lipschitz_1d_return_shape():
+    """A callable returning shape (N,) — one constant PER STATE, the
+    reference's documented idiom — must give the same certificate as the
+    equivalent (N, 1) version (regression: atleast_2d turned (N,) into a
+    (1, N) row and summed constants across the batch)."""
+    grid = GridWorld([[-1, 1]], 21)
+    dyn = LinearSystem([np.array([[0.8]]), np.zeros((1, 1))])
+    policy = LambdaFunction(lambda x: 0.0 * x)
+    v = QuadraticFunction(np.eye(1))
+
+    def make(lv):
+        ly = Lyapunov(grid, v, dyn, 0.8, lv, 5e-3, policy,
+                      initial_set=[10])
+        ly.update_safe_set()
+        return ly
+
+    ly_col = make(LambdaFunction(lambda x: 2.0 * jnp.abs(x)))
+    ly_flat = make(lambda x: jnp.max(2.0 * jnp.abs(x), axis=1))
+    assert_array_equal(ly_flat.safe_set, ly_col.safe_set)
+    assert ly_flat.c_max == ly_col.c_max
+    assert ly_col.safe_set.sum() > 1  # certificate is non-trivial
+
+
+def test_adaptive_refinement_passes_coarse_certified_suffix():
+    """Coarse-certified states beyond the first failure keep their
+    tau-level certificate (refinement N=1) instead of being re-judged by
+    the sub-grid test (regression: a coarse pass could break the
+    prefix)."""
+    grid = GridWorld([[-1, 1], [-1, 1]], [33, 33])
+    policy = LambdaFunction(lambda x: 0.0 * x[:, :1])
+    dyn = LinearSystem([np.array([[0.92, 0.0], [0.0, 0.9]]),
+                        np.zeros((2, 1))])
+    lv = LambdaFunction(lambda x: 2.0 * jnp.abs(x))
+    ly = Lyapunov(grid, QuadraticFunction(np.eye(2)), dyn, 0.95, lv,
+                  4e-3, policy, initial_set=[grid.nindex // 2],
+                  adaptive=True)
+    ly.update_safe_set(max_refinement=4)
+    safe, ref = ly.safe_set, ly._refinement
+    assert safe.sum() > 1
+    # Certified states carry BOTH refinement levels: coarse passes (1)
+    # interleaved with refined rescues (4) — i.e. the prefix ran through
+    # coarse-certified states inside the refinement suffix.
+    assert (ref[safe] == 1).any() and (ref[safe] == 4).any()
+    values = np.asarray(ly.values).ravel()
+    coarse_vals = values[safe & (ref == 1)]
+    refined_vals = values[safe & (ref == 4)]
+    assert coarse_vals.max() > refined_vals.min()
