@@ -22,9 +22,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import config
-from .lyapunov import _lv_threshold_term
+from .lyapunov import _as_column_batch, _eval_lipschitz
 
 __all__ = ["perturb_actions", "get_safe_sample"]
+
+
+def _pad_pow2(rows, min_bucket=8):
+    """Pad a row batch to the next power-of-two bucket by repeating the
+    last row (harmless duplicates), so varying candidate counts reuse
+    one compiled program per bucket. Returns ``(padded, n_valid)``."""
+    n = len(rows)
+    padded = 1 << max(min_bucket.bit_length() - 1, (n - 1).bit_length())
+    if padded != n:
+        rows = np.vstack([
+            rows, np.broadcast_to(rows[-1:], (padded - n, rows.shape[1]))])
+    return rows, n
 
 
 def perturb_actions(states, actions, perturbations, limits=None):
@@ -54,11 +66,16 @@ def _score_candidates(dynamics, lyapunov_function, lipschitz_lyapunov,
     """THE candidate-safety scoring (reference ``lyapunov.py:703-732``):
     GP predict, confidence-weighted future value, level-set test. The
     single definition shared by the fused selection and the
-    backup-fallback path."""
+    backup-fallback path.
+
+    The confidence error is the PER-DIMENSION product
+    ``sum_j |L_v_j| sigma_j`` (reference ``:716-717``, identical to
+    ``_decrease_bound``) — collapsing L_v with the threshold's L1
+    reduction first would inflate it to ``(sum |L_v|)(sum sigma)``."""
     mean, std = dynamics(state_actions)
     bound = jnp.sum(std, axis=1)
-    lv = _lv_threshold_term(lipschitz_lyapunov, mean)
-    error = jnp.sum(jnp.atleast_2d(lv) * std, axis=1)
+    lv = _as_column_batch(_eval_lipschitz(lipschitz_lyapunov, mean))
+    error = jnp.sum(jnp.abs(lv) * std, axis=1)
     future_values = lyapunov_function(mean).reshape(-1) + error
     return mean, bound, future_values < c_max
 
@@ -105,7 +122,7 @@ def _fused_sample_perturb(dynamics, policy, lyapunov_function,
     the scoring of ``:703-797``)."""
     n, d = safe_states.shape
     p, m = perturbations.shape
-    actions = jnp.atleast_2d(policy(safe_states))
+    actions = _as_column_batch(policy(safe_states))
     acts = actions[:, None, :] + perturbations[None, :, :]
     if use_limits:
         acts = jnp.clip(acts, limits[:, 0], limits[:, 1])
@@ -169,12 +186,7 @@ def get_safe_sample(lyapunov, perturbations=None, limits=None,
     # Pad to the next power of two so varying safe-set sizes reuse one
     # compiled program per bucket (padding duplicates the last state —
     # duplicate candidates cannot change the argmax winner's content).
-    n = len(safe_states)
-    padded = 1 << max(3, (n - 1).bit_length())
-    if padded != n:
-        safe_states = np.vstack([
-            safe_states,
-            np.broadcast_to(safe_states[-1:], (padded - n, state_dim))])
+    safe_states, _ = _pad_pow2(safe_states)
     safe_states_dev = jnp.asarray(safe_states, dtype=config.dtype)
 
     check_membership = not positive
@@ -249,15 +261,7 @@ def _evaluate_candidates(lyapunov, state_actions, positive):
     exploration steps with varying candidate counts hit one compiled
     program per size bucket instead of retracing every call.
     """
-    n = len(state_actions)
-    padded = 1 << max(3, (n - 1).bit_length())
-    if padded != n:
-        state_actions_dev = np.vstack([
-            state_actions,
-            np.broadcast_to(state_actions[-1:],
-                            (padded - n, state_actions.shape[1]))])
-    else:
-        state_actions_dev = state_actions
+    state_actions_dev, n = _pad_pow2(state_actions)
     mean, bound, maps_inside = _candidate_scores(
         lyapunov.dynamics, lyapunov.lyapunov_function,
         lyapunov._lipschitz_lyapunov, lyapunov.c_max,

@@ -625,7 +625,11 @@ class Lyapunov:
                       else None)
         if exempt_dev is None:
             exempt_dev = jnp.asarray(exempt)
-            if self.mesh is not None:
+            if (self.mesh is not None
+                    and exempt_dev.shape[0]
+                    % int(self.mesh.devices.size) == 0):
+                # Same divisibility guard as _device_points: meshes that
+                # do not divide the grid keep the mask replicated.
                 from jax.sharding import NamedSharding, PartitionSpec
 
                 axis = self.mesh.axis_names[0]

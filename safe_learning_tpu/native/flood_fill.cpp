@@ -51,8 +51,6 @@ extern "C" int lyapunov_flood_fill(
     if (init_index < 0 || init_index >= nindex) return -1;
 
     // Neighbor offsets: all 3^ndim - 1 combinations of {0, -1, +1}.
-    const int n_offsets_total = 1;
-    (void)n_offsets_total;
     std::vector<std::vector<int>> offsets;
     {
         std::vector<int> combo(ndim, 0);

@@ -57,7 +57,7 @@ def plot_lyapunov_1d(lyapunov, true_dynamics=None, legend=False, axes=None):
 
     actions = lyapunov.policy(states_dev)
     prediction = lyapunov.dynamics(states_dev, actions)
-    if isinstance(prediction, tuple):
+    if isinstance(prediction, (tuple, list)):
         mean, err = map(np.asarray, prediction)
         ax_f.plot(states[:, 0], mean[:, 0], "b-", label="GP mean")
         ax_f.fill_between(states[:, 0], mean[:, 0] - err[:, 0],

@@ -71,7 +71,9 @@ class MetricsRecorder:
             self.record(name, value)
 
     def __getitem__(self, name):
-        return np.asarray(self._data[name])
+        # .get: probing an unrecorded name must not insert a phantom
+        # empty series into the defaultdict (summary() would crash).
+        return np.asarray(self._data.get(name, []))
 
     def names(self):
         return sorted(self._data)

@@ -127,13 +127,17 @@ def _pwl_fixed_point(vertices, weights, rewards, gamma, init_values, tol,
     ``B`` is the sparse barycentric interpolation operator represented as
     ``(vertices, weights)`` with ``ndim + 1`` entries per row — the matvec
     is a gather + weighted sum, never a dense matrix.
-    Returns ``(values, delta, iterations)``.
+    ``tol`` is RELATIVE to ``max(1, max|v|)``: an absolute tolerance
+    below the ulp of large values would make a machine-precision-
+    converged iterate oscillate forever and report divergence.
+    Returns ``(values, delta, iterations)`` with ``delta`` scaled.
     """
     def body(carry):
         v, _, it = carry
         bv = jnp.sum(weights * v[vertices, 0], axis=1, keepdims=True)
         v_new = rewards + gamma * bv
-        delta = jnp.max(jnp.abs(v_new - v))
+        scale = jnp.maximum(1.0, jnp.max(jnp.abs(v_new)))
+        delta = jnp.max(jnp.abs(v_new - v)) / scale
         return v_new, delta, it + 1
 
     def cond(carry):
@@ -241,7 +245,11 @@ class PolicyIteration:
         space = (sample_space if sample_space is not None
                  else self.value_function.discretization)
         if key is None:
-            key = jax.random.PRNGKey(0)
+            # Carry an instance key: repeated calls in an outer loop
+            # must draw FRESH minibatches, not replay one sequence.
+            if not hasattr(self, "_policy_key"):
+                self._policy_key = jax.random.PRNGKey(0)
+            self._policy_key, key = jax.random.split(self._policy_key)
         params = self.policy.parameters_dict
         if not params:
             raise ValueError(
@@ -267,7 +275,8 @@ class PolicyIteration:
 
         Replaces the reference's host cvxpy LP
         (``reinforcement_learning.py:142-211``) with an on-device
-        contraction iteration reaching the same solution.
+        contraction iteration reaching the same solution. ``tol`` is
+        relative to ``max(1, max|v|)``.
         """
         actions = self.policy(self.state_space)
         next_states = self.dynamics(self.state_space, actions)
