@@ -30,60 +30,16 @@ print("backend:", jax.default_backend())
 
 
 def build(num_states=501, n_max=16):
-    """The adaptive notebook's full-scale instance, with the per-dim GPs
-    batched into a StackedGaussianProcess (the TPU-native form)."""
-    dt = 0.01
-    g = 9.81
-    m_true, length_true, b_fric_true = 0.15, 0.5, 0.1
-    theta_max = np.deg2rad(30)
-    omega_max = np.sqrt(g / length_true)
-    u_max = g * m_true * length_true * np.sin(theta_max)
-    norms = ((theta_max, omega_max), (u_max,))
+    """The adaptive notebook's full-scale instance — imported from the
+    example module so the benchmark times EXACTLY the example's
+    instance — with the per-dim GPs batched as a StackedGaussianProcess
+    (the TPU-native form) and capacity preallocated for the whole run
+    (capacity growth re-traces every program that closes over the GP).
+    """
+    from examples.adaptive_safety_verification import build_instance
 
-    true_pendulum = sl.InvertedPendulum(m_true, length_true, b_fric_true,
-                                        dt, normalization=norms)
-    a_true, b_true = (np.asarray(m) for m in true_pendulum.linearize())
-    wrong = sl.InvertedPendulum(0.1, 0.4, 0.0, dt, normalization=norms)
-    a, b = (np.asarray(m) for m in wrong.linearize())
-
-    m_err = np.hstack([a_true, b_true]) - np.hstack([a, b])
-    prior_variances = np.clip(m_err ** 2, 1e-3, None)
-    kernels, means = [], []
-    for dim in range(2):
-        kernels.append(
-            sl.LinearKernel(variances=prior_variances[dim], input_dim=3)
-            + sl.ActiveDims(sl.Matern32(lengthscales=1.0, input_dim=1),
-                            dims=[0])
-            * sl.ActiveDims(sl.LinearKernel(variances=prior_variances[dim, 1],
-                                            input_dim=1), dims=[0]))
-        means.append(sl.LinearSystem([a[[dim]], b[[dim]]]))
-    # Preallocate the data buffers for the whole run: capacity growth
-    # re-traces every program that closes over the GP (the sweep, the
-    # candidate scorer), so an expected-size hint up front keeps the
-    # loop on ONE compiled program per phase.
-    dynamics = sl.StackedGaussianProcess(
-        kernels, np.zeros((1, 3)), np.zeros((1, 2)),
-        noise_variances=[0.001 ** 2] * 2, betas=2.0,
-        mean_functions=means, capacity=128)
-
-    grid = sl.GridWorld([[-1.0, 1.0]] * 2, num_states)
-    tau = float(np.sum(grid.unit_maxes) / 2)
-    initial = np.linalg.norm(grid.all_points, ord=2, axis=1) <= 0.2
-
-    q = np.diag([1.0, 2.0])
-    r = 1.2 * np.identity(1)
-    k, p = sl.utils.dlqr(a_true, b_true, q, r)
-    p = p / np.abs(p).max()
-    policy = sl.Saturation(sl.LinearSystem(-k), -1.0, 1.0)
-    l_pol = np.linalg.norm(-k, 1)
-    l_dyn = np.linalg.norm(a_true, 1) + np.linalg.norm(b_true, 1) * l_pol
-    grad_v = sl.LinearSystem([2 * p])
-    l_v = sl.LambdaFunction(lambda x: jnp.abs(grad_v(x)),
-                            input_dim=2, output_dim=2)
-
-    lyap = sl.Lyapunov(grid, sl.QuadraticFunction(p), dynamics, l_dyn,
-                       l_v, tau, policy,
-                       initial_set=np.where(initial)[0], adaptive=True)
+    lyap, true_pendulum = build_instance(num_states, capacity=128,
+                                         stacked=True)
     return lyap, true_pendulum, n_max
 
 

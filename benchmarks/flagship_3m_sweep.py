@@ -3,8 +3,9 @@
 import time
 import numpy as np
 import jax, jax.numpy as jnp
+import os
 import sys
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import safe_learning_tpu as sl
 from safe_learning_tpu.lyapunov import _fused_update
 from examples.inverted_pendulum import build_gp_dynamics

@@ -1,13 +1,18 @@
-"""MXU precision sweep for the fused verification pipeline on TPU.
+"""MXU precision modes for the fused GP predict on TPU.
 
-Measures, on the bench instance (discriminating certificate, 1000^2
-grid), throughput and certification accuracy of the fused GP predict at:
+Outcome of the original question ("is a 3-pass f32 mode safe to
+adopt?"): **there is no 3-pass mode.** Mosaic cannot lower
+``jax.lax.Precision.HIGH`` inside a Pallas ``dot_general``
+(NotImplementedError at lowering) — an earlier version of this sweep
+appeared to "measure" it because changing ``config.pallas_precision``
+between configurations hit the stale jit cache of the first one; with
+the cache cleared, the HIGH configuration crashes at compile time. The
+kernel now validates the knob (``ops/gp_kernel._resolve_precision``).
 
-- ``highest``: 6-pass exact-f32 matmuls (the default),
-- ``high``: 3-pass (~16-bit effective mantissa),
-
-against the float64 NumPy oracle's margins and certified level. Decides
-whether the 3-pass mode is safe to adopt for the decrease check.
+What CAN be traded is the 6-pass exact-f32 default vs the explicit
+bf16 ``fast_matmul`` opt-in. This script measures both on the bench
+instance's GP (capacity 128, 1M queries): throughput and worst-case
+posterior mean / variance-numerator error vs a float64 host oracle.
 
 Run: python benchmarks/precision_sweep.py
 """
@@ -22,56 +27,48 @@ import jax
 import jax.numpy as jnp
 
 from safe_learning_tpu.config import config
-from safe_learning_tpu.lyapunov import Lyapunov, _fused_update, \
-    _negative_batch
-from bench import _build_instance, _oracle_c_max, _oracle_margins
+from safe_learning_tpu.ops.gp_kernel import fused_gp_predict
+from bench import _build_instance
 
 print("backend:", jax.default_backend())
-(grid, policy, v, lv, lf, gp, tau, initial_set, a, x_train, y_train,
- params) = _build_instance()
-lyap = Lyapunov(grid, v, gp, lf, lv, tau, policy, initial_set=initial_set)
-points = jnp.asarray(grid.all_points)
-exempt = jnp.asarray(lyap.initial_safe_set)
+(grid, policy, v, lv, lf, gp, tau, initial_set, a, x_train,
+ y_train, params) = _build_instance()
+ls = gp.kernel.lengthscales
+n_q = 1 << 20
+rng = np.random.default_rng(0)
+q = jnp.asarray(rng.uniform(-1, 1, size=(n_q, 3)),
+                dtype=config.dtype) / ls
+args = (gp.X_buf / ls, gp.chol_inv, gp.alpha, gp._mask(),
+        gp.kernel.variance * gp.scale ** 2)
 
-margin64, vals64 = _oracle_margins(grid, a, x_train, y_train, params, lf,
-                                   tau)
-c_ref, frac_ref = _oracle_c_max(grid, a, x_train, y_train, params, lf,
-                                tau, initial_set)
-print(f"oracle: c_max={c_ref:.6f} safe_frac={frac_ref:.4f}")
+# float64 host oracle on a slice.
+q64 = np.asarray(q, np.float64)[:4096]
+x64 = np.asarray(gp.X_buf / ls, np.float64)
+d64 = x64[:, None, :] - q64[None, :, :]
+k64 = (np.exp(-0.5 * np.sum(d64 ** 2, axis=2))
+       * np.asarray(gp._mask(), np.float64)[:, None])
+a64 = np.asarray(gp.chol_inv, np.float64) @ k64
+mean64 = a64.T @ np.asarray(gp.alpha, np.float64)
+pvar64 = np.sum(a64 * a64, axis=0)
 
-for prec in ["highest", "high"]:
-    config.pallas_precision = prec
+for name, fast in (("highest (6-pass f32, default)", False),
+                   ("fast_matmul (bf16, opt-in)", True)):
+    def fn(qs, fast=fast):
+        return fused_gp_predict(qs, *args, kind="rbf", tile=4096,
+                                fast_matmul=fast)
 
-    def sweep(pts, carry):
-        shifted = pts + carry * 1e-9
-        safe, c_max, values, any_safe = _fused_update(
-            lyap.policy, lyap.dynamics, lyap.lyapunov_function,
-            lyap._lipschitz_lyapunov, lyap._lipschitz_dynamics, lyap.tau,
-            shifted, exempt)
-        return jnp.sin(values[0] + carry), c_max, safe
-
-    sweep_jit = jax.jit(sweep)
-    carry = jnp.zeros((), dtype=points.dtype)
-    carry, c_max, safe = sweep_jit(points, carry)
-    c_dev, frac_dev = float(c_max), float(jnp.mean(safe))
-
-    neg, dec, thr = map(np.asarray, _negative_batch(
-        lyap.policy, lyap.dynamics, lyap.lyapunov_function,
-        lyap._lipschitz_lyapunov, lyap._lipschitz_dynamics, tau, points))
-    err = np.abs(dec.astype(np.float64) - thr.astype(np.float64)
-                 - margin64)
-
+    g = jax.jit(lambda qs, c, fn=fn: (lambda m, pv: (
+        m, pv, jnp.sin(m[0, 0] + c)))(*fn(qs + c * 1e-9)))
+    mean, pvar, carry = g(q, jnp.zeros((), config.dtype))
+    jax.block_until_ready(carry)
+    err_m = np.abs(np.asarray(mean)[:4096] - mean64).max()
+    err_v = np.abs(np.asarray(pvar)[:4096] - pvar64).max()
     iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
-        carry, c_max, safe = sweep_jit(points, carry)
-    float(c_max)
-    dt = time.perf_counter() - t0
-    rate = grid.nindex * iters / dt
-
-    print(f"{prec:8s}: {rate:.3e} checks/s ({dt / iters * 1e3:.2f} "
-          f"ms/sweep)  c_max={c_dev:.6f} (|dc|={abs(c_dev - c_ref):.2e})  "
-          f"safe_frac={frac_dev:.4f}  margin err max={err.max():.2e} "
-          f"p99.9={np.quantile(err, 0.999):.2e}")
-
-config.pallas_precision = "highest"
+        mean, pvar, carry = g(q, carry)
+    jax.block_until_ready(carry)
+    dt = (time.perf_counter() - t0) / iters
+    print("{}: {:6.2f} ms / 1M predict ({:.3e} pts/s), "
+          "|mean err| = {:.2e}, |var-num err| = {:.2e}".format(
+              name, dt * 1e3, n_q / dt, err_m, err_v))

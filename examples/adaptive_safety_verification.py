@@ -23,27 +23,89 @@ import safe_learning_tpu as sl  # noqa: E402
 from examples._common import Timer, example_args, maybe_save_plot  # noqa: E402
 
 
-def pendulum_gp_model(a_true, b_true, a, b, noise_var, capacity=None):
-    """Per-dimension GPs with linearized prior mean (notebook cell 9)."""
+def pendulum_gp_model(a_true, b_true, a, b, noise_var, capacity=None,
+                      stacked=False):
+    """Per-dimension GPs with linearized prior mean (notebook cell 9).
+
+    ``stacked=True`` batches them as a ``StackedGaussianProcess`` (one
+    fused TPU predict per sweep) instead of the notebook's
+    ``FunctionStack`` fan-out — identical results (tested).
+    """
     m_true = np.hstack([a_true, b_true])
     m = np.hstack([a, b])
     prior_variances = np.clip((m_true - m) ** 2, 1e-3, None)
 
-    gps = []
+    kernels, means = [], []
     for dim in range(2):
-        kernel = (sl.LinearKernel(variances=prior_variances[dim],
-                                  input_dim=3)
-                  + sl.ActiveDims(sl.Matern32(lengthscales=1.0, input_dim=1),
-                                  dims=[0])
-                  * sl.ActiveDims(
-                      sl.LinearKernel(variances=prior_variances[dim, 1],
-                                      input_dim=1), dims=[0]))
-        mean = sl.LinearSystem([a[[dim]], b[[dim]]])
-        gps.append(sl.GaussianProcess(
-            kernel, np.zeros((1, 3)), np.zeros((1, 1)),
-            noise_variance=noise_var, beta=2.0, mean_function=mean,
-            capacity=capacity))
-    return sl.FunctionStack(gps)
+        kernels.append(
+            sl.LinearKernel(variances=prior_variances[dim], input_dim=3)
+            + sl.ActiveDims(sl.Matern32(lengthscales=1.0, input_dim=1),
+                            dims=[0])
+            * sl.ActiveDims(
+                sl.LinearKernel(variances=prior_variances[dim, 1],
+                                input_dim=1), dims=[0]))
+        means.append(sl.LinearSystem([a[[dim]], b[[dim]]]))
+    if stacked:
+        return sl.StackedGaussianProcess(
+            kernels, np.zeros((1, 3)), np.zeros((1, 2)),
+            noise_variances=[noise_var] * 2, betas=2.0,
+            mean_functions=means, capacity=capacity)
+    return sl.FunctionStack([
+        sl.GaussianProcess(kernel, np.zeros((1, 3)), np.zeros((1, 1)),
+                           noise_variance=noise_var, beta=2.0,
+                           mean_function=mean, capacity=capacity)
+        for kernel, mean in zip(kernels, means)])
+
+
+def build_instance(num_states=501, capacity=None, stacked=False,
+                   noise_var=0.001 ** 2):
+    """The adaptive notebook's verification instance (cells 3-17):
+    wrong-parameter GP pendulum model, LQR policy + saturation, local
+    Lipschitz constants, adaptive Lyapunov object.
+
+    Returns ``(lyap, true_pendulum)``. Shared with
+    ``benchmarks/exploration_loop.py`` so the benchmark times exactly
+    the example's instance.
+    """
+    dt = 0.01
+    g = 9.81
+    m_true, length_true, b_fric_true = 0.15, 0.5, 0.1
+    theta_max = np.deg2rad(30)
+    omega_max = np.sqrt(g / length_true)
+    u_max = g * m_true * length_true * np.sin(theta_max)
+    norms = ((theta_max, omega_max), (u_max,))
+
+    true_pendulum = sl.InvertedPendulum(m_true, length_true, b_fric_true,
+                                        dt, normalization=norms)
+    a_true, b_true = (np.asarray(m) for m in true_pendulum.linearize())
+    wrong = sl.InvertedPendulum(0.1, 0.4, 0.0, dt, normalization=norms)
+    a, b = (np.asarray(m) for m in wrong.linearize())
+
+    dynamics = pendulum_gp_model(a_true, b_true, a, b,
+                                 noise_var=noise_var, capacity=capacity,
+                                 stacked=stacked)
+
+    grid = sl.GridWorld([[-1.0, 1.0]] * 2, num_states)
+    tau = float(np.sum(grid.unit_maxes) / 2)
+    initial_safe_set = np.linalg.norm(grid.all_points, ord=2,
+                                      axis=1) <= 0.2
+
+    q = np.diag([1.0, 2.0])
+    r = 1.2 * np.identity(1)
+    k, p = sl.utils.dlqr(a_true, b_true, q, r)
+    p = p / np.abs(p).max()
+    policy = sl.Saturation(sl.LinearSystem(-k), -1.0, 1.0)
+    l_pol = np.linalg.norm(-k, 1)
+    l_dyn = np.linalg.norm(a_true, 1) + np.linalg.norm(b_true, 1) * l_pol
+    grad_v = sl.LinearSystem([2 * p])
+    l_v = sl.LambdaFunction(lambda x: jnp.abs(grad_v(x)),
+                            input_dim=2, output_dim=2)
+
+    lyap = sl.Lyapunov(grid, sl.QuadraticFunction(p), dynamics, l_dyn,
+                       l_v, tau, policy,
+                       initial_set=np.where(initial_safe_set)[0],
+                       adaptive=True)
+    return lyap, true_pendulum
 
 
 def main():
@@ -53,58 +115,12 @@ def main():
     updates = 12 if args.full else 6
     data_per_update = 15 if args.full else 10
 
-    dt = 0.01
-    g = 9.81
-    # True parameters; the GP prior uses wrong ones (notebook cell 7).
-    m_true, length_true, b_fric_true = 0.15, 0.5, 0.1
-
-    theta_max = np.deg2rad(30)
-    omega_max = np.sqrt(g / length_true)
-    u_max = g * m_true * length_true * np.sin(theta_max)
-    norms = ((theta_max, omega_max), (u_max,))
-
-    true_pendulum = sl.InvertedPendulum(m_true, length_true, b_fric_true,
-                                        dt, normalization=norms)
-    a_true, b_true = true_pendulum.linearize()
-
-    wrong = sl.InvertedPendulum(0.1, 0.4, 0.0, dt, normalization=norms)
-    a, b = wrong.linearize()
-
     # capacity hint: 1 prior point + updates*data_per_update appends;
     # preallocating keeps every program on one compiled shape.
-    dynamics = pendulum_gp_model(np.asarray(a_true), np.asarray(b_true),
-                                 np.asarray(a), np.asarray(b),
-                                 noise_var=0.001 ** 2,
-                                 capacity=max(
-                                     64, 1 + updates * data_per_update))
-
-    grid = sl.GridWorld([[-1.0, 1.0]] * 2, num_states)
-    tau = float(np.sum(grid.unit_maxes) / 2)
-    print("Grid size: {}  tau: {:.2e}".format(grid.nindex, tau))
-
-    initial_safe_set = np.linalg.norm(grid.all_points, ord=2,
-                                      axis=1) <= 0.2
-
-    # LQR policy + quadratic Lyapunov candidate for the true linearized
-    # system (notebook cells 13, 17).
-    q = np.diag([1.0, 2.0])
-    r = 1.2 * np.identity(1)
-    k, p = sl.utils.dlqr(np.asarray(a_true), np.asarray(b_true), q, r)
-    p = p / np.abs(p).max()
-    policy = sl.Saturation(sl.LinearSystem(-k), -1.0, 1.0)
-
-    l_pol = np.linalg.norm(-k, 1)
-    l_dyn = (np.linalg.norm(np.asarray(a_true), 1)
-             + np.linalg.norm(np.asarray(b_true), 1) * l_pol)
-
-    lyapunov_function = sl.QuadraticFunction(p)
-    grad_v = sl.LinearSystem([2 * p])
-    l_v = sl.LambdaFunction(lambda x: jnp.abs(grad_v(x)),
-                            input_dim=2, output_dim=2)
-
-    lyap = sl.Lyapunov(grid, lyapunov_function, dynamics, l_dyn, l_v, tau,
-                       policy, initial_set=np.where(initial_safe_set)[0],
-                       adaptive=True)
+    lyap, true_pendulum = build_instance(
+        num_states, capacity=max(64, 1 + updates * data_per_update))
+    grid = lyap.discretization
+    print("Grid size: {}  tau: {:.2e}".format(grid.nindex, lyap.tau))
     lyap.update_safe_set(can_shrink=False, max_refinement=n_max,
                          safety_factor=1.0)
     print("initial certified fraction: {:.3f}".format(

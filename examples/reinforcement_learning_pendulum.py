@@ -29,11 +29,13 @@ def main():
     if args.full:
         num_states = 101
         eval_iters, joint_iters, value_iters, policy_iters = 500, 400, 100, 10
-        roa_horizon = 600
+        roa_horizon, roa_tol = 600, 0.01
     else:
         num_states = 51
         eval_iters, joint_iters, value_iters, policy_iters = 300, 150, 50, 10
-        roa_horizon = 400
+        # Quick mode trains far less; a looser (but EQUAL for both
+        # policies) endpoint tolerance keeps the comparison meaningful.
+        roa_horizon, roa_tol = 400, 0.1
 
     dt, g = 0.01, 9.81
     m, length, friction = 0.15, 0.5, 0.1
@@ -110,7 +112,7 @@ def main():
 
     with Timer("ROA + reward rollout (LQR policy)"):
         roa = sl.compute_roa(grid, closed_loop_lqr, horizon=roa_horizon,
-                             tol=0.01)
+                             tol=roa_tol)
         true_values = sl.reward_rollout(
             grid, closed_loop_lqr,
             lambda x: reward_function(x, policy_lqr(x)), gamma,
@@ -144,7 +146,7 @@ def main():
 
     with Timer("ROA (learned policy)"):
         new_roa = sl.compute_roa(grid, closed_loop_new,
-                                 horizon=roa_horizon, tol=0.1)
+                                 horizon=roa_horizon, tol=roa_tol)
     print("learned-policy ROA fraction: {:.3f} (LQR: {:.3f})".format(
         new_roa.mean(), roa.mean()))
     assert new_roa.mean() > 0.005, \

@@ -42,9 +42,10 @@ class Configuration:
         self.gp_batch_size = 2 ** 16
         self.solve_dtype = None
         self.use_pallas = True
-        # MXU precision for the fused GP predict's f32 matmuls:
-        # "highest" (6-pass exact f32) or "high" (3-pass, ~16-bit
-        # mantissa; measured on v5e in benchmarks/precision_sweep.py).
+        # MXU precision for the fused GP predict's f32 matmuls. Only
+        # "highest" (6-pass exact f32) exists: Mosaic cannot lower
+        # Precision.HIGH in a Pallas dot_general (measured decision,
+        # benchmarks/precision_sweep.py).
         self.pallas_precision = "highest"
         # Largest grid verified as ONE fused device program (above this
         # the sweep streams gp_batch_size chunks to bound device memory).

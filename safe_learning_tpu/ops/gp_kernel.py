@@ -136,6 +136,21 @@ def compile_kernel_program(kernel, input_dim=None, dims=None, params=None):
     return None
 
 
+def _resolve_precision(precision):
+    """Map the precision knob to a Mosaic-lowerable jax.lax.Precision.
+
+    Mosaic rejects ``Precision.HIGH`` in Pallas ``dot_general``
+    (NotImplementedError at lowering), so the only f32 mode is the
+    exact 6-pass ``HIGHEST``; the fast path is the explicit bf16
+    ``fast_matmul`` opt-in, not a precision level."""
+    if precision != "highest":
+        raise ValueError(
+            "pallas_precision={!r} is not lowerable by Mosaic (only "
+            "'highest' is; for a fast low-precision mode use "
+            "fast_matmul=True)".format(precision))
+    return jax.lax.Precision.HIGHEST
+
+
 def _covariance(kind, r2):
     """Normalized stationary covariance from squared distance.
 
@@ -189,8 +204,7 @@ def _gp_predict_kernel(q_ref, x_ref, chol_inv_ref, alpha_t_ref, mask_ref,
         # 6-pass exact-f32 algorithm; HIGH (3-pass, ~16-bit mantissa) is
         # measured on hardware in benchmarks/precision_sweep.py.
         k_in = k
-        prec = (jax.lax.Precision.HIGHEST if precision == "highest"
-                else jax.lax.Precision.HIGH)
+        prec = _resolve_precision(precision)
     a = jnp.dot(li, k_in, preferred_element_type=acc, precision=prec)
     mean_ref[:] = jnp.dot(alpha_t_ref[:], a.astype(dtype),
                           preferred_element_type=acc,
@@ -271,8 +285,7 @@ def _gp_predict_kernel_general(q_ref, x_ref, params_ref, chol_inv_ref,
     li = chol_inv_ref[:]
     dtype = q.dtype
     acc = jnp.float64 if dtype == jnp.float64 else jnp.float32
-    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
-            else jax.lax.Precision.HIGH)
+    prec = _resolve_precision(precision)
     a = jnp.dot(li, k, preferred_element_type=acc, precision=prec)
     mean_ref[:] = jnp.dot(alpha_t_ref[:], a.astype(dtype),
                           preferred_element_type=acc,
@@ -351,8 +364,7 @@ def _gp_predict_kernel_stacked(q_ref, x_ref, params_ref, chol_inv_ref,
 
     dtype = q.dtype
     acc = jnp.float64 if dtype == jnp.float64 else jnp.float32
-    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
-            else jax.lax.Precision.HIGH)
+    prec = _resolve_precision(precision)
 
     cache = {}
     for s, program in enumerate(programs):
@@ -611,12 +623,15 @@ def fused_gp_predict(points_scaled, x_scaled, chol_inv, alpha, mask,
     kernel_variance_s2 : scalar, kernel variance times scale^2
     kind : str, stationary kernel family
     tile : int, query tile size (multiple of 128)
-    fast_matmul : bool, run the capacity x capacity x tile matmul in bf16
-        (f32 accumulation); ~4x faster. Relative error scales with the
-        solve's conditioning (~1e-2..1e-1); only for workloads with wide
-        certification margins.
-    precision : str, "highest" (6-pass exact f32, default) or "high"
-        (3-pass, ~16-bit effective mantissa) for the f32 matmuls.
+    fast_matmul : bool, run the capacity x capacity x tile matmul in
+        bf16 (f32 accumulation). Measured at capacity 128 this is
+        SLOWER than the 6-pass f32 default (the kernel is VPU-bound and
+        the conversions add VPU work) and much less accurate — only
+        potentially useful at large capacities where the cap^2-tile
+        matmul dominates.
+    precision : str, must be "highest" (6-pass exact f32): Mosaic
+        cannot lower ``Precision.HIGH``, so there is no 3-pass mode —
+        the fast alternative is ``fast_matmul=True`` (bf16).
     interpret : bool, run under the Pallas interpreter (CPU testing only).
 
     Returns
