@@ -133,7 +133,6 @@ def test_compute_roa_with_trajectories():
 def test_reward_rollout(capsys):
     dyn = LinearSystem(np.array([[0.5]]))
     grid = GridWorld([[-1, 1]], 5)
-    reward = lambda x: np.asarray(x)[:, 0] ** 2
     rollout = reward_rollout(grid, lambda x: dyn(x),
                              lambda x: jnp.asarray(x)[:, :1] ** 2,
                              discount=0.9, horizon=100)

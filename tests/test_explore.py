@@ -116,6 +116,10 @@ def test_exploration_loop_shrinks_uncertainty():
         lyap.update_safe_set()
     assert lyap.safe_set.sum() >= 1
     assert all(np.isfinite(history))
+    # Data genuinely accumulated and the explored pair's uncertainty
+    # shrank: re-query the first chosen pair against the final GP.
+    assert int(lyap.dynamics.count) == 63  # 60 initial + 3 appended
+    assert history[-1] < history[0]
 
 
 def test_get_safe_sample_actions_mode_multidim():

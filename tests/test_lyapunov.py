@@ -7,7 +7,6 @@ import numpy as np
 import pytest
 from numpy.testing import assert_allclose, assert_array_equal
 
-import safe_learning_tpu as sl
 from safe_learning_tpu import (GridWorld, LambdaFunction, LinearSystem,
                                Lyapunov, QuadraticFunction,
                                smallest_boundary_value, get_lyapunov_region)
@@ -283,8 +282,6 @@ def _adaptive_instance(n_coarse=41, refine=8):
     """Nonlinear system, genuinely unstable outside |x| ~ 0.73, so the
     certificate has a real outer boundary; near the origin the coarse
     check fails (|dv| < threshold) and only refinement rescues it."""
-    import safe_learning_tpu as sl
-
     grid_c = GridWorld([[-1, 1], [-1, 1]], n_coarse)
     grid_f = GridWorld([[-1, 1], [-1, 1]], (n_coarse - 1) * refine + 1)
 

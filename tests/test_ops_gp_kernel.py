@@ -22,7 +22,10 @@ from safe_learning_tpu.ops.gp_kernel import fused_gp_predict
 def _make_gp(kernel_cls, n=17, d=2, p=1, seed=0, scale=1.0):
     rng = np.random.default_rng(seed)
     x = rng.uniform(-2.0, 2.0, size=(n, d))
-    y = np.sin(x.sum(axis=1, keepdims=True)) * np.ones((1, p))
+    # Distinct per-column targets: identical columns could not detect
+    # output mixing/transposition in the fused kernel.
+    y = np.column_stack([np.sin((j + 1) * x.sum(axis=1) + 0.3 * j)
+                         for j in range(p)])
     kernel = kernel_cls(variance=1.3, lengthscales=[0.7, 1.4][:d],
                         input_dim=d)
     return GaussianProcess(kernel, x, y, noise_variance=1e-4, beta=2.0,

@@ -59,10 +59,11 @@ def test_unique_rows():
 def test_ellipse_bounds():
     p = np.diag([1.0, 4.0])
     x, up, low = ellipse_bounds(p, 1.0, n=100)
-    assert len(x) == len(up) == len(low) + 1 or len(x) == len(up)
-    # Points satisfy x'Px <= level.
-    vals = x ** 2 + 4 * up[:len(x)] ** 2
-    assert (vals <= 1.0 + 1e-6).all()
+    assert len(x) == len(up) == len(low)
+    # Both boundaries lie ON the ellipse x^2 + 4 y^2 = 1 and bracket it.
+    assert_allclose(x ** 2 + 4 * up ** 2, 1.0, atol=1e-6)
+    assert_allclose(x ** 2 + 4 * low ** 2, 1.0, atol=1e-6)
+    assert (up >= low).all() and up.max() > 0 > low.min()
 
 
 def test_compute_trajectory_converges():

@@ -7,17 +7,12 @@ and drive the flagship active-learning loop in f32, matching the
 reference loop semantics (``lyapunov.py:657-797``).
 """
 
-import os
-import sys
 import warnings
 
 import numpy as np
+import jax.numpy as jnp
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-
-import jax.numpy as jnp  # noqa: E402
-
-import safe_learning_tpu as sl  # noqa: E402
+import safe_learning_tpu as sl
 
 
 def _make_lyapunov(noise=1e-4, beta=2.0):
