@@ -1,5 +1,10 @@
 """Reference's largest workload: 51^4 cart-pole grid verification on TPU."""
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import numpy as np
 import jax, jax.numpy as jnp
 import safe_learning_tpu as sl

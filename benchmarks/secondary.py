@@ -1,4 +1,9 @@
 """Secondary throughput numbers: PWL triangulation eval + ROA rollouts."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import time
 import numpy as np
 import jax, jax.numpy as jnp
