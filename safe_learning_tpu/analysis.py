@@ -46,9 +46,10 @@ def _simulate(closed_loop_dynamics, points, horizon,
 
 def compute_roa(grid, closed_loop_dynamics, horizon=100, tol=1e-3,
                 equilibrium=None, no_traj=True):
-    """Brute-force region of attraction: simulate every grid point and keep
-    those ending within ``tol`` of the equilibrium
-    (reference ``examples/utilities.py:654-686``)."""
+    """Brute-force region of attraction by forward simulation.
+
+    Simulates every grid point and keeps those ending within ``tol`` of
+    the equilibrium (reference ``examples/utilities.py:654-686``)."""
     points = _grid_points(grid)
     end_states, traj = _simulate(closed_loop_dynamics, points, horizon,
                                  return_trajectories=not no_traj)
@@ -67,7 +68,8 @@ def compute_roa(grid, closed_loop_dynamics, horizon=100, tol=1e-3,
 
 def reward_rollout(grid, closed_loop_dynamics, reward_function, discount,
                    horizon=250, tol=1e-3):
-    """Discounted finite-horizon reward sums over a discretization
+    """Discounted finite-horizon reward sums over a discretization.
+
     (reference ``examples/utilities.py:522-545``).
 
     The rollout runs fully on device with a convergence flag computed in
@@ -77,6 +79,7 @@ def reward_rollout(grid, closed_loop_dynamics, reward_function, discount,
     points = _grid_points(grid)
 
     def step(carry, t):
+        """One scan step."""
         states, rollout, done = carry
         contrib = (discount ** t) * reward_function(states).reshape(-1)
         # The reference accumulates the first below-tol contribution and
@@ -106,7 +109,8 @@ def reward_rollout(grid, closed_loop_dynamics, reward_function, discount,
 
 def compute_closedloop_response(dynamics, policy, state_dim, steps, dt,
                                 reference="zero", const=1.0, ic=None):
-    """Closed-loop response to impulse/step/zero reference signals
+    """Closed-loop response to impulse/step/zero reference signals.
+
     (reference ``examples/utilities.py:602-636``)."""
     action_dim = policy.output_dim
 
@@ -126,6 +130,7 @@ def compute_closedloop_response(dynamics, policy, state_dim, steps, dt,
         x0 = jnp.asarray(ic, dtype=config.dtype).reshape(1, state_dim)
 
     def step(state, ref):
+        """One scan step."""
         action = policy(state)
         nxt = dynamics(state, action + ref[None, :])
         if isinstance(nxt, tuple):
@@ -138,7 +143,8 @@ def compute_closedloop_response(dynamics, policy, state_dim, steps, dt,
 
 
 def gridify(norms, maxes=None, num_points=25):
-    """Construct a normalized GridWorld from per-dimension scales
+    """Construct a normalized GridWorld from per-dimension scales.
+
     (reference ``examples/utilities.py:639-651``)."""
     norms = np.asarray(norms).ravel()
     maxes = norms if maxes is None else np.asarray(maxes).ravel()

@@ -68,8 +68,16 @@ def restore_checkpoint(path, target):
             and os.path.isdir(path)):
         import warnings
 
-        newer_orbax = (os.path.getmtime(path)
-                       > os.path.getmtime(path + ".npz"))
+        # A directory's own mtime only changes when DIRECT entries are
+        # added/removed (orbax overwrites files inside step
+        # subdirectories), so take the newest mtime found anywhere
+        # inside the orbax tree.
+        orbax_mtime = os.path.getmtime(path)
+        for root, _dirs, files in os.walk(path):
+            for name in files:
+                orbax_mtime = max(orbax_mtime, os.path.getmtime(
+                    os.path.join(root, name)))
+        newer_orbax = orbax_mtime > os.path.getmtime(path + ".npz")
         warnings.warn(
             "both an orbax directory and an npz file exist at {!r}; "
             "restoring the newer {} checkpoint".format(
@@ -197,6 +205,7 @@ def lyapunov_state(lyapunov):
 
 def policy_iteration_state(rl):
     """Extract the persistent state of a :class:`PolicyIteration` object:
+
     policy and value-function parameters, plus full GP dynamics state
     when the dynamics are (stacked) GPs."""
     from .functions.gp import GaussianProcess, StackedGaussianProcess
@@ -227,8 +236,9 @@ def restore_policy_iteration_state(rl, state):
 
 
 def restore_lyapunov_state(lyapunov, state):
-    """Write a saved state back onto a :class:`Lyapunov` object
-    (functional components are replaced, host state assigned)."""
+    """Write a saved state back onto a :class:`Lyapunov` object.
+
+    Functional components are replaced, host state assigned."""
     lyapunov.safe_set = np.asarray(state["safe_set"]).astype(bool)
     lyapunov.c_max = float(state["c_max"])
     lyapunov.values = np.asarray(state["values"])

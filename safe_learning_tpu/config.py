@@ -79,6 +79,7 @@ class Configuration:
 
     @dtype.setter
     def dtype(self, value):
+        """Set (or reset to automatic) the default floating dtype."""
         self._dtype = None if value is None else jnp.dtype(value)
 
     @property
@@ -87,6 +88,7 @@ class Configuration:
         return np.dtype(self.dtype)
 
     def __repr__(self):
+        """Debug representation."""
         return ("Configuration(dtype={}, gp_batch_size={})"
                 .format(np.dtype(self.dtype).name, self.gp_batch_size))
 

@@ -107,8 +107,7 @@ class _OdeDynamics(DeterministicFunction):
 
 @register_pytree
 class InvertedPendulum(_OdeDynamics):
-    """Nonlinear inverted pendulum (reference
-    ``examples/utilities.py:144-289``).
+    """Nonlinear inverted pendulum (``examples/utilities.py:144-289``).
 
     State ``(angle, angular velocity)``, action = torque. With
     ``normalization=(Tx, Tu)`` the dynamics operate on normalized
@@ -140,6 +139,7 @@ class InvertedPendulum(_OdeDynamics):
 
     @property
     def inertia(self):
+        """Total pendulum inertia about the pivot."""
         return self.mass * self.length ** 2
 
     def _norm_arrays(self):
@@ -148,6 +148,7 @@ class InvertedPendulum(_OdeDynamics):
         return self.tx, self.tu
 
     def ode(self, state, action):
+        """Continuous-time dynamics ``dx/dt`` at ``(state, action)``."""
         angle = state[:, :1]
         angular_velocity = state[:, 1:]
         accel = (GRAVITY / self.length * jnp.sin(angle)
@@ -158,8 +159,7 @@ class InvertedPendulum(_OdeDynamics):
 
 @register_pytree
 class CartPole(_OdeDynamics):
-    """Cart with mounted inverted pendulum (reference
-    ``examples/utilities.py:292-437``).
+    """Cart-mounted inverted pendulum (``examples/utilities.py:292-437``).
 
     State ``(x, theta, v, omega)``, action = horizontal force on the cart.
     """
@@ -195,6 +195,7 @@ class CartPole(_OdeDynamics):
         return self.tx, self.tu
 
     def ode(self, state, action):
+        """Continuous-time dynamics ``dx/dt`` at ``(state, action)``."""
         m = self.pendulum_mass
         big_m = self.cart_mass
         length = self.length
@@ -221,7 +222,8 @@ class CartPole(_OdeDynamics):
 
 @register_pytree
 class VanDerPol(_OdeDynamics):
-    """Van der Pol oscillator in reverse time, uncontrolled benchmark
+    """Van der Pol oscillator in reverse time, uncontrolled benchmark.
+
     (reference ``examples/utilities.py:440-519``)."""
 
     _data_fields = ("damping", "tx")
@@ -245,6 +247,7 @@ class VanDerPol(_OdeDynamics):
         return self.tx, None
 
     def ode(self, state, action):
+        """Continuous-time dynamics ``dx/dt`` at ``(state, action)``."""
         del action  # uncontrolled system
         x = state[:, :1]
         y = state[:, 1:]

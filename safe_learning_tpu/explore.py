@@ -28,10 +28,15 @@ __all__ = ["perturb_actions", "get_safe_sample"]
 
 
 def _pad_pow2(rows, min_bucket=8):
-    """Pad a row batch to the next power-of-two bucket by repeating the
-    last row (harmless duplicates), so varying candidate counts reuse
-    one compiled program per bucket. Returns ``(padded, n_valid)``."""
+    """Pad a row batch to the next power-of-two bucket.
+
+    Pads by repeating the last row (harmless duplicates), so varying
+    candidate counts reuse one compiled program per bucket. Returns
+    ``(padded, n_valid)``."""
     n = len(rows)
+    if n == 0:
+        raise ValueError("cannot pad an empty row batch (no candidate "
+                         "rows to repeat)")
     padded = 1 << max(min_bucket.bit_length() - 1, (n - 1).bit_length())
     if padded != n:
         rows = np.vstack([
@@ -40,7 +45,8 @@ def _pad_pow2(rows, min_bucket=8):
 
 
 def perturb_actions(states, actions, perturbations, limits=None):
-    """Build the (N*X, n+m) candidate matrix of perturbed state-actions
+    """Build the (N*X, n+m) candidate matrix of perturbed state-actions.
+
     (reference ``lyapunov.py:609-651``)."""
     states = np.atleast_2d(states)
     actions = np.atleast_2d(actions)
@@ -64,6 +70,7 @@ def perturb_actions(states, actions, perturbations, limits=None):
 def _score_candidates(dynamics, lyapunov_function, lipschitz_lyapunov,
                       c_max, state_actions):
     """THE candidate-safety scoring (reference ``lyapunov.py:703-732``):
+
     GP predict, confidence-weighted future value, level-set test. The
     single definition shared by the fused selection and the
     backup-fallback path.
@@ -116,8 +123,10 @@ def _fused_sample_perturb(dynamics, policy, lyapunov_function,
                           lipschitz_lyapunov, c_max, safe_set_dev,
                           safe_states, perturbations, limits, *, grid,
                           use_limits, check_membership):
-    """One-dispatch exploration step, perturbation mode: candidates are
-    the current policy's actions at the sampled safe states, perturbed
+    """One-dispatch exploration step, perturbation mode.
+
+    Candidates are the current policy's actions at the sampled safe
+    states, perturbed
     (reference ``perturb_actions``, ``lyapunov.py:609-651``, fused with
     the scoring of ``:703-797``)."""
     n, d = safe_states.shape
@@ -139,9 +148,10 @@ def _fused_sample_perturb(dynamics, policy, lyapunov_function,
 def _fused_sample_actions(dynamics, lyapunov_function, lipschitz_lyapunov,
                           c_max, safe_set_dev, safe_states, actions, *,
                           grid, check_membership):
-    """One-dispatch exploration step, explicit-action mode: candidates
-    are the full cross product of sampled safe states and the given
-    actions (reference ``lyapunov.py:748-760``)."""
+    """One-dispatch exploration step, explicit-action mode.
+
+    Candidates are the full cross product of sampled safe states and the
+    given actions (reference ``lyapunov.py:748-760``)."""
     n, d = safe_states.shape
     na, m = actions.shape
     states = jnp.broadcast_to(safe_states[:, None, :], (n, na, d))
@@ -239,14 +249,19 @@ def get_safe_sample(lyapunov, perturbations=None, limits=None,
 
 
 def _device_safe_set(lyapunov):
-    """Device copy of the boolean safe set, cached on CONTENT.
+    """Device copy of the boolean safe set, cached on the set's VERSION.
 
-    ``update_safe_set`` assigns a fresh array, but user code also
-    mutates in place (``lyap.safe_set |= mask`` — the examples' idiom),
-    so identity alone would serve a stale copy to the membership check;
-    the content digest (~0.1 ms/Mpoint) guards both."""
+    ``Lyapunov.safe_set`` is a property whose setter bumps a version
+    counter; both plain assignment and the examples' in-place idiom
+    (``lyap.safe_set |= mask``) go through it, so ``(id, version)`` is a
+    sound cache key without re-hashing the whole mask on every
+    exploration step (O(grid) host work the advisor flagged). Duck-typed
+    Lyapunov objects without the counter fall back to a content digest.
+    """
     arr = lyapunov.safe_set
-    key = (id(arr), hash(arr.tobytes()))
+    version = getattr(lyapunov, "_safe_set_version", None)
+    key = ((id(arr), version) if version is not None
+           else (id(arr), hash(arr.tobytes())))
     cache = getattr(lyapunov, "_safe_set_dev_cache", None)
     if cache is None or cache[0] != key:
         cache = (key, jnp.asarray(arr))

@@ -59,11 +59,13 @@ def register_pytree(cls):
     cls._all_meta_fields = meta_fields
 
     def flatten(obj):
+        """Pytree flatten hook."""
         data = tuple(getattr(obj, name) for name in data_fields)
         meta = tuple(getattr(obj, name) for name in meta_fields)
         return data, meta
 
     def unflatten(meta, data):
+        """Pytree unflatten hook."""
         obj = object.__new__(cls)
         for name, value in zip(data_fields, data):
             object.__setattr__(obj, name, value)
@@ -114,6 +116,7 @@ class Function:
     output_dim = None
 
     def __call__(self, *points):
+        """Evaluate (see class docstring)."""
         return self.evaluate(concatenate_inputs(*points))
 
     def evaluate(self, points):
@@ -187,24 +190,31 @@ class Function:
     # Function algebra (reference functions.py:112-122)
     # ------------------------------------------------------------------
     def __add__(self, other):
+        """Pointwise sum (kernel algebra)."""
         return AddedFunction(self, other)
 
     def __radd__(self, other):
+        """Right-hand pointwise sum."""
         return AddedFunction(other, self)
 
     def __mul__(self, other):
+        """Pointwise product (kernel algebra)."""
         return MultipliedFunction(self, other)
 
     def __rmul__(self, other):
+        """Right-hand pointwise product."""
         return MultipliedFunction(other, self)
 
     def __neg__(self):
+        """Pointwise negation."""
         return MultipliedFunction(self, -1.0)
 
     def __sub__(self, other):
+        """Pointwise difference."""
         return AddedFunction(self, MultipliedFunction(other, -1.0))
 
     def __rsub__(self, other):
+        """Right-hand pointwise difference."""
         return AddedFunction(other, MultipliedFunction(self, -1.0))
 
 
@@ -222,6 +232,7 @@ class DeterministicFunction(Function):
         points = jnp.atleast_2d(jnp.asarray(points))
 
         def scalar(x):
+            """Wrap a python scalar as a constant function."""
             return jnp.sum(self.evaluate(x[None, :]))
 
         return jax.vmap(jax.grad(scalar))(points)
@@ -252,6 +263,7 @@ class MeanFunction(DeterministicFunction):
     _meta_fields = ("input_dim", "output_dim")
 
     def evaluate(self, points):
+        """Evaluate the function at ``points``."""
         return self.fun.evaluate(points)[0]
 
 
@@ -265,6 +277,7 @@ class ConstantFunction(DeterministicFunction):
         self.constant = jnp.asarray(constant)
 
     def evaluate(self, points):
+        """Evaluate the function at ``points``."""
         return self.constant
 
 
@@ -285,6 +298,7 @@ class AddedFunction(Function):
         self.fun2 = _as_function(fun2)
 
     def evaluate(self, points):
+        """Evaluate the function at ``points``."""
         return self.fun1.evaluate(points) + self.fun2.evaluate(points)
 
 
@@ -299,6 +313,7 @@ class MultipliedFunction(Function):
         self.fun2 = _as_function(fun2)
 
     def evaluate(self, points):
+        """Evaluate the function at ``points``."""
         return self.fun1.evaluate(points) * self.fun2.evaluate(points)
 
 
@@ -331,6 +346,7 @@ class GradientNorm(DeterministicFunction):
         self.output_dim = 1 if ord is not None else fun.input_dim
 
     def evaluate(self, points):
+        """Evaluate the function at ``points``."""
         grad = jnp.abs(self.fun.gradient(points))
         grad = grad.reshape(grad.shape[0], -1)
         if self.ord is None:
@@ -358,6 +374,7 @@ class Saturation(DeterministicFunction):
     _meta_fields = ("input_dim", "output_dim")
 
     def __getattr__(self, name):
+        """Forward unknown attributes to the wrapped function."""
         # Forward attribute access to the wrapped function
         # (reference functions.py:333-337).
         if name.startswith("_"):
@@ -365,6 +382,7 @@ class Saturation(DeterministicFunction):
         return getattr(self.fun, name)
 
     def evaluate(self, points):
+        """Evaluate the function at ``points``."""
         values = self.fun.evaluate(points)
         return jnp.clip(values, self.lower, self.upper)
 
@@ -388,6 +406,7 @@ class FunctionStack(UncertainFunction):
     _meta_fields = ("num_fun", "input_dim", "output_dim")
 
     def evaluate(self, points):
+        """Evaluate the function at ``points``."""
         means, errors = [], []
         for fun in self.functions:
             mean, error = fun.evaluate(points)
@@ -426,6 +445,7 @@ class LambdaFunction(DeterministicFunction):
         self.output_dim = output_dim
 
     def evaluate(self, points):
+        """Evaluate the function at ``points``."""
         return self.fun(points)
 
 

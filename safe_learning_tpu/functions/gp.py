@@ -66,9 +66,11 @@ class Kernel:
         raise NotImplementedError
 
     def __add__(self, other):
+        """Pointwise sum (kernel algebra)."""
         return SumKernel(self, other)
 
     def __mul__(self, other):
+        """Pointwise product (kernel algebra)."""
         return ProductKernel(self, other)
 
 
@@ -170,11 +172,13 @@ class LinearKernel(Kernel):
         self.variances = jnp.broadcast_to(jnp.atleast_1d(v), (input_dim,))
 
     def __call__(self, x, z=None):
+        """Evaluate (see class docstring)."""
         x = jnp.atleast_2d(jnp.asarray(x))
         z = x if z is None else jnp.atleast_2d(jnp.asarray(z))
         return mxu_dot(x * self.variances, z.T)
 
     def diag(self, x):
+        """Diagonal of ``K(x, x)``."""
         x = jnp.atleast_2d(jnp.asarray(x))
         return jnp.sum(x * x * self.variances, axis=1)
 
@@ -199,38 +203,48 @@ class ActiveDims(Kernel):
         return jnp.atleast_2d(jnp.asarray(x))[:, list(self.dims)]
 
     def __call__(self, x, z=None):
+        """Evaluate (see class docstring)."""
         z = x if z is None else z
         return self.kernel(self._slice(x), self._slice(z))
 
     def diag(self, x):
+        """Diagonal of ``K(x, x)``."""
         return self.kernel.diag(self._slice(x))
 
 
 @register_pytree
 class SumKernel(Kernel):
+    """Pointwise sum of two kernels (gpflow ``Add``)."""
+
     _data_fields = ("k1", "k2")
 
     def __init__(self, k1, k2):
         self.k1, self.k2 = k1, k2
 
     def __call__(self, x, z=None):
+        """Evaluate (see class docstring)."""
         return self.k1(x, z) + self.k2(x, z)
 
     def diag(self, x):
+        """Diagonal of ``K(x, x)``."""
         return self.k1.diag(x) + self.k2.diag(x)
 
 
 @register_pytree
 class ProductKernel(Kernel):
+    """Pointwise product of two kernels (gpflow ``Prod``)."""
+
     _data_fields = ("k1", "k2")
 
     def __init__(self, k1, k2):
         self.k1, self.k2 = k1, k2
 
     def __call__(self, x, z=None):
+        """Evaluate (see class docstring)."""
         return self.k1(x, z) * self.k2(x, z)
 
     def diag(self, x):
+        """Diagonal of ``K(x, x)``."""
         return self.k1.diag(x) * self.k2.diag(x)
 
 
@@ -251,8 +265,9 @@ def _kernel_columns(kernel, x_buf, n, m):
 
 @functools.partial(jax.jit, static_argnames=("m",))
 def _stacked_append_parts(gp, n, m):
-    """Everything a stacked bordered append needs from the device, in
-    ONE dispatch: per-output covariance columns against the buffer
+    """Everything a stacked bordered append needs, in ONE dispatch.
+
+    Returns per-output covariance columns against the buffer
     (stacked ``(S, cap, m)``) and the stacked prior means at the new
     points ``(m, S)``."""
     x_buf = gp.X_buf
@@ -264,7 +279,8 @@ def _stacked_append_parts(gp, n, m):
 
 @jax.jit
 def _append_rows(x_buf, y_buf, x, y, n):
-    """Write new rows into both data buffers in ONE device dispatch
+    """Write new rows into both data buffers in ONE device dispatch.
+
     (dispatch latency, not bandwidth, dominates online updates)."""
     zero = jnp.zeros_like(n)
     return (jax.lax.dynamic_update_slice(x_buf, x, (n, zero)),
@@ -290,6 +306,20 @@ class GaussianProcess(UncertainFunction):
         when exceeded.
     scale : float, optional
         Internal conditioning factor (reference ``functions.py:399-411``).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from safe_learning_tpu import GaussianProcess, RBF
+    >>> x = np.array([[-0.5], [0.0], [0.5]])
+    >>> y = 0.5 * x
+    >>> gp = GaussianProcess(RBF(1.0, 0.5), x, y, noise_variance=1e-6)
+    >>> mean, error = gp(np.array([[0.0]]))  # (posterior mean, beta*std)
+    >>> bool(abs(float(mean[0, 0])) < 1e-3)
+    True
+    >>> gp = gp.add_data_point(np.array([[1.0]]), np.array([[0.5]]))
+    >>> int(gp.count)
+    4
     """
 
     _data_fields = ("kernel", "X_buf", "Y_buf", "count", "noise_variance",
@@ -333,6 +363,7 @@ class GaussianProcess(UncertainFunction):
     # -- data views -------------------------------------------------------
     @property
     def capacity(self):
+        """Fixed buffer capacity available for online learning."""
         return int(self.X_buf.shape[0])
 
     @property
@@ -465,8 +496,9 @@ class GaussianProcess(UncertainFunction):
 
     # -- online learning ----------------------------------------------------
     def add_data_point(self, x, y):
-        """Return a new GP with the observation(s) appended and the
-        Cholesky cache refreshed (reference ``functions.py:525-546``).
+        """Append observation(s), returning a new GP with a fresh cache.
+
+        Mirrors reference ``functions.py:525-546``.
 
         In float32 mode, when the float64 host mirror of the factor is
         available, the refresh is an O(n^2) **bordered Cholesky append**
@@ -821,8 +853,9 @@ class StackedGaussianProcess(UncertainFunction):
 
     @classmethod
     def from_gps(cls, gps):
-        """Batch single-output :class:`GaussianProcess` objects that share
-        training inputs (e.g. the members of a per-dimension stack)."""
+        """Batch single-output GPs that share training inputs.
+
+        E.g. the members of a per-dimension stack."""
         gps = list(gps)
         for gp in gps:
             if not isinstance(gp, GaussianProcess):
@@ -847,8 +880,7 @@ class StackedGaussianProcess(UncertainFunction):
                    scale=gps[0].scale)
 
     def unstack(self):
-        """Return the per-output :class:`GaussianProcess` views; inverse
-        of :meth:`from_gps`.
+        """Return the per-output views (inverse of :meth:`from_gps`).
 
         The views REUSE the stack's cached factors (sliced along the
         output axis) and its float64 host mirrors — no refactorization.
@@ -890,6 +922,7 @@ class StackedGaussianProcess(UncertainFunction):
     # -- data views -------------------------------------------------------
     @property
     def capacity(self):
+        """Fixed buffer capacity available for online learning."""
         return int(self.X_buf.shape[0])
 
     @property
@@ -1064,10 +1097,14 @@ class StackedGaussianProcess(UncertainFunction):
             k_all, priors = jax.device_get(_stacked_append_parts(
                 new, jnp.asarray(n, dtype=jnp.int32), m=n_new))
             priors = np.asarray(priors, dtype=np.float64)
+            # One host fetch for ALL outputs' noise levels: passing
+            # device-array elements into _bordered_append would force a
+            # host-device sync per output (float(...) inside).
+            noises = np.asarray(self.noise_variances, dtype=np.float64)
             for s in range(self.num_fun):
                 updated = _bordered_append(
                     hosts[s], self.kernels[s], new.X_buf, y[:, s:s + 1],
-                    priors[:, s:s + 1], self.noise_variances[s],
+                    priors[:, s:s + 1], float(noises[s]),
                     self.scale, k_cols=k_all[s])
                 if updated is None:
                     hosts_new = None
@@ -1096,6 +1133,7 @@ class StackedGaussianProcess(UncertainFunction):
 
 def _stacked_cache(gp, host_out=None):
     """Per-output Cholesky caches, stacked with a leading output axis:
+
     ``chol``/``chol_inv`` are ``(num_fun, cap, cap)``, ``alpha`` is
     ``(num_fun, cap, 1)``. When ``host_out`` is a list, the per-output
     float64 mirrors are appended to it (as one list)."""
@@ -1183,6 +1221,7 @@ def fit_gp_hyperparameters(gp, steps=150, learning_rate=0.05,
     }
 
     def unpack(state):
+        """Rebuild (kernel, noise) from the flat log-parameters."""
         kernel = jax.tree_util.tree_unflatten(
             treedef, [jnp.exp(leaf) for leaf in state["kernel"]])
         noise = (min_noise + jnp.exp(state["noise"]) if optimize_noise
@@ -1190,6 +1229,7 @@ def fit_gp_hyperparameters(gp, steps=150, learning_rate=0.05,
         return kernel, noise
 
     def nll(state):
+        """Negative log marginal likelihood of the flat parameters."""
         kernel, noise = unpack(state)
         return -_log_marginal_likelihood(kernel, noise, gp.X_buf,
                                          gp.Y_buf, gp.mean_function,
@@ -1270,9 +1310,11 @@ class GPSampledFunction(DeterministicFunction):
 
     @property
     def noise_variance(self):
+        """Observation-noise variance of the sampled GP."""
         return self.gp.noise_variance
 
     def __call__(self, *points, noise_key=None):
+        """Evaluate (see class docstring)."""
         from .base import concatenate_inputs
 
         merged = concatenate_inputs(*points)
@@ -1284,6 +1326,7 @@ class GPSampledFunction(DeterministicFunction):
         return values
 
     def evaluate(self, points):
+        """Evaluate the function at ``points``."""
         gp = self.gp
         points = jnp.atleast_2d(jnp.asarray(points))
         s2 = gp.scale ** 2
@@ -1299,8 +1342,10 @@ class GPSampledFunction(DeterministicFunction):
 
 @register_pytree
 class StackedSampledFunction(DeterministicFunction):
-    """Per-output posterior samples of a :class:`StackedGaussianProcess`,
-    stacked into one multi-output deterministic function.
+    """Stacked per-output posterior samples of a stacked GP.
+
+    Per-output samples of a :class:`StackedGaussianProcess`, combined
+    into one multi-output deterministic function.
 
     Members are :class:`GPSampledFunction` draws from the independent
     per-output posteriors; evaluation concatenates them along the output
@@ -1317,6 +1362,7 @@ class StackedSampledFunction(DeterministicFunction):
         self.output_dim = len(self.members)
 
     def __call__(self, *points, noise_key=None):
+        """Evaluate (see class docstring)."""
         from .base import concatenate_inputs
 
         merged = concatenate_inputs(*points)
@@ -1329,6 +1375,7 @@ class StackedSampledFunction(DeterministicFunction):
              for m, k in zip(self.members, keys)], axis=1)
 
     def evaluate(self, points):
+        """Evaluate the function at ``points``."""
         return jnp.concatenate(
             [m.evaluate(points) for m in self.members], axis=1)
 

@@ -40,19 +40,23 @@ class LinearSystem(DeterministicFunction):
 
     @property
     def input_dim(self):
+        """Dimensionality of the input points."""
         return int(self.matrix.shape[1])
 
     @property
     def output_dim(self):
+        """Dimensionality of the output values."""
         return int(self.matrix.shape[0])
 
     def evaluate(self, points):
+        """Evaluate the function at ``points``."""
         return mxu_dot(points, self.matrix.T)
 
 
 @register_pytree
 class QuadraticFunction(DeterministicFunction):
-    """The quadratic form ``v(x) = x^T P x``
+    """The quadratic form ``v(x) = x^T P x``.
+
     (reference ``functions.py:1513-1543``)."""
 
     _data_fields = ("matrix",)
@@ -63,11 +67,13 @@ class QuadraticFunction(DeterministicFunction):
 
     @property
     def input_dim(self):
+        """Dimensionality of the input points."""
         return int(self.matrix.shape[0])
 
     output_dim = 1
 
     def evaluate(self, points):
+        """Evaluate the function at ``points``."""
         linear_form = mxu_dot(points, self.matrix)
         return jnp.sum(linear_form * points, axis=1, keepdims=True)
 

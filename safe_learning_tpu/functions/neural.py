@@ -101,13 +101,16 @@ class NeuralNetwork(DeterministicFunction):
 
     @property
     def input_dim(self):
+        """Dimensionality of the input points."""
         return self.layers[0]
 
     @property
     def output_dim(self):
+        """Dimensionality of the output values."""
         return self.layers[-1]
 
     def evaluate(self, points):
+        """Evaluate the function at ``points``."""
         net = points
         for w, b, act in zip(self.weights, self.biases,
                              self.nonlinearities):
@@ -118,9 +121,10 @@ class NeuralNetwork(DeterministicFunction):
         return net * self.output_scale
 
     def lipschitz(self):
-        """Upper bound on the Lipschitz constant: product of layer spectral
-        norms, differentiable via the stop-gradient SVD trick
-        (reference ``functions.py:1742-1786``).
+        """Upper bound on the Lipschitz constant.
+
+        The product of layer spectral norms, differentiable via the
+        stop-gradient SVD trick (reference ``functions.py:1742-1786``).
 
         Assumes contractive nonlinearities (ReLU, tanh, sigmoid).
         """
@@ -194,6 +198,7 @@ class LyapunovNetwork(DeterministicFunction):
         self.extra_weights = tuple(extra)
 
     def evaluate(self, points):
+        """Evaluate the function at ``points``."""
         net = points
         in_dim = self.input_dim
         for w0, w1, out_dim, act in zip(self.posdef_weights,
@@ -211,7 +216,8 @@ class LyapunovNetwork(DeterministicFunction):
 
 @register_pytree
 class RBFNetwork(DeterministicFunction):
-    """Gaussian-RBF features on a grid with linear output weights
+    """Gaussian-RBF features on a grid with linear output weights.
+
     (reference ``examples/utilities.py:123-141``)."""
 
     _data_fields = ("weights",)
@@ -232,13 +238,16 @@ class RBFNetwork(DeterministicFunction):
 
     @property
     def input_dim(self):
+        """Dimensionality of the input points."""
         return self.discretization.ndim
 
     @property
     def centers(self):
+        """RBF feature centers."""
         return jnp.asarray(self.discretization.all_points)
 
     def evaluate(self, points):
+        """Evaluate the function at ``points``."""
         beta = 1.0 / (2.0 * self.variance)
         # ||x - c||^2 expanded so the cross term rides the MXU.
         sq = (jnp.sum(points ** 2, axis=1, keepdims=True)

@@ -101,6 +101,17 @@ class Triangulation(DeterministicFunction):
         parameters). Defaults to zeros with one output dimension.
     project : bool, optional
         Clip query points onto the domain instead of extrapolating.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from safe_learning_tpu import GridWorld, Triangulation
+    >>> grid = GridWorld([[0, 1], [0, 1]], 2)
+    >>> tri = Triangulation(grid, np.array([0.0, 1.0, 2.0, 3.0]))
+    >>> np.asarray(tri(np.array([[0.5, 0.5]]))).ravel().tolist()
+    [1.5]
+    >>> int(tri.nsimplex)
+    2
     """
 
     _data_fields = ("parameters",)
@@ -121,14 +132,17 @@ class Triangulation(DeterministicFunction):
     # -- shape info -------------------------------------------------------
     @property
     def input_dim(self):
+        """Dimensionality of the input points."""
         return self.discretization.ndim
 
     @property
     def output_dim(self):
+        """Dimensionality of the output values."""
         return int(self.parameters.shape[1])
 
     @property
     def nindex(self):
+        """Total number of grid vertices."""
         return self.discretization.nindex
 
     @property
@@ -139,6 +153,7 @@ class Triangulation(DeterministicFunction):
 
     @property
     def limits(self):
+        """Domain limits of the underlying grid."""
         return self.discretization.limits
 
     # -- core geometry ------------------------------------------------------
@@ -155,8 +170,10 @@ class Triangulation(DeterministicFunction):
         return vertices, weights, order
 
     def _locate_all(self, points):
-        """Full geometry: also returns the per-coordinate descending rank
-        and the containing cell (for the corner-block evaluation path)."""
+        """Full simplex geometry for a batch of query points.
+
+        Also returns the per-coordinate descending rank and the
+        containing cell (for the corner-block evaluation path)."""
         grid = self.discretization
         d = grid.ndim
         points = jnp.atleast_2d(jnp.asarray(points))
@@ -210,7 +227,9 @@ class Triangulation(DeterministicFunction):
         return vertices, weights, order, rank, cell
 
     def interpolation_weights(self, points):
-        """Return ``(vertices, weights)`` such that
+        """Return the interpolation support ``(vertices, weights)``.
+
+        Satisfies
         ``evaluate(points) == sum(weights * parameters[vertices], axis=1)``.
 
         Device-side sparse form of the reference's ``parameter_derivative``
@@ -221,8 +240,10 @@ class Triangulation(DeterministicFunction):
         return vertices, weights
 
     def _corner_table(self):
-        """Vertex values regrouped by CELL: row ``c`` holds the values at
-        all ``2^d`` corners of cell ``c`` (corner-code-major, then output).
+        """Vertex values regrouped by CELL.
+
+        Row ``c`` holds the values at all ``2^d`` corners of cell ``c``
+        (corner-code-major, then output).
 
         Evaluation then needs ONE contiguous row gather per query instead
         of ``d + 1`` scalar gathers — random row reads cost roughly the
@@ -244,8 +265,9 @@ class Triangulation(DeterministicFunction):
         return jnp.concatenate(cols, axis=1)  # (ncells, 2^d * p)
 
     def _corner_weights(self, rank, weights):
-        """Scatter the ``d + 1`` chain weights onto the ``2^d`` cell
-        corners: chain vertex ``k`` sits at corner code with bit ``i`` set
+        """Scatter the ``d + 1`` chain weights onto the ``2^d`` corners.
+
+        Chain vertex ``k`` sits at the corner code with bit ``i`` set
         iff coordinate ``i`` is among the ``k`` largest (``rank_i < k``)."""
         d = self.discretization.ndim
         k = jnp.arange(d + 1, dtype=jnp.int32)
@@ -321,7 +343,8 @@ class Triangulation(DeterministicFunction):
         return rect * math.factorial(d) + local
 
     def simplices(self, indices):
-        """Vertex indices of the given global simplices
+        """Vertex indices of the given global simplices.
+
         (reference ``functions.py:1132-1158``)."""
         grid = self.discretization
         d = grid.ndim
@@ -420,7 +443,8 @@ def _permutation_unrank(rank, d):
 
 @register_pytree
 class PiecewiseConstant(DeterministicFunction):
-    """Nearest-vertex piecewise-constant approximator
+    """Nearest-vertex piecewise-constant approximator.
+
     (reference ``functions.py:820-932``)."""
 
     _data_fields = ("parameters",)
@@ -437,17 +461,21 @@ class PiecewiseConstant(DeterministicFunction):
 
     @property
     def input_dim(self):
+        """Dimensionality of the input points."""
         return self.discretization.ndim
 
     @property
     def output_dim(self):
+        """Dimensionality of the output values."""
         return int(self.parameters.shape[1])
 
     @property
     def nindex(self):
+        """Total number of grid vertices."""
         return self.discretization.nindex
 
     def evaluate(self, points):
+        """Evaluate the function at ``points``."""
         nodes = self.discretization.state_to_index(points)
         return _gather_rows(self.parameters, nodes)
 

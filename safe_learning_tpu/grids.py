@@ -22,8 +22,10 @@ __all__ = ["GridWorld", "DimensionError"]
 
 
 def row_major_strides(shape):
-    """Row-major flat-index strides for ``shape`` — THE single source of
-    the indexing arithmetic shared by GridWorld and the triangulation."""
+    """Row-major flat-index strides for ``shape``.
+
+    THE single source of the indexing arithmetic shared by GridWorld and
+    the triangulation."""
     return np.concatenate(
         [np.cumprod(np.asarray(shape[1:], dtype=np.int64)[::-1])[::-1],
          [1]])
@@ -50,6 +52,18 @@ class GridWorld:
     ``rectangle_corner_index``, ``all_points``, sampling) but every map is a
     branch-free vectorized computation. Instances are hashable and compare by
     value so they can be closed over by jitted functions.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from safe_learning_tpu import GridWorld
+    >>> grid = GridWorld([[-1, 1], [-1, 1]], 3)
+    >>> grid.nindex
+    9
+    >>> np.asarray(grid.index_to_state([4])).tolist()
+    [[0.0, 0.0]]
+    >>> int(np.asarray(grid.state_to_index(np.array([[0.9, -0.9]])))[0])
+    6
     """
 
     def __init__(self, limits, num_points):
@@ -81,6 +95,7 @@ class GridWorld:
 
     @property
     def ndim(self):
+        """Number of grid dimensions."""
         return len(self._num_points)
 
     @property
@@ -95,6 +110,7 @@ class GridWorld:
 
     @property
     def offset(self):
+        """Lower corner of the domain."""
         return self.limits[:, 0]
 
     @property
@@ -106,6 +122,7 @@ class GridWorld:
 
     @property
     def offset_limits(self):
+        """Domain limits shifted so the lower corner is 0."""
         lim = self.limits
         return np.stack((np.zeros_like(lim[:, 0]), lim[:, 1] - lim[:, 0]),
                         axis=1)
@@ -122,17 +139,21 @@ class GridWorld:
         return tuple(int(s) for s in row_major_strides(self.shape))
 
     def __len__(self):
+        """Number of grid vertices."""
         return self.nindex
 
     def __eq__(self, other):
+        """Value equality (same limits and point counts)."""
         return (isinstance(other, GridWorld)
                 and self._limits == other._limits
                 and self._num_points == other._num_points)
 
     def __hash__(self):
+        """Hash of the static grid metadata."""
         return hash((self._limits, self._num_points))
 
     def __repr__(self):
+        """Debug representation."""
         return "GridWorld(limits={}, num_points={})".format(
             self._limits, self._num_points)
 

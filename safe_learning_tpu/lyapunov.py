@@ -44,8 +44,9 @@ __all__ = ["Lyapunov", "smallest_boundary_value", "get_lyapunov_region"]
 
 
 def _as_lipschitz(lip):
-    """Normalize a Lipschitz spec: scalar stays scalar, callable becomes a
-    Function (reference ``lyapunov.py:227-263``)."""
+    """Normalize a Lipschitz spec (reference ``lyapunov.py:227-263``).
+
+    A scalar stays a scalar; a callable becomes a Function."""
     if lip is None:
         return None
     if callable(lip) or isinstance(lip, Function):
@@ -76,8 +77,9 @@ def _as_column_batch(lv):
 
 
 def _lv_threshold_term(lipschitz_lyapunov, states):
-    """L_v factor of the threshold; vector-valued local constants are
-    reduced with the L1 norm (reference ``lyapunov.py:282-288``)."""
+    """L_v factor of the threshold (reference ``lyapunov.py:282-288``).
+
+    Vector-valued local constants are reduced with the L1 norm."""
     lv = _eval_lipschitz(lipschitz_lyapunov, states)
     if isinstance(lipschitz_lyapunov, Function) or callable(
             lipschitz_lyapunov):
@@ -96,7 +98,8 @@ def _threshold(lipschitz_lyapunov, lipschitz_dynamics, states, tau):
 
 def _decrease_bound(lyapunov_function, lipschitz_lyapunov, states,
                     next_states):
-    """Upper confidence bound on ``v(f(x)) - v(x)``
+    """Upper confidence bound on ``v(f(x)) - v(x)``.
+
     (reference ``lyapunov.py:324-376``)."""
     if isinstance(next_states, (tuple, list)):
         next_states, error = next_states
@@ -133,8 +136,7 @@ def _negative_batch(policy, dynamics, lyapunov_function, lipschitz_lyapunov,
 def _refined_negative_batch(policy, dynamics, lyapunov_function,
                             lipschitz_lyapunov, lipschitz_dynamics, tau,
                             states, unit_maxes, max_refinement, ndim):
-    """Sound decrease check on ``R^d`` sub-grids at discretization
-    ``tau / R``.
+    """Sound decrease check on ``R^d`` sub-grids at discretization tau/R.
 
     Each failing coarse cell is re-verified on the full
     ``max_refinement^d`` sub-grid covering it, with the threshold
@@ -255,6 +257,26 @@ class Lyapunov:
         States known to be safe a priori.
     adaptive : bool, optional
         Enable adaptive refinement in :meth:`update_safe_set`.
+
+    Examples
+    --------
+    A contracting linear system with ``v(x) = x^2`` certifies the whole
+    grid at ``tau = 0`` (the origin itself is exempted via the initial
+    set, matching reference ``test_lyapunov.py:48-74``):
+
+    >>> import numpy as np
+    >>> from safe_learning_tpu import (GridWorld, LinearSystem, Lyapunov,
+    ...                                QuadraticFunction)
+    >>> grid = GridWorld([[-1, 1]], 3)
+    >>> dynamics = LinearSystem(np.array([[0.5, 1.0]]))  # f(x,u) = x/2 + u
+    >>> policy = LinearSystem(np.array([[0.0]]))         # u = 0
+    >>> lyap = Lyapunov(grid, QuadraticFunction(np.eye(1)), dynamics,
+    ...                 0.5, 2.0, 0.0, policy, initial_set=[1])
+    >>> lyap.update_safe_set()
+    >>> bool(lyap.safe_set.all())
+    True
+    >>> float(lyap.c_max)
+    1.0
     """
 
     def __init__(self, discretization, lyapunov_function, dynamics,
@@ -275,6 +297,8 @@ class Lyapunov:
         self._lipschitz_lyapunov = _as_lipschitz(lipschitz_lyapunov)
 
         nindex = discretization.nindex
+        self._safe_set_version = 0
+        self._initial_set_version = 0
         self.safe_set = np.zeros(nindex, dtype=bool)
         self.initial_safe_set = None
         if initial_set is not None:
@@ -292,33 +316,74 @@ class Lyapunov:
         self.update_values()
 
     # ------------------------------------------------------------------
+    @property
+    def safe_set(self):
+        """Boolean mask of certified-safe grid states.
+
+        Update it by attribute assignment (``lyap.safe_set = mask``) or
+        augmented assignment (``lyap.safe_set |= mask`` — the examples'
+        idiom); both bump an internal version counter that invalidates
+        the device-resident copies the exploration step caches. Direct
+        item assignment (``lyap.safe_set[i] = True``) bypasses the
+        counter — re-assign the attribute afterwards if you must mutate
+        items in place.
+        """
+        return self._safe_set
+
+    @safe_set.setter
+    def safe_set(self, value):
+        """Set the safe set and bump its version counter."""
+        self._safe_set = value
+        self._safe_set_version += 1
+
+    @property
+    def initial_safe_set(self):
+        """States safe a priori (exempt from the decrease check).
+
+        Same update contract as :attr:`safe_set`: assignment and
+        augmented assignment bump a version counter that invalidates the
+        cached device copy of the exempt mask.
+        """
+        return self._initial_safe_set
+
+    @initial_safe_set.setter
+    def initial_safe_set(self, value):
+        """Set the initial set and bump its version counter."""
+        self._initial_safe_set = value
+        self._initial_set_version += 1
+
     def lipschitz_dynamics(self, states):
-        """Global or local dynamics Lipschitz constant
+        """Global or local dynamics Lipschitz constant.
+
         (reference ``lyapunov.py:227-244``)."""
         return _eval_lipschitz(self._lipschitz_dynamics, states)
 
     def lipschitz_lyapunov(self, states):
-        """Global or local Lyapunov Lipschitz constant
+        """Global or local Lyapunov Lipschitz constant.
+
         (reference ``lyapunov.py:246-263``)."""
         return _eval_lipschitz(self._lipschitz_lyapunov, states)
 
     def threshold(self, states, tau=None):
-        """Safety threshold ``-L_v (1 + L_f) tau``
+        """Safety threshold ``-L_v (1 + L_f) tau``.
+
         (reference ``lyapunov.py:265-288``)."""
         tau = self.tau if tau is None else tau
         return _threshold(self._lipschitz_lyapunov,
                           self._lipschitz_dynamics, states, tau)
 
     def is_safe(self, state):
-        """Whether states lie in the current safe set
+        """Whether states lie in the current safe set.
+
         (reference ``lyapunov.py:290-303``)."""
         idx = np.asarray(self.discretization.state_to_index(state))
         return self.safe_set[idx]
 
     def _device_points(self):
-        """Device-resident copy of the static grid, keyed on the active
-        mesh (uploading 108 MB of H2D per call at 51^4 otherwise; a mesh
-        change re-shards instead of silently reusing the old placement)."""
+        """Device-resident copy of the static grid, keyed on the mesh.
+
+        Uploading the grid per call costs 108 MB of H2D at 51^4; a mesh
+        change re-shards instead of silently reusing the old placement."""
         pts = getattr(self, "_points_dev", None)
         if pts is None or getattr(self, "_points_mesh", None) is not \
                 self.mesh:
@@ -339,7 +404,8 @@ class Lyapunov:
         return pts
 
     def update_values(self, batch_size=None):
-        """Re-evaluate ``v`` on the whole grid
+        """Re-evaluate ``v`` on the whole grid.
+
         (reference ``lyapunov.py:305-322``)."""
         grid = self.discretization
         points = grid.all_points
@@ -383,7 +449,8 @@ class Lyapunov:
         return v_dot + error
 
     def safety_constraint(self, policy, include_initial=True):
-        """Pointwise safety constraint for a policy's actions on the grid
+        """Pointwise safety constraint for a policy's actions on the grid.
+
         (reference ``lyapunov.py:378-405``)."""
         points = jnp.asarray(self.discretization.all_points)
         actions = as_deterministic(policy)(points)
@@ -412,8 +479,21 @@ class Lyapunov:
         ``parallel_iterations`` and ``safety_factor`` are accepted for
         reference-API compatibility and ignored (the former tuned
         ``tf.map_fn``; the latter inflated the reference's ``N(x)``
-        formula, which the sound full-R check supersedes).
+        formula, which the sound full-R check supersedes). Passing a
+        non-default value raises a one-time ``RuntimeWarning`` so ported
+        reference code is not silently reinterpreted.
         """
+        if safety_factor != 1.0 or parallel_iterations is not None:
+            import warnings
+
+            warnings.warn(
+                "safety_factor/parallel_iterations are accepted for "
+                "reference-API compatibility but have no effect: the "
+                "adaptive check always re-verifies failing cells on the "
+                "full max_refinement^d sub-grid (sound and stronger "
+                "than the reference's safety_factor-scaled N(x); see "
+                "Lyapunov.update_safe_set docs)", RuntimeWarning,
+                stacklevel=2)
         del parallel_iterations, safety_factor
         grid = self.discretization
         nindex = grid.nindex
@@ -441,6 +521,7 @@ class Lyapunov:
 
         def _shard(states_dev):
             """Shard a batch over the active mesh's grid axis (SPMD:
+
             the decrease check is per-point; reductions ride the ICI)."""
             if self.mesh is None:
                 return states_dev
@@ -618,7 +699,8 @@ class Lyapunov:
         # copy next to the grid (saves an H2D upload per sweep — ~7 MB
         # at 51^4).
         cacheable = can_shrink
-        key = (id(self.initial_safe_set), self.mesh)
+        key = (id(self.initial_safe_set), self._initial_set_version,
+               self.mesh)
         exempt_dev = (getattr(self, "_exempt_dev", None)
                       if cacheable and getattr(self, "_exempt_key",
                                                None) == key
@@ -665,7 +747,8 @@ class Lyapunov:
 
 
 def smallest_boundary_value(fun, discretization):
-    """Smallest value of ``fun`` on the discretization boundary
+    """Smallest value of ``fun`` on the discretization boundary.
+
     (reference ``lyapunov.py:22-56``)."""
     fun = as_deterministic(fun)
     min_value = np.inf

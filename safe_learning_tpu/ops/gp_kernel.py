@@ -68,6 +68,7 @@ def compile_kernel_program(kernel, input_dim=None, dims=None, params=None):
         params = []
 
     def offset():
+        """Lower corner of the domain."""
         return sum(int(np.prod(p.shape)) for p in params)
 
     def span_for(n):
@@ -271,6 +272,7 @@ def _gp_predict_kernel_general(q_ref, x_ref, params_ref, chol_inv_ref,
                                alpha_t_ref, mask_ref, s2_ref, mean_ref,
                                pvar_ref, *, program, precision):
     """General-covariance variant of :func:`_gp_predict_kernel`:
+
     the covariance tile is built by interpreting ``program`` (RBF /
     Matern / Linear / ActiveDims / sums / products) instead of a single
     hardcoded stationary family. Inputs arrive UNSCALED; lengthscale
@@ -345,8 +347,10 @@ def _stacked_xla_equiv(points, x, params, chol_inv, alpha_t, mask, s2, *,
 def _gp_predict_kernel_stacked(q_ref, x_ref, params_ref, chol_inv_ref,
                                alpha_t_ref, mask_ref, s2_ref, mean_ref,
                                pvar_ref, *, programs, cap, precision):
-    """Stacked variant of :func:`_gp_predict_kernel_general`: S per-output
-    GPs sharing the SAME training inputs and query tile. The per-dimension
+    """Stacked variant of :func:`_gp_predict_kernel_general`.
+
+    Evaluates S per-output GPs sharing the SAME training inputs and
+    query tile. The per-dimension
     difference / outer-product tiles are assembled once (``cache`` in
     :func:`_eval_program`) and each output's covariance, matmul chain, and
     variance reduction run back to back without re-reading the tile from

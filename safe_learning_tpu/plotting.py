@@ -18,7 +18,8 @@ __all__ = ["binary_cmap", "plot_lyapunov_1d", "plot_safe_set_2d",
 
 
 def binary_cmap(color="red", alpha=1.0):
-    """Transparent-to-color binary colormap
+    """Transparent-to-color binary colormap.
+
     (reference ``examples/utilities.py:689-700``)."""
     from matplotlib.colors import ListedColormap
 
@@ -31,9 +32,10 @@ def binary_cmap(color="red", alpha=1.0):
 
 
 def plot_lyapunov_1d(lyapunov, true_dynamics=None, legend=False, axes=None):
-    """1-D diagnostic plot: safe/unsafe Lyapunov values, GP dynamics with
-    confidence bands, and the decrease bound
-    (reference ``examples/plotting.py:18-133``).
+    """1-D diagnostic plot (reference ``examples/plotting.py:18-133``).
+
+    Safe/unsafe Lyapunov values, GP dynamics with confidence bands, and
+    the decrease bound.
     """
     import jax.numpy as jnp
     import matplotlib.pyplot as plt
@@ -99,7 +101,8 @@ def plot_safe_set_2d(lyapunov, ax=None, color="green", alpha=0.6):
 
 
 def plot_triangulation_2d(fun, ax=None, **imshow_kwargs):
-    """Image of a piecewise-linear function's vertex values on its grid
+    """Image of a piecewise-linear function's vertex values on its grid.
+
     (reference ``examples/plotting.py:136-189``)."""
     import matplotlib.pyplot as plt
 

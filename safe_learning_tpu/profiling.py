@@ -36,8 +36,9 @@ def trace(log_dir):
 
 
 class Timer:
-    """Wall-clock timer context manager (the reference's per-iteration
-    ``time.time()`` prints, structured)."""
+    """Wall-clock timer context manager.
+
+    The reference's per-iteration ``time.time()`` prints, structured."""
 
     def __init__(self, name="timer", metrics=None):
         self.name = name
@@ -45,10 +46,12 @@ class Timer:
         self.elapsed = None
 
     def __enter__(self):
+        """Start the timer."""
         self._start = time.perf_counter()
         return self
 
     def __exit__(self, *exc):
+        """Stop the timer and store the elapsed seconds."""
         self.elapsed = time.perf_counter() - self._start
         if self.metrics is not None:
             self.metrics.record(self.name, self.elapsed)
@@ -56,34 +59,43 @@ class Timer:
 
 
 class MetricsRecorder:
-    """Append-only scalar metrics, mirroring the reference notebooks'
-    ``safe_level`` / ``safe_set_fraction`` / ``test_loss`` lists
+    """Append-only scalar metrics recorder.
+
+    Mirrors the reference notebooks' ``safe_level`` /
+    ``safe_set_fraction`` / ``test_loss`` lists
     (``examples/utilities.py:570-599`` usage)."""
 
     def __init__(self):
         self._data = defaultdict(list)
 
     def record(self, name, value):
+        """Append one scalar value under ``name``."""
         self._data[name].append(float(value))
 
     def record_many(self, **kwargs):
+        """Append several named scalar values at once."""
         for name, value in kwargs.items():
             self.record(name, value)
 
     def __getitem__(self, name):
         # .get: probing an unrecorded name must not insert a phantom
         # empty series into the defaultdict (summary() would crash).
+        """Return the recorded series for ``name``."""
         return np.asarray(self._data.get(name, []))
 
     def names(self):
+        """Recorded metric names."""
         return sorted(self._data)
 
     def summary(self):
+        """Dict of the latest value per metric."""
         return {name: {"last": values[-1], "count": len(values)}
                 for name, values in self._data.items()}
 
 
 def enable_nan_debugging():
-    """Turn on JAX NaN checking (the functional-purity replacement for the
-    reference's nonexistent race detection; SURVEY.md section 5)."""
+    """Turn on JAX NaN checking.
+
+    The functional-purity replacement for the reference's nonexistent
+    race detection (SURVEY.md section 5)."""
     jax.config.update("jax_debug_nans", True)

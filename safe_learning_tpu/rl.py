@@ -34,7 +34,8 @@ __all__ = ["PolicyIteration", "OptimizationError"]
 
 
 class OptimizationError(Exception):
-    """Raised when the value-function solve fails
+    """Raised when the value-function solve fails.
+
     (reference ``reinforcement_learning.py:22``)."""
 
 
@@ -57,8 +58,7 @@ def _future_values_lyapunov(policy, dynamics, reward_function,
                             value_function, gamma, states, actions,
                             lyapunov_function, lipschitz_lyapunov,
                             lipschitz_dynamics, tau, lagrange_multiplier):
-    """Future values with the Lyapunov decrease condition as a Lagrangian
-    penalty (reference ``:107-112``)."""
+    """Future values with a Lagrangian Lyapunov penalty (ref ``:107-112``)."""
     if actions is None:
         actions = policy(states)
     next_states = dynamics(states, actions)
@@ -78,8 +78,10 @@ def _future_values_lyapunov(policy, dynamics, reward_function,
 def _policy_ascent(policy, params, dynamics, reward_function,
                    value_function, gamma, lyap, learning_rate, key, *,
                    steps, batch_size, space):
-    """``steps`` policy-gradient ascent steps on the mean future value as
-    ONE compiled ``lax.scan`` program, minibatches drawn on device.
+    """Policy-gradient ascent on the mean future value, fully on device.
+
+    All ``steps`` steps run as ONE compiled ``lax.scan`` program with
+    minibatches drawn on device.
 
     Only the policy's TRAINABLE parameters (``parameters_dict`` — the
     analogue of the reference's trainable-variable scopes) receive
@@ -151,7 +153,8 @@ def _pwl_fixed_point(vertices, weights, rewards, gamma, init_values, tol,
 
 
 class PolicyIteration:
-    """Safe approximate policy iteration
+    """Safe approximate policy iteration.
+
     (reference ``reinforcement_learning.py:26-279``).
 
     Parameters
@@ -179,8 +182,9 @@ class PolicyIteration:
     # ------------------------------------------------------------------
     def future_values(self, states, policy=None, actions=None,
                       lyapunov=None, lagrange_multiplier=1.0):
-        """Expected one-step lookahead values, optionally penalized by the
-        Lyapunov decrease constraint (reference ``:65-114``)."""
+        """Expected one-step lookahead values (reference ``:65-114``).
+
+        Optionally penalized by the Lyapunov decrease constraint."""
         states = jnp.atleast_2d(jnp.asarray(states))
         pol = self.policy if policy is None else as_deterministic(policy)
         if actions is not None:
@@ -197,7 +201,8 @@ class PolicyIteration:
             lyapunov.tau, lagrange_multiplier)
 
     def bellmann_error(self, states):
-        """Squared Bellman error with a stop-gradient target
+        """Squared Bellman error with a stop-gradient target.
+
         (reference ``:116-133``)."""
         states = jnp.atleast_2d(jnp.asarray(states))
         target = jax.lax.stop_gradient(self.future_values(states))
@@ -205,8 +210,9 @@ class PolicyIteration:
         return jnp.sum(jnp.square(residual))
 
     def value_iteration(self):
-        """One synchronous value-iteration sweep; updates the value
-        function in place functionally (reference ``:135-140``)."""
+        """One synchronous value-iteration sweep (reference ``:135-140``).
+
+        Functionally updates the value function's parameters."""
         new_values = self.future_values(self.state_space)
         self.value_function = self.value_function.replace(
             parameters=new_values)
@@ -215,8 +221,9 @@ class PolicyIteration:
     def optimize_policy(self, steps=100, learning_rate=0.01,
                         batch_size=1000, key=None, lyapunov=None,
                         lagrange_multiplier=1.0, sample_space=None):
-        """Run ``steps`` policy-gradient ascent steps on the mean future
-        value as ONE compiled program.
+        """Run policy-gradient ascent on the mean future value.
+
+        All ``steps`` steps execute as ONE compiled program.
 
         The reference runs one ``session.run`` of
         ``GradientDescentOptimizer.minimize(-mean(future_values))`` per
@@ -317,6 +324,7 @@ class PolicyIteration:
         n_states = states.shape[0]
 
         def values_for(action):
+            """Future values under the candidate parameters."""
             actions = jnp.broadcast_to(action, (n_states,
                                                 action_space.shape[1]))
             return self.future_values(states, actions=actions)[:, 0]

@@ -44,13 +44,15 @@ def batchify(arrays, batch_size):
 
 
 def combinations(arrays):
-    """All combinations of the input arrays, one per row
+    """All combinations of the input arrays, one per row.
+
     (reference ``utilities.py:252-264``)."""
     return np.array(np.meshgrid(*arrays)).T.reshape(-1, len(arrays))
 
 
 def linearly_spaced_combinations(bounds, num_samples):
-    """2-D array of all linearly spaced combinations within the bounds
+    """2-D array of all linearly spaced combinations within the bounds.
+
     (reference ``utilities.py:267-296``)."""
     bounds = np.atleast_2d(bounds)
     num_samples = np.broadcast_to(num_samples, len(bounds))
@@ -60,7 +62,8 @@ def linearly_spaced_combinations(bounds, num_samples):
 
 
 def lqr(a, b, q, r):
-    """Continuous-time LQR: ``u = -k @ x``
+    """Continuous-time LQR: ``u = -k @ x``.
+
     (reference ``utilities.py:299-324``). Host-side setup code."""
     a, b, q, r = map(np.atleast_2d, (a, b, q, r))
     p = scipy.linalg.solve_continuous_are(a, b, q, r)
@@ -69,7 +72,8 @@ def lqr(a, b, q, r):
 
 
 def dlqr(a, b, q, r):
-    """Discrete-time LQR: ``u = -k @ x``
+    """Discrete-time LQR: ``u = -k @ x``.
+
     (reference ``utilities.py:327-357``). Host-side setup code."""
     a, b, q, r = map(np.atleast_2d, (a, b, q, r))
     p = scipy.linalg.solve_discrete_are(a, b, q, r)
@@ -79,7 +83,8 @@ def dlqr(a, b, q, r):
 
 
 def ellipse_bounds(p, level, n=100):
-    """Upper/lower bounds of the 2-D ellipse ``x' P x = level``
+    """Upper/lower bounds of the 2-D ellipse ``x' P x = level``.
+
     (reference ``utilities.py:360-408``)."""
     n += n % 2
     eigval, eigvec = np.linalg.eig(p)
@@ -112,6 +117,7 @@ def compute_trajectory(dynamics, policy, initial_state, num_steps):
                                                dtype=config.dtype))
 
     def step(state, _):
+        """One scan step."""
         action = policy(state)
         next_state = dynamics(state, action)
         if isinstance(next_state, tuple):
@@ -125,7 +131,8 @@ def compute_trajectory(dynamics, policy, initial_state, num_steps):
 
 
 def get_parameter_change(old_params, new_params, ord="inf"):
-    """Norm of the flattened parameter difference
+    """Norm of the flattened parameter difference.
+
     (reference ``examples/utilities.py:570-599``)."""
     if ord == "inf":
         ord = np.inf
@@ -139,7 +146,8 @@ def get_parameter_change(old_params, new_params, ord="inf"):
 
 
 def find_nearest(array, value, sorted_1d=True):
-    """Nearest value and index in a sorted 1-D array
+    """Nearest value and index in a sorted 1-D array.
+
     (reference ``examples/utilities.py:703-710``)."""
     if not sorted_1d:
         array = np.sort(array)
@@ -152,7 +160,8 @@ def find_nearest(array, value, sorted_1d=True):
 
 
 def balanced_class_weights(y_true, scale_by_total=True):
-    """Per-sample weights balancing class label counts
+    """Per-sample weights balancing class label counts.
+
     (reference ``examples/utilities.py:737-750``)."""
     y = np.asarray(y_true).astype(bool)
     n_pos = y.sum()
@@ -167,7 +176,8 @@ def balanced_class_weights(y_true, scale_by_total=True):
 
 
 def balanced_confusion_weights(y, y_true, scale_by_total=True):
-    """Per-sample weights from the confusion matrix
+    """Per-sample weights from the confusion matrix.
+
     (reference ``examples/utilities.py:713-734``)."""
     y = np.asarray(y).astype(bool)
     y_true = np.asarray(y_true).astype(bool)
@@ -202,7 +212,8 @@ def add_weight_constraint(params, lower, upper):
 
 
 def gradient_clipping(grads, lower, upper):
-    """Clip a gradient pytree elementwise before an update
+    """Clip a gradient pytree elementwise before an update.
+
     (reference ``utilities.py:189-221``).
 
     ``lower``/``upper`` are scalars applied to every leaf, or pytrees
@@ -243,7 +254,8 @@ def constrained_batch_sampler(key, dynamics, policy, state_dim, batch_size,
 
 
 def monomials(x, deg):
-    """2-D monomial features up to degree ``deg``
+    """2-D monomial features up to degree ``deg``.
+
     (reference ``examples/utilities.py:753-782``)."""
     x = jnp.atleast_2d(jnp.asarray(x))
     feats = [x]
@@ -255,7 +267,8 @@ def monomials(x, deg):
 
 
 def derivative_monomials(x, deg):
-    """Derivatives of 2-D monomial features up to degree ``deg``
+    """Derivatives of 2-D monomial features up to degree ``deg``.
+
     (reference ``examples/utilities.py:785-811``).
 
     Returns an array of shape ``(N, n_features, 2)``.

@@ -176,3 +176,20 @@ def test_get_safe_sample_empty_safe_set_raises():
     with pytest.raises(RuntimeError, match="safe set is empty"):
         get_safe_sample(lyap, np.zeros((1, 1)),
                         rng=np.random.default_rng(0))
+
+
+def test_safe_set_reassignment_invalidates_device_cache():
+    """Both plain assignment and augmented assignment bump the safe-set
+    version, so the cached device copy is refreshed without re-hashing
+    the mask on every call."""
+    lyap = _make_lyapunov_with_gp()
+    v0 = lyap._safe_set_version
+    lyap.safe_set = lyap.safe_set.copy()
+    lyap.safe_set |= np.zeros_like(lyap.safe_set)
+    assert lyap._safe_set_version == v0 + 2
+
+
+def test_pad_pow2_rejects_empty_batch():
+    from safe_learning_tpu.explore import _pad_pow2
+    with pytest.raises(ValueError, match="empty"):
+        _pad_pow2(np.zeros((0, 3)))

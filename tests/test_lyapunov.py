@@ -420,3 +420,42 @@ def test_adaptive_refinement_passes_coarse_certified_suffix():
     coarse_vals = values[safe & (ref == 1)]
     refined_vals = values[safe & (ref == 4)]
     assert coarse_vals.max() > refined_vals.min()
+
+
+def test_exempt_cache_tracks_initial_set_inplace_mutation():
+    """The fused sweep's cached device exempt mask must refresh when the
+    initial safe set is mutated IN PLACE (``lyap.initial_safe_set |=``)
+    between sweeps (regression: the cache was keyed on object identity
+    only, which in-place mutation preserves)."""
+    grid = GridWorld([[-1, 1]], 5)
+    policy = LambdaFunction(lambda x: 0.0 * x)
+    dyn = LinearSystem(np.array([[2.0, 0.0]]))  # expanding: all fail
+    lyap = Lyapunov(grid, _quad_v(), dyn, 0.4, 0.3, 0.5, policy,
+                    initial_set=[2])
+    lyap.update_safe_set()  # populates the device exempt cache
+    assert_allclose(lyap.c_max, 0.0)
+
+    # Exempt the two quarter-value states without changing the array id.
+    mask = np.zeros(grid.nindex, dtype=bool)
+    mask[[1, 3]] = True
+    lyap.initial_safe_set |= mask
+    lyap.update_safe_set()
+    # With the refreshed mask only the boundary states fail: the level
+    # set grows to v < 1.
+    assert_allclose(lyap.c_max, 0.25)
+    assert lyap.safe_set[1] and lyap.safe_set[3]
+
+
+def test_ignored_reference_knobs_warn_once():
+    """Non-default safety_factor / parallel_iterations must raise a
+    RuntimeWarning instead of silently changing semantics vs the
+    reference."""
+    grid = GridWorld([[-1, 1]], 3)
+    policy = LambdaFunction(lambda x: -0.1 * x)
+    dyn = LinearSystem(np.array([[1.0, 1.0]]))
+    lyap = Lyapunov(grid, _quad_v(), dyn, 0.4, 0.3, 0.5, policy,
+                    initial_set=[1], adaptive=True)
+    with pytest.warns(RuntimeWarning, match="no effect"):
+        lyap.update_safe_set(max_refinement=2, safety_factor=2.0)
+    with pytest.warns(RuntimeWarning, match="no effect"):
+        lyap.update_safe_set(max_refinement=2, parallel_iterations=8)
