@@ -180,6 +180,21 @@ def main():
     assert abs(c_dev - c_ref) <= 5e-4 * max(abs(c_ref), 1.0), \
         "certified level {} != f64 oracle {}".format(c_dev, c_ref)
 
+    # Conservative-certificate gate (round 3): with the calibrated
+    # margin installed, the device's certified level must never exceed
+    # the exact-arithmetic one.
+    from safe_learning_tpu.oracle import calibrate_certificate_margin
+
+    margin = calibrate_certificate_margin(lyap, num_samples=4096)
+    lyap.update_safe_set()
+    print("conservative: margin={:.3g} level_margin={:.3g} "
+          "c_max={:.6g} (<= oracle {:.6g}), safe_frac {:.4f}".format(
+              margin, lyap.level_margin, lyap.c_max, c_ref,
+              lyap.safe_set.mean()), file=sys.stderr)
+    assert lyap.c_max <= c_ref + 1e-7 * max(abs(c_ref), 1.0), \
+        "margin-guarded level {} exceeds f64 oracle {}".format(
+            lyap.c_max, c_ref)
+
     # Timed: asynchronously dispatched sweeps chained through the carry
     # (sequential on device, pipelined dispatch), one final host sync.
     # A lax.scan over sweeps inside a single dispatch measures ~2.8x

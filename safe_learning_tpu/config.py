@@ -62,6 +62,21 @@ class Configuration:
         # (default 2^27 = 512 MB f32 — covers a 51^4 grid); above it the
         # per-vertex gather path is used.
         self.block_gather_limit = 2 ** 27
+        # Conservative-certificate margin (absolute, in Lyapunov-value
+        # units): the decrease condition certifies only
+        # ``decrease < threshold - margin`` and exploration only
+        # ``v_future < c_max - margin``, so float32 pipeline rounding of
+        # at most ``margin`` cannot over-claim a certificate. 0 (exact
+        # comparisons) matches the reference; calibrate per instance
+        # against the float64 oracle with
+        # ``oracle.calibrate_certificate_margin``. Lyapunov objects can
+        # override per instance.
+        self.certificate_margin = 0.0
+        # Companion margin for the LEVEL comparison ``v < v_bad``: a
+        # state whose exact value ties/crosses the exact level cut
+        # within f32 rounding of v must not slip into the certified
+        # set. Calibrated together with certificate_margin.
+        self.level_margin = 0.0
         # Online GP learning: refresh the Cholesky cache with an O(n^2)
         # bordered append (float64 host island) when possible, instead of
         # the O(n^3) refactorization. Equivalent to f64 roundoff; set

@@ -68,7 +68,7 @@ def perturb_actions(states, actions, perturbations, limits=None):
 
 
 def _score_candidates(dynamics, lyapunov_function, lipschitz_lyapunov,
-                      c_max, state_actions):
+                      c_max, state_actions, margin=0.0):
     """THE candidate-safety scoring (reference ``lyapunov.py:703-732``):
 
     GP predict, confidence-weighted future value, level-set test. The
@@ -84,19 +84,21 @@ def _score_candidates(dynamics, lyapunov_function, lipschitz_lyapunov,
     lv = _as_column_batch(_eval_lipschitz(lipschitz_lyapunov, mean))
     error = jnp.sum(jnp.abs(lv) * std, axis=1)
     future_values = lyapunov_function(mean).reshape(-1) + error
-    return mean, bound, future_values < c_max
+    return mean, bound, future_values < c_max - margin
 
 
 @jax.jit
 def _candidate_scores(dynamics, lyapunov_function, lipschitz_lyapunov,
-                      c_max, state_actions):
+                      c_max, state_actions, margin=0.0):
     """Jitted scoring for the backup-fallback path."""
     return _score_candidates(dynamics, lyapunov_function,
-                             lipschitz_lyapunov, c_max, state_actions)
+                             lipschitz_lyapunov, c_max, state_actions,
+                             margin)
 
 
 def _select_best(dynamics, lyapunov_function, lipschitz_lyapunov, c_max,
-                 grid, safe_set_dev, state_actions, check_membership):
+                 grid, safe_set_dev, state_actions, check_membership,
+                 margin=0.0):
     """Score every candidate and pick the argmax-variance safe one.
 
     Shared core of the fused paths: returns the winning row, its
@@ -106,7 +108,7 @@ def _select_best(dynamics, lyapunov_function, lipschitz_lyapunov, c_max,
     """
     mean, bound, safe = _score_candidates(
         dynamics, lyapunov_function, lipschitz_lyapunov, c_max,
-        state_actions)
+        state_actions, margin)
     if check_membership:
         # Mean next state must lie in the current safe set
         # (reference lyapunov.py:773-776).
@@ -121,8 +123,9 @@ def _select_best(dynamics, lyapunov_function, lipschitz_lyapunov, c_max,
                                     "check_membership"))
 def _fused_sample_perturb(dynamics, policy, lyapunov_function,
                           lipschitz_lyapunov, c_max, safe_set_dev,
-                          safe_states, perturbations, limits, *, grid,
-                          use_limits, check_membership):
+                          safe_states, perturbations, limits,
+                          margin=0.0, *, grid, use_limits,
+                          check_membership):
     """One-dispatch exploration step, perturbation mode.
 
     Candidates are the current policy's actions at the sampled safe
@@ -140,14 +143,14 @@ def _fused_sample_perturb(dynamics, policy, lyapunov_function,
         [states, acts], axis=-1).reshape(n * p, d + m)
     return _select_best(dynamics, lyapunov_function, lipschitz_lyapunov,
                         c_max, grid, safe_set_dev, state_actions,
-                        check_membership)
+                        check_membership, margin)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("grid", "check_membership"))
 def _fused_sample_actions(dynamics, lyapunov_function, lipschitz_lyapunov,
-                          c_max, safe_set_dev, safe_states, actions, *,
-                          grid, check_membership):
+                          c_max, safe_set_dev, safe_states, actions,
+                          margin=0.0, *, grid, check_membership):
     """One-dispatch exploration step, explicit-action mode.
 
     Candidates are the full cross product of sampled safe states and the
@@ -160,7 +163,7 @@ def _fused_sample_actions(dynamics, lyapunov_function, lipschitz_lyapunov,
         [states, acts], axis=-1).reshape(n * na, d + m)
     return _select_best(dynamics, lyapunov_function, lipschitz_lyapunov,
                         c_max, grid, safe_set_dev, state_actions,
-                        check_membership)
+                        check_membership, margin)
 
 
 def get_safe_sample(lyapunov, perturbations=None, limits=None,
@@ -215,7 +218,8 @@ def get_safe_sample(lyapunov, perturbations=None, limits=None,
             lyapunov.dynamics, lyapunov.lyapunov_function,
             lyapunov._lipschitz_lyapunov, lyapunov.c_max, safe_set_dev,
             safe_states_dev, jnp.asarray(actions, dtype=config.dtype),
-            grid=grid, check_membership=check_membership)
+            _margin_of(lyapunov), grid=grid,
+            check_membership=check_membership)
     else:
         perturbations = np.atleast_2d(perturbations)
         action_dim = perturbations.shape[1]
@@ -228,7 +232,7 @@ def get_safe_sample(lyapunov, perturbations=None, limits=None,
             lyapunov.lyapunov_function, lyapunov._lipschitz_lyapunov,
             lyapunov.c_max, safe_set_dev, safe_states_dev,
             jnp.asarray(perturbations, dtype=config.dtype), limits_dev,
-            grid=grid, use_limits=use_limits,
+            _margin_of(lyapunov), grid=grid, use_limits=use_limits,
             check_membership=check_membership)
 
     if bool(is_safe):
@@ -246,6 +250,19 @@ def get_safe_sample(lyapunov, perturbations=None, limits=None,
     _, bound, _ = _evaluate_candidates(lyapunov, state_actions, positive)
     max_id = int(np.argmax(bound))
     return state_actions[[max_id]], float(bound[max_id])
+
+
+def _margin_of(lyapunov):
+    """Conservatism margin for a (possibly duck-typed) Lyapunov object.
+
+    The level test certifies only ``v_future < c_max - margin`` with the
+    same margin the verification sweep uses (see
+    ``config.certificate_margin``).
+    """
+    margin = getattr(lyapunov, "certificate_margin", None)
+    if margin is None:
+        margin = float(getattr(config, "certificate_margin", 0.0))
+    return margin
 
 
 def _device_safe_set(lyapunov):
@@ -280,7 +297,7 @@ def _evaluate_candidates(lyapunov, state_actions, positive):
     mean, bound, maps_inside = _candidate_scores(
         lyapunov.dynamics, lyapunov.lyapunov_function,
         lyapunov._lipschitz_lyapunov, lyapunov.c_max,
-        jnp.asarray(state_actions_dev))
+        jnp.asarray(state_actions_dev), _margin_of(lyapunov))
     mean = mean[:n]
     bound = bound[:n]
     maps_inside = maps_inside[:n]

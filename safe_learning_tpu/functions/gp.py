@@ -1388,26 +1388,40 @@ def sample_gp_function(discretization, gp, key, number=1,
     multivariate-normal draw, and (optionally) a callable that interpolates
     each sample consistently (see :class:`GPSampledFunction`).
 
-    The draw itself is a float64 host island (once per sample; off the hot
-    path): the posterior covariance of a smooth kernel on a dense
-    discretization is numerically rank-deficient — its spectrum decays
-    below single precision — so an on-device f32 Cholesky produces NaNs.
-    Instead of a jittered factorization we eigendecompose and **truncate
-    the spectrum** at ``cut_rel * w_max``: the sampled deviation then lives
-    entirely in the well-conditioned eigenspace, which keeps the
-    interpolation coefficients ``alpha = C⁺ deviation`` small
-    (``O(w_cut^{-1/2})`` instead of ``O(w_min^{-1/2})``) so the f32
-    reconstruction ``cross @ alpha`` reproduces the sample to ~1e-5 rather
-    than ~1e-2. ``jitter`` is added to the kept eigenvalues (API
-    compatibility; 0 is correct with truncation).
+    The draw itself is a float64 island (once per sample; off the hot
+    path), and — new in round 3 — it is **dtype-lane independent**: the
+    full-covariance posterior is computed in float64 on the CPU backend
+    from float64-lifted inputs (``oracle.lift64`` rebuilds the GP's
+    factorization in f64; grid discretizations contribute their exact
+    f64 coordinates via ``GridWorld.all_points_f64``), and the standard
+    normals are drawn in a pinned dtype. A float32 session and a float64
+    session with the same key therefore sample the same hidden system up
+    to the f32 rounding of the stored hyperparameters (bit-identical
+    when those are f32-representable) — previously the two lanes fed the
+    eigendecomposition working-dtype covariances whose near-degenerate
+    eigenspaces diverged chaotically between lanes.
+
+    Why an eigendecomposition: the posterior covariance of a smooth
+    kernel on a dense discretization is numerically rank-deficient — its
+    spectrum decays below single precision — so a Cholesky needs large
+    jitter. Instead the spectrum is **truncated** at ``cut_rel * w_max``:
+    the sampled deviation then lives entirely in the well-conditioned
+    eigenspace, which keeps the interpolation coefficients
+    ``alpha = C⁺ deviation`` small (``O(w_cut^{-1/2})`` instead of
+    ``O(w_min^{-1/2})``) so the f32 reconstruction ``cross @ alpha``
+    reproduces the sample to ~1e-5 rather than ~1e-2. ``jitter`` is
+    added to the kept eigenvalues (API compatibility; 0 is correct with
+    truncation).
     """
     if isinstance(discretization, GridWorld):
-        discretization = discretization.all_points
-    discretization = jnp.asarray(discretization, dtype=config.dtype)
+        points64 = discretization.all_points_f64
+    else:
+        points64 = np.asarray(discretization, dtype=np.float64)
+    discretization = jnp.asarray(points64, dtype=config.dtype)
 
     if isinstance(gp, StackedGaussianProcess):
         keys = jax.random.split(key, gp.num_fun)
-        per_out = [sample_gp_function(discretization, member, k, number,
+        per_out = [sample_gp_function(points64, member, k, number,
                                       return_function, jitter, cut_rel)
                    for member, k in zip(gp.unstack(), keys)]
         if not return_function:
@@ -1416,23 +1430,40 @@ def sample_gp_function(discretization, gp, key, number=1,
                                         for s in range(gp.num_fun)])
                 for i in range(number)]
 
-    mean, cov = gp.predict(discretization, full_cov=True)
+    from ..oracle import _oracle_env, lift64
 
     host_dtype = np.dtype(config.solve_dtype or np.float64)
-    mean64 = np.asarray(mean, dtype=host_dtype)[:, 0]
-    cov64 = np.asarray(cov, dtype=host_dtype)
+    with _oracle_env():
+        gp64 = lift64(gp)
+        mean, cov = gp64.predict(jnp.asarray(points64,
+                                             dtype=jnp.float64),
+                                 full_cov=True)
+        mean64 = np.asarray(mean, dtype=host_dtype)[:, 0]
+        cov64 = np.asarray(cov, dtype=host_dtype)
     cov64 = 0.5 * (cov64 + cov64.T)
     w, v = np.linalg.eigh(cov64)
     if cut_rel is None:
-        cut_rel = (1e-12 if np.dtype(config.np_dtype) == np.float64
-                   else 1e-6)
+        # ONE default for both lanes: a lane-dependent cut would keep a
+        # different spectral band per dtype and the lanes would sample
+        # different systems (measured 0.8 divergence on a Matern
+        # composite whose spectrum decays slowly). 1e-6 is what the f32
+        # reconstruction ``cross @ alpha`` can represent downstream
+        # (alpha ~ w_cut^{-1/2} amplifies f32 rounding of the cross
+        # covariance); float64 sessions wanting more fidelity pass
+        # ``cut_rel`` explicitly.
+        cut_rel = 1e-6
     w_max = max(float(w[-1]), 0.0)
     keep = w > cut_rel * w_max
     wr = w[keep] + float(jitter)
     vr = v[:, keep]
 
-    z = np.asarray(jax.random.normal(key, (number, int(keep.sum()))),
-                   dtype=np.float64)
+    # Pinned-dtype normals: identical bits in the f32 and f64 lanes for
+    # the same key. Draw the full discretization's worth and slice the
+    # kept columns so the draw does not depend on the truncation count.
+    z_full = np.asarray(jax.random.normal(key, (number, len(points64)),
+                                          dtype=jnp.float32),
+                        dtype=np.float64)
+    z = z_full[:, :int(keep.sum())]
     samples = mean64[None, :] + z @ (np.sqrt(wr)[:, None] * vr.T)
 
     if not return_function:

@@ -170,6 +170,19 @@ class GridWorld:
                 [col.ravel() for col in mesh]).astype(config.np_dtype)
         return self._all_points_cache
 
+    @functools.cached_property
+    def all_points_f64(self):
+        """All grid vertices in float64, independent of ``config.dtype``.
+
+        Computed from the grid's exact (float64) metadata, so the float32
+        and float64 lanes see IDENTICAL coordinates — the foundation of
+        lane-independent posterior draws in ``sample_gp_function``.
+        """
+        axes = [np.linspace(low, up, n, dtype=np.float64)
+                for (low, up), n in zip(self._limits, self._num_points)]
+        mesh = np.meshgrid(*axes, indexing="ij")
+        return np.column_stack([col.ravel() for col in mesh])
+
     def sample_continuous(self, num_samples, rng=None):
         """Sample uniformly from the continuous domain (host-side)."""
         rng = np.random.default_rng() if rng is None else rng

@@ -115,19 +115,21 @@ def _decrease_bound(lyapunov_function, lipschitz_lyapunov, states,
 
 @jax.jit
 def _negative_batch(policy, dynamics, lyapunov_function, lipschitz_lyapunov,
-                    lipschitz_dynamics, tau, states):
+                    lipschitz_dynamics, tau, states, margin=0.0):
     """Fused decrease-condition check for one batch of grid states.
 
     Computes ``v(f(x, pi(x))) - v(x) + L_v sigma < -L_v (1 + L_f) tau``
     (the whole pipeline of reference ``lyapunov.py:429-441`` in one
-    compiled program)."""
+    compiled program). ``margin`` tightens the comparison by an absolute
+    conservatism term absorbing float32 pipeline rounding (see
+    ``config.certificate_margin``)."""
     actions = policy(states)
     next_states = dynamics(states, actions)
     decrease = _decrease_bound(lyapunov_function, lipschitz_lyapunov,
                                states, next_states)
     threshold = _threshold(lipschitz_lyapunov, lipschitz_dynamics, states,
                            tau)
-    negative = jnp.squeeze(decrease < threshold, axis=1)
+    negative = jnp.squeeze(decrease < threshold - margin, axis=1)
     return negative, jnp.squeeze(decrease, axis=1), \
         jnp.squeeze(jnp.broadcast_to(threshold, decrease.shape), axis=1)
 
@@ -135,7 +137,8 @@ def _negative_batch(policy, dynamics, lyapunov_function, lipschitz_lyapunov,
 @partial(jax.jit, static_argnames=("max_refinement", "ndim"))
 def _refined_negative_batch(policy, dynamics, lyapunov_function,
                             lipschitz_lyapunov, lipschitz_dynamics, tau,
-                            states, unit_maxes, max_refinement, ndim):
+                            states, unit_maxes, max_refinement, ndim,
+                            margin=0.0):
     """Sound decrease check on ``R^d`` sub-grids at discretization tau/R.
 
     Each failing coarse cell is re-verified on the full
@@ -175,7 +178,7 @@ def _refined_negative_batch(policy, dynamics, lyapunov_function,
                                next_states)
     thresholds = _threshold(lipschitz_lyapunov, lipschitz_dynamics, flat,
                             tau / r)
-    ok = (decrease < jnp.broadcast_to(thresholds, decrease.shape))
+    ok = (decrease < jnp.broadcast_to(thresholds, decrease.shape) - margin)
     return jnp.all(ok.reshape(states.shape[0], -1), axis=1)
 
 
@@ -187,7 +190,8 @@ def _values_batch(fun, points):
 
 @jax.jit
 def _fused_update(policy, dynamics, lyapunov_function, lipschitz_lyapunov,
-                  lipschitz_dynamics, tau, points, exempt):
+                  lipschitz_dynamics, tau, points, exempt, margin=0.0,
+                  level_margin=0.0):
     """Whole-grid safe-set update as ONE device program.
 
     Computes ``v`` on the grid, runs the fused decrease check for every
@@ -219,12 +223,16 @@ def _fused_update(policy, dynamics, lyapunov_function, lipschitz_lyapunov,
                 - values.reshape(-1, 1) + bound)
     threshold = _threshold(lipschitz_lyapunov, lipschitz_dynamics, points,
                            tau)
-    negative = jnp.squeeze(decrease < threshold, axis=1)
+    negative = jnp.squeeze(decrease < threshold - margin, axis=1)
     eligible = negative | exempt
 
     inf = jnp.asarray(jnp.inf, dtype=values.dtype)
     v_bad = jnp.min(jnp.where(eligible, inf, values))
-    safe_set = values < v_bad
+    # level_margin guards the VALUE comparison the same way margin
+    # guards the decrease comparison: a state whose exact value ties or
+    # crosses the exact level cut within f32 rounding must not slip into
+    # the certified set (see oracle.calibrate_certificate_margin).
+    safe_set = values < v_bad - level_margin
     any_safe = jnp.any(safe_set)
     c_max = jnp.where(any_safe,
                       jnp.max(jnp.where(safe_set, values, -inf)),
@@ -257,6 +265,14 @@ class Lyapunov:
         States known to be safe a priori.
     adaptive : bool, optional
         Enable adaptive refinement in :meth:`update_safe_set`.
+    certificate_margin : float, optional
+        Absolute conservatism margin for every safety comparison: the
+        decrease check certifies only ``decrease < threshold - margin``.
+        Absorbs float32 pipeline rounding so the certified set cannot
+        over-claim relative to exact arithmetic; calibrate with
+        :func:`safe_learning_tpu.oracle.calibrate_certificate_margin`.
+        ``None`` (default) reads ``config.certificate_margin`` at each
+        sweep.
 
     Examples
     --------
@@ -281,7 +297,8 @@ class Lyapunov:
 
     def __init__(self, discretization, lyapunov_function, dynamics,
                  lipschitz_dynamics, lipschitz_lyapunov, tau, policy,
-                 initial_set=None, adaptive=False, mesh=None):
+                 initial_set=None, adaptive=False, mesh=None,
+                 certificate_margin=None):
         if not isinstance(discretization, GridWorld):
             raise TypeError("discretization must be a GridWorld")
         self.discretization = discretization
@@ -292,6 +309,9 @@ class Lyapunov:
         self.lyapunov_function = as_deterministic(lyapunov_function)
         self.tau = float(tau)
         self.adaptive = bool(adaptive)
+        self._certificate_margin = (None if certificate_margin is None
+                                    else float(certificate_margin))
+        self._level_margin = None
 
         self._lipschitz_dynamics = _as_lipschitz(lipschitz_dynamics)
         self._lipschitz_lyapunov = _as_lipschitz(lipschitz_lyapunov)
@@ -351,6 +371,40 @@ class Lyapunov:
         """Set the initial set and bump its version counter."""
         self._initial_safe_set = value
         self._initial_set_version += 1
+
+    @property
+    def certificate_margin(self):
+        """Active conservatism margin for safety comparisons.
+
+        The per-instance value when one was passed to the constructor
+        (or assigned), else ``config.certificate_margin``.
+        """
+        if self._certificate_margin is not None:
+            return self._certificate_margin
+        return float(getattr(config, "certificate_margin", 0.0))
+
+    @certificate_margin.setter
+    def certificate_margin(self, value):
+        """Set (or with ``None`` clear) the per-instance margin."""
+        self._certificate_margin = None if value is None else float(value)
+
+    @property
+    def level_margin(self):
+        """Conservatism margin for the level comparison ``v < v_bad``.
+
+        Guards the certified-level cut against f32 rounding of the
+        Lyapunov values themselves (the decrease margin guards the
+        decrease comparison). Per-instance value if set, else
+        ``config.level_margin``.
+        """
+        if self._level_margin is not None:
+            return self._level_margin
+        return float(getattr(config, "level_margin", 0.0))
+
+    @level_margin.setter
+    def level_margin(self, value):
+        """Set (or with ``None`` clear) the per-instance level margin."""
+        self._level_margin = None if value is None else float(value)
 
     def lipschitz_dynamics(self, states):
         """Global or local dynamics Lipschitz constant.
@@ -552,6 +606,7 @@ class Lyapunov:
 
         refinement_sorted = np.zeros(nindex, dtype=int)
         tau = self.tau
+        margin = self.certificate_margin
         unit_maxes = jnp.asarray(grid.unit_maxes, dtype=config.dtype)
 
         max_index = -1  # last sorted position of the verified prefix
@@ -572,7 +627,7 @@ class Lyapunov:
             negative = np.asarray(_negative_batch(
                 self.policy, self.dynamics, self.lyapunov_function,
                 self._lipschitz_lyapunov, self._lipschitz_dynamics, tau,
-                states_dev)[0])
+                states_dev, margin)[0])
             negative = negative[:n_valid]
             safe_b = negative | exempt_sorted[i:i + n_valid]
             refinement_sorted[i:i + n_valid][safe_b] = 1
@@ -617,7 +672,7 @@ class Lyapunov:
                             self._lipschitz_dynamics,
                             tau, _shard(jnp.asarray(check_states)),
                             unit_maxes, int(max_refinement),
-                            grid.ndim))[:hi - j]
+                            grid.ndim, margin=margin))[:hi - j]
                         # A state passes if its COARSE check passed (the
                         # suffix beyond the first failure contains such
                         # states — their tau-level certificate stands;
@@ -651,6 +706,18 @@ class Lyapunov:
 
             max_index = i + bound - 1
             break
+
+        # Level-comparison guard, mirroring _fused_update: trim the
+        # certified prefix so no state within level_margin of the first
+        # failing state's value is certified (f32 value rounding could
+        # otherwise admit a state the exact level cut excludes).
+        level_margin = self.level_margin
+        if level_margin > 0.0 and 0 <= max_index < nindex - 1:
+            v_bad = values[order[max_index + 1]]
+            trimmed = int(np.searchsorted(values[order],
+                                          v_bad - level_margin,
+                                          side="left")) - 1
+            max_index = min(max_index, trimmed)
 
         # Certified level set (deviation: -inf instead of the reference's
         # wrapped index when nothing verifies, lyapunov.py:589-595).
@@ -725,7 +792,8 @@ class Lyapunov:
         safe_dev, c_max, values, any_safe = _fused_update(
             self.policy, self.dynamics, self.lyapunov_function,
             self._lipschitz_lyapunov, self._lipschitz_dynamics, self.tau,
-            points, exempt_dev)
+            points, exempt_dev, self.certificate_margin,
+            self.level_margin)
 
         # Keep the values device-resident: consumers that need them on
         # the host (sorting, checkpoints) convert lazily, and fused
