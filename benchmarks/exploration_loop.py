@@ -38,7 +38,7 @@ def build(num_states=501, n_max=16):
     """
     from examples.adaptive_safety_verification import build_instance
 
-    lyap, true_pendulum = build_instance(num_states, capacity=128,
+    lyap, true_pendulum = build_instance(num_states, capacity=256,
                                          stacked=True)
     return lyap, true_pendulum, n_max
 
@@ -109,6 +109,42 @@ def main():
     print("  update_safe_set   {:7.1f} ms".format(1e3 * t_sweep / iters))
     print("full iteration ({} samples + verify): {:.2f} s".format(
         per_iter, total / iters))
+
+    # ---- round 3: the k-step fused sampler ----
+    # All 15 sample/measure/append rounds of an iteration in ONE device
+    # program (selection-grade on-device GP appends between steps) plus
+    # one authoritative f64 refresh, then the adaptive sweep: the whole
+    # iteration pays two dispatch round-trips instead of ~45.
+    true_fn = sl.LambdaFunction(
+        lambda sa: true_pendulum(sa[:, :2], sa[:, 2:]))
+    # Warmup/compile for the batched program.
+    sl.get_safe_sample_batch(lyap, true_fn, per_iter, action_variation,
+                             action_limits, positive=True,
+                             num_samples=1000, rng=rng)
+    lyap.update_safe_set(**sweep)
+
+    t_batch = t_bsweep = 0.0
+    for it in range(iters):
+        t0 = time.perf_counter()
+        sas, ys, bounds, safes = sl.get_safe_sample_batch(
+            lyap, true_fn, per_iter, action_variation, action_limits,
+            positive=True, num_samples=1000, rng=rng)
+        t1 = time.perf_counter()
+        lyap.update_safe_set(**sweep)
+        jax.block_until_ready(lyap.c_max)
+        t2 = time.perf_counter()
+        t_batch += t1 - t0
+        t_bsweep += t2 - t1
+        print("batched iter {}: safe fraction {:.3f}  c_max {:.4f}  "
+              "n_data {}".format(it + 1, lyap.safe_set.mean(),
+                                 float(lyap.c_max),
+                                 int(lyap.dynamics.count)))
+    print("\nbatched iteration ({} samples in ONE dispatch + f64 append): "
+          "{:7.1f} ms".format(per_iter, 1e3 * t_batch / iters))
+    print("  + adaptive update_safe_set {:7.1f} ms".format(
+        1e3 * t_bsweep / iters))
+    print("batched full iteration: {:.2f} s   (sequential was {:.2f} s)"
+          .format((t_batch + t_bsweep) / iters, total / iters))
 
 
 if __name__ == "__main__":

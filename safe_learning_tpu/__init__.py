@@ -24,7 +24,8 @@ from .functions.gp import (ActiveDims, GaussianProcess,
                            StackedGaussianProcess,
                            fit_gp_hyperparameters, sample_gp_function)
 from .lyapunov import Lyapunov, get_lyapunov_region, smallest_boundary_value
-from .explore import get_safe_sample, perturb_actions
+from .explore import (get_safe_sample, get_safe_sample_batch,
+                      perturb_actions)
 from .rl import OptimizationError, PolicyIteration
 from .dynamics import CartPole, InvertedPendulum, VanDerPol
 from .analysis import (compute_roa, compute_closedloop_response, gridify,

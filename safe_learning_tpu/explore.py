@@ -24,7 +24,8 @@ import numpy as np
 from .config import config
 from .lyapunov import _as_column_batch, _eval_lipschitz
 
-__all__ = ["perturb_actions", "get_safe_sample"]
+__all__ = ["perturb_actions", "get_safe_sample",
+           "get_safe_sample_batch"]
 
 
 def _pad_pow2(rows, min_bucket=8):
@@ -132,6 +133,17 @@ def _fused_sample_perturb(dynamics, policy, lyapunov_function,
     states, perturbed
     (reference ``perturb_actions``, ``lyapunov.py:609-651``, fused with
     the scoring of ``:703-797``)."""
+    state_actions = _perturb_candidates(policy, safe_states,
+                                        perturbations, limits, use_limits)
+    return _select_best(dynamics, lyapunov_function, lipschitz_lyapunov,
+                        c_max, grid, safe_set_dev, state_actions,
+                        check_membership, margin)
+
+
+def _perturb_candidates(policy, safe_states, perturbations, limits,
+                        use_limits):
+    """Candidate matrix: policy actions at the states, perturbed and
+    clipped (the traced form of :func:`perturb_actions`)."""
     n, d = safe_states.shape
     p, m = perturbations.shape
     actions = _as_column_batch(policy(safe_states))
@@ -139,11 +151,7 @@ def _fused_sample_perturb(dynamics, policy, lyapunov_function,
     if use_limits:
         acts = jnp.clip(acts, limits[:, 0], limits[:, 1])
     states = jnp.broadcast_to(safe_states[:, None, :], (n, p, d))
-    state_actions = jnp.concatenate(
-        [states, acts], axis=-1).reshape(n * p, d + m)
-    return _select_best(dynamics, lyapunov_function, lipschitz_lyapunov,
-                        c_max, grid, safe_set_dev, state_actions,
-                        check_membership, margin)
+    return jnp.concatenate([states, acts], axis=-1).reshape(n * p, d + m)
 
 
 @functools.partial(jax.jit,
@@ -311,3 +319,173 @@ def _evaluate_candidates(lyapunov, state_actions, positive):
             lyapunov.discretization.state_to_index(mean))
         maps_inside &= lyapunov.safe_set[next_idx]
     return np.asarray(mean), bound, maps_inside
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("grid", "use_limits",
+                                    "check_membership", "use_noise"))
+def _fused_sample_batch(gp, true_dynamics, policy, lyapunov_function,
+                        lipschitz_lyapunov, c_max, safe_set_dev,
+                        states_per_step, perturbations, limits, margin,
+                        noise_keys, *, grid, use_limits, check_membership,
+                        use_noise):
+    """``k`` exploration measurements as ONE device program.
+
+    A ``lax.scan`` over steps: score perturbed candidates at that step's
+    safe-state subsample against the CURRENT GP, pick the
+    argmax-variance provably-safe pair (argmax-variance over all
+    candidates when none is safe — the backup fallback), measure the
+    true dynamics, and append the measurement with a working-dtype
+    on-device bordered Cholesky update so the next step's variances see
+    it. No host round-trips between measurements (the reference
+    re-verifies only after all samples of a round —
+    ``adaptive_safety_verification.ipynb`` cell 23 — so the alternation
+    carries no semantics).
+
+    Returns ``(state_actions (k, n+m), bounds (k,), safe_flags (k,),
+    measurements (k, p))``.
+    """
+    from .functions.gp import _device_border_append
+
+    def step(gp_j, inputs):
+        """One sample/measure/append round against the carried GP."""
+        states_j, key_j = inputs
+        state_actions = _perturb_candidates(policy, states_j,
+                                            perturbations, limits,
+                                            use_limits)
+        mean, bound, safe = _score_candidates(
+            gp_j, lyapunov_function, lipschitz_lyapunov, c_max,
+            state_actions, margin)
+        if check_membership:
+            safe &= safe_set_dev[grid.state_to_index(mean)]
+        any_safe = jnp.any(safe)
+        score = jnp.where(safe, bound, -jnp.inf)
+        best = jnp.where(any_safe, jnp.argmax(score), jnp.argmax(bound))
+        sa = state_actions[best]
+        if use_noise:
+            y = true_dynamics(sa[None, :], noise_key=key_j)
+        else:
+            y = true_dynamics(sa[None, :])
+        gp_next = _device_border_append(gp_j, sa[None, :], y)
+        return gp_next, (sa, bound[best], any_safe, y[0])
+
+    _, (sas, bounds, safes, ys) = jax.lax.scan(
+        step, gp, (states_per_step, noise_keys))
+    return sas, bounds, safes, ys
+
+
+def get_safe_sample_batch(lyapunov, true_dynamics, num_steps,
+                          perturbations, limits=None, positive=False,
+                          num_samples=None, rng=None, noise_key=None,
+                          apply=True):
+    """Run ``num_steps`` sample -> measure -> append rounds in ONE
+    dispatch.
+
+    The k-step batched form of :func:`get_safe_sample` for active
+    learning loops that re-verify only after a round of measurements
+    (the reference's shape, ``adaptive_safety_verification.ipynb``
+    cell 23): one fused device program performs all k selections and
+    measurements — between steps the GP is advanced with a
+    working-dtype on-device bordered Cholesky append (selection-grade) —
+    and the authoritative float64 cache refresh happens ONCE for the
+    whole batch. Through a high-latency link this replaces ~2k host
+    round-trips with two.
+
+    Parameters
+    ----------
+    lyapunov : Lyapunov
+    true_dynamics : Function
+        The measurable system: called with the chosen ``(1, n+m)`` pair
+        (pass ``noise_key`` support via ``noise_key=`` argument when
+        ``noise_key`` is given here).
+    num_steps : int
+    perturbations : (p, m) array
+        Action perturbations; include the ZERO perturbation to match the
+        reference's backup-fallback semantics exactly.
+    limits, positive, num_samples, rng
+        As in :func:`get_safe_sample` (``num_samples`` resamples per
+        step, like the reference's per-call subsample).
+    noise_key : jax PRNG key, optional
+        When given, measurements are noisy:
+        ``true_dynamics(sa, noise_key=k_j)`` with per-step derived keys.
+    apply : bool, optional
+        Append all measurements to ``lyapunov.dynamics`` (one bordered
+        float64 refresh) before returning.
+
+    Returns
+    -------
+    state_actions : (k, n+m) ndarray
+    measurements : (k, p) ndarray
+    bounds : (k,) ndarray
+        Predictive-uncertainty score of each chosen pair.
+    safe_flags : (k,) ndarray of bool
+        False entries used the backup fallback (a RuntimeWarning is
+        issued, mirroring the sequential path).
+    """
+    rng = np.random.default_rng() if rng is None else rng
+    grid = lyapunov.discretization
+    k = int(num_steps)
+    gp = lyapunov.dynamics
+    if int(gp.count) + k > gp.capacity:
+        raise ValueError(
+            "GP capacity {} cannot hold {} more measurements (count {}); "
+            "construct the GP with a larger capacity= (the fused k-step "
+            "program writes into the fixed buffers)".format(
+                gp.capacity, k, int(gp.count)))
+
+    safe_idx = np.where(lyapunov.safe_set)[0]
+    if len(safe_idx) == 0:
+        raise RuntimeError(
+            "the safe set is empty — no state to explore from (provide "
+            "an initial_set or verify with a smaller tau first)")
+    all_safe = np.asarray(grid.all_points)[safe_idx]
+    if num_samples is not None and len(all_safe) > num_samples:
+        picks = rng.choice(len(all_safe), size=(k, int(num_samples)),
+                           replace=True)
+        states = all_safe[picks]  # (k, num_samples, d)
+        states = np.concatenate([states, np.broadcast_to(
+            states[:, -1:, :],
+            (k, _pow2_pad_len(states.shape[1]) - states.shape[1],
+             states.shape[2]))], axis=1)
+    else:
+        padded, _ = _pad_pow2(all_safe)
+        states = np.broadcast_to(padded[None], (k,) + padded.shape)
+    states_dev = jnp.asarray(states, dtype=config.dtype)
+
+    check_membership = not positive
+    safe_set_dev = (_device_safe_set(lyapunov) if check_membership
+                    else jnp.zeros(1, dtype=bool))
+    perturbations = np.atleast_2d(perturbations)
+    use_limits = limits is not None
+    limits_dev = jnp.asarray(
+        np.atleast_2d(limits) if use_limits else np.zeros((1, 2)),
+        dtype=config.dtype)
+    use_noise = noise_key is not None
+    noise_keys = (jax.random.split(noise_key, k) if use_noise
+                  else jnp.zeros((k, 2), dtype=jnp.uint32))
+
+    sas, bounds, safes, ys = _fused_sample_batch(
+        lyapunov.dynamics, true_dynamics, lyapunov.policy,
+        lyapunov.lyapunov_function, lyapunov._lipschitz_lyapunov,
+        lyapunov.c_max, safe_set_dev, states_dev,
+        jnp.asarray(perturbations, dtype=config.dtype), limits_dev,
+        _margin_of(lyapunov), noise_keys, grid=grid,
+        use_limits=use_limits, check_membership=check_membership,
+        use_noise=use_noise)
+
+    sas = np.asarray(sas, dtype=config.np_dtype)
+    ys = np.asarray(ys, dtype=config.np_dtype)
+    bounds = np.asarray(bounds)
+    safes = np.array(safes)
+    if not safes.all():
+        warnings.warn("No safe state-action pairs found at {} of {} "
+                      "steps! Using backup policy ...".format(
+                          int((~safes).sum()), k), RuntimeWarning)
+    if apply:
+        lyapunov.dynamics = lyapunov.dynamics.add_data_point(sas, ys)
+    return sas, ys, bounds, safes
+
+
+def _pow2_pad_len(n, min_bucket=8):
+    """Next power-of-two bucket length for ``n`` rows."""
+    return 1 << max(min_bucket.bit_length() - 1, (n - 1).bit_length())

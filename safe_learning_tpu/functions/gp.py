@@ -746,6 +746,78 @@ def _bordered_append(host, kernel, x_buf_new, y_new, prior_new,
     return _HostCache(chol, chol_inv, alpha, n + m, host.jitter)
 
 
+def _device_border_append(gp, x_new, y_new):
+    """Working-dtype on-device bordered Cholesky append (selection grade).
+
+    The same recurrence as the float64 host island
+    (:func:`_bordered_append`) run in the working dtype on device,
+    appending ONE observation of all outputs and returning the updated
+    GP pytree. Used by the fused k-step exploration program
+    (``explore.get_safe_sample_batch``) to keep predictive variances
+    current BETWEEN measurements without any host round-trip; the
+    authoritative float64 cache refresh still happens once per batch.
+    Works for :class:`GaussianProcess` and
+    :class:`StackedGaussianProcess`.
+    """
+    i = gp.count
+    cap = gp.capacity
+    s = gp.scale
+    s2 = s * s
+    zero = jnp.zeros_like(i)
+    x_new = jnp.asarray(x_new, dtype=gp.X_buf.dtype)
+    y_new = jnp.asarray(y_new, dtype=gp.Y_buf.dtype)
+    x_buf = jax.lax.dynamic_update_slice(gp.X_buf, x_new, (i, zero))
+    y_buf = jax.lax.dynamic_update_slice(gp.Y_buf, y_new, (i, zero))
+    mask = (jnp.arange(cap) < i).astype(x_buf.dtype)
+    onehot_i = jnp.arange(cap) == i
+
+    def border_one(kernel, chol, chol_inv, alpha, noise, target_row):
+        """Border one output's (scaled, masked) factor with the new row."""
+        kj = s2 * kernel(x_buf, x_new)[:, 0] * mask
+        diag = s2 * (kernel.diag(x_new)[0] + noise)
+        y_vec = jax.scipy.linalg.solve_triangular(chol, kj, lower=True)
+        d2 = diag - jnp.sum(y_vec * y_vec)
+        # Clamp instead of the host island's refactorize-on-bad-pivot:
+        # selection-grade variances tolerate a floored pivot.
+        d = jnp.sqrt(jnp.maximum(d2, 1e-10 * jnp.maximum(diag, 1e-30)))
+        row_l = jnp.where(onehot_i, d, y_vec)
+        chol2 = jax.lax.dynamic_update_slice(chol, row_l[None, :],
+                                             (i, zero))
+        inv_row = jnp.where(onehot_i, 1.0 / d, -(y_vec @ chol_inv) / d)
+        chol_inv2 = jax.lax.dynamic_update_slice(chol_inv,
+                                                 inv_row[None, :],
+                                                 (i, zero))
+        alpha_row = (target_row - y_vec @ alpha) / d
+        alpha2 = jax.lax.dynamic_update_slice(alpha, alpha_row[None, :],
+                                              (i, zero))
+        return chol2, chol_inv2, alpha2
+
+    count2 = i + jnp.ones_like(i)
+    if isinstance(gp, StackedGaussianProcess):
+        priors = gp._prior_means(x_new)  # (1, S)
+        chols, chol_invs, alphas = [], [], []
+        for s_idx in range(gp.num_fun):
+            target = (s * (y_new[:, s_idx] - priors[:, s_idx]))[:, None]
+            c2, ci2, a2 = border_one(
+                gp.kernels[s_idx], gp.chol[s_idx], gp.chol_inv[s_idx],
+                gp.alpha[s_idx], gp.noise_variances[s_idx], target[0])
+            chols.append(c2)
+            chol_invs.append(ci2)
+            alphas.append(a2)
+        return gp.replace(X_buf=x_buf, Y_buf=y_buf, count=count2,
+                          chol=jnp.stack(chols),
+                          chol_inv=jnp.stack(chol_invs),
+                          alpha=jnp.stack(alphas))
+
+    prior = gp._prior_mean(x_new)
+    prior = jnp.zeros_like(y_new) + prior
+    target = (s * (y_new - prior))[0]  # (p,)
+    c2, ci2, a2 = border_one(gp.kernel, gp.chol, gp.chol_inv, gp.alpha,
+                             gp.noise_variance, target)
+    return gp.replace(X_buf=x_buf, Y_buf=y_buf, count=count2, chol=c2,
+                      chol_inv=ci2, alpha=a2)
+
+
 def _cache_parts(kernel, x_buf, y_buf, prior, count, noise_variance, scale,
                  host_out=None):
     """Refresh one output's Cholesky cache from its parts.

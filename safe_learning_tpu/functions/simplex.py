@@ -239,69 +239,128 @@ class Triangulation(DeterministicFunction):
         vertices, weights, _ = self._locate(points)
         return vertices, weights
 
-    def _corner_table(self):
-        """Vertex values regrouped by CELL.
+    def _corner_table(self, fold=None):
+        """Vertex values regrouped by cell, folding the trailing dims.
 
-        Row ``c`` holds the values at all ``2^d`` corners of cell ``c``
-        (corner-code-major, then output).
+        With ``fold = k``, row ``(vertex_{<d-k}, cell_{>=d-k})`` holds the
+        ``2^k`` corner values over the k TRAILING dimensions
+        (corner-code-major over those dims, then output); ``fold = d``
+        (the default) is the classic corner-block table whose row ``c``
+        holds all ``2^d`` corners of cell ``c``.
 
-        Evaluation then needs ONE contiguous row gather per query instead
-        of ``d + 1`` scalar gathers — random row reads cost roughly the
-        same as random scalar reads on TPU (measured 3.1x on a 501^2
-        table at 251k queries). Built from shifted slices of the
+        Evaluation then needs ``2^(d-k)`` contiguous row gathers per
+        query instead of ``d + 1`` scalar gathers. Random row reads cost
+        ~13.4 ns/row on v5e REGARDLESS of row width (16 -> 256 f32
+        measured 13.4 -> 15.4 ms per 1M rows, ``benchmarks/
+        gather_probe_r3.py``), so folding as many dims as the
+        ``config.block_gather_limit`` memory budget allows directly
+        divides the gather count. Built from shifted slices of the
         parameters inside the traced graph, so it stays differentiable
-        wrt the vertex values and costs one ``2^d``-fold copy per call.
+        wrt the vertex values and costs one ``2^k``-fold copy per call.
         """
         grid = self.discretization
         d = grid.ndim
+        k = d if fold is None else int(fold)
+        u = d - k
         p = self.output_dim
         vals = self.parameters.reshape(tuple(int(n) for n in grid.shape)
                                        + (p,))
         cols = []
-        for code in range(2 ** d):
-            idx = tuple(slice(1, None) if (code >> i) & 1 else slice(0, -1)
-                        for i in range(d))
+        for code in range(2 ** k):
+            idx = tuple(slice(None) for _ in range(u)) + tuple(
+                slice(1, None) if (code >> j) & 1 else slice(0, -1)
+                for j in range(k))
             cols.append(vals[idx].reshape(-1, p))
-        return jnp.concatenate(cols, axis=1)  # (ncells, 2^d * p)
+        return jnp.concatenate(cols, axis=1)  # (rows, 2^k * p)
 
-    def _corner_weights(self, rank, weights):
+    def _mixed_shape(self, fold):
+        """Row-index shape of the ``fold``-folded corner table: vertex
+        counts on the leading dims, cell counts on the trailing ones."""
+        shape = tuple(int(n) for n in self.discretization.shape)
+        u = self.discretization.ndim - fold
+        return shape[:u] + tuple(n - 1 for n in shape[u:])
+
+    def _corner_weights(self, rank, weights, pow2):
         """Scatter the ``d + 1`` chain weights onto the ``2^d`` corners.
 
-        Chain vertex ``k`` sits at the corner code with bit ``i`` set
-        iff coordinate ``i`` is among the ``k`` largest (``rank_i < k``)."""
+        Chain vertex ``k`` sits at the corner whose bit for dimension
+        ``i`` is set iff coordinate ``i`` is among the ``k`` largest
+        (``rank_i < k``); ``pow2[i]`` is the weight of dimension ``i``'s
+        bit in the corner code (layout-dependent: the folded table
+        interleaves leading-dim gather index and trailing-dim column)."""
         d = self.discretization.ndim
         k = jnp.arange(d + 1, dtype=jnp.int32)
         bits = (rank[:, :, None] < k[None, None, :]).astype(jnp.int32)
-        pow2 = 2 ** jnp.arange(d, dtype=jnp.int32)
         codes = jnp.sum(bits * pow2[:, None], axis=1)  # (N, d+1)
         onehot = (codes[:, :, None]
                   == jnp.arange(2 ** d, dtype=jnp.int32))
         return jnp.sum(weights[:, :, None] * onehot, axis=1)  # (N, 2^d)
 
-    def evaluate(self, points):
-        """Barycentric interpolation (reference ``functions.py:1473-1499``).
+    def _block_fold(self):
+        """Largest trailing-dim fold whose corner table fits the budget.
 
-        Uses the corner-block layout (one row gather per query) unless the
-        ``2^d``-fold table copy would exceed ``config.block_gather_limit``
-        entries, in which case it falls back to per-vertex gathers.
+        Returns ``d`` for the classic full corner-block table, a partial
+        ``k`` when only a ``2^k``-fold copy fits
+        ``config.block_gather_limit`` AND ``2^(d-k)`` row gathers still
+        beat the ``d + 1`` chain gathers, else ``None`` (chain path).
         """
         grid = self.discretization
         d = grid.ndim
         p = self.output_dim
         limit = int(getattr(config, "block_gather_limit", 1 << 26))
-        if grid.nrectangles * (2 ** d) * p > limit:
+        shape = tuple(int(n) for n in grid.shape)
+        for k in range(d, -1, -1):
+            u = d - k
+            rows = 1
+            for n in shape[:u]:
+                rows *= n
+            for n in shape[u:]:
+                rows *= n - 1
+            if rows * (2 ** k) * p <= limit:
+                if 2 ** (d - k) < d + 1:
+                    return k
+                break
+        return None
+
+    def evaluate(self, points):
+        """Barycentric interpolation (reference ``functions.py:1473-1499``).
+
+        Gather strategy by table size (measured on v5e, see
+        ``_corner_table``): full corner-block table (one row gather per
+        query) when it fits ``config.block_gather_limit``; a partially
+        folded table (``2^(d-k)`` row gathers) when only that fits and it
+        still beats the ``d + 1`` chain gathers; per-vertex chain gathers
+        otherwise.
+        """
+        grid = self.discretization
+        d = grid.ndim
+        p = self.output_dim
+        fold = self._block_fold()
+        if fold is None:
             vertices, weights, _ = self._locate(points)
             vertex_values = _gather_rows(self.parameters,
                                          vertices)  # (N, d+1, out)
             return jnp.sum(weights[:, :, None] * vertex_values, axis=1)
 
         _, weights, _, rank, cell = self._locate_all(points)
-        w_corner = self._corner_weights(rank, weights)  # (N, 2^d)
-        cellstrides = row_major_strides(_cell_shape(grid))
-        cell_flat = jnp.sum(cell * jnp.asarray(cellstrides,
-                                               dtype=jnp.int32), axis=-1)
-        block = _gather_rows(self._corner_table(), cell_flat)
-        block = block.reshape(-1, 2 ** d, p)
+        u = d - fold
+        pow2 = np.zeros(d, dtype=np.int32)
+        pow2[u:] = 2 ** np.arange(fold)          # trailing: column bits
+        pow2[:u] = 2 ** (fold + np.arange(u))    # leading: gather bits
+        w_corner = self._corner_weights(rank, weights,
+                                        jnp.asarray(pow2))  # (N, 2^d)
+        table = self._corner_table(fold)
+        row_strides = jnp.asarray(row_major_strides(
+            self._mixed_shape(fold)), dtype=jnp.int32)
+        base = jnp.sum(cell * row_strides, axis=-1)
+        blocks = []
+        for code_u in range(2 ** u):
+            offs = np.array([(code_u >> i) & 1 for i in range(u)]
+                            + [0] * fold, dtype=np.int32)
+            row_idx = base + int(np.sum(offs * np.asarray(
+                row_major_strides(self._mixed_shape(fold)))[: d]))
+            blocks.append(_gather_rows(table, row_idx))
+        block = jnp.stack(blocks, axis=1).reshape(-1, 2 ** d, p)
         return jnp.sum(w_corner[:, :, None] * block, axis=1)
 
     def gradient(self, points):

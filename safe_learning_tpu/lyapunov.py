@@ -191,7 +191,7 @@ def _values_batch(fun, points):
 @jax.jit
 def _fused_update(policy, dynamics, lyapunov_function, lipschitz_lyapunov,
                   lipschitz_dynamics, tau, points, exempt, margin=0.0,
-                  level_margin=0.0):
+                  level_margin=0.0, values_direct=None):
     """Whole-grid safe-set update as ONE device program.
 
     Computes ``v`` on the grid, runs the fused decrease check for every
@@ -205,8 +205,17 @@ def _fused_update(policy, dynamics, lyapunov_function, lipschitz_lyapunov,
     excluded (the reference's stable sort could include some of them).
 
     Returns ``(safe_set, c_max, values, any_safe)``.
+
+    ``values_direct`` short-circuits ``v`` on the grid: a PWL candidate
+    defined on this very grid takes its vertex values directly (exact,
+    and skips one 13.4 ns/row corner-table gather per grid point — the
+    measured per-row random-access floor, ``benchmarks/
+    gather_probe_r3.py``).
     """
-    values = lyapunov_function(points).reshape(-1)
+    if values_direct is not None:
+        values = values_direct.reshape(-1)
+    else:
+        values = lyapunov_function(points).reshape(-1)
     # Inlined decrease check reusing ``values`` for v(x) — one candidate
     # evaluation per sweep instead of two (matters for PWL / neural
     # candidates, where v costs as much as the dynamics).
@@ -457,10 +466,32 @@ class Lyapunov:
             self._points_mesh = self.mesh
         return pts
 
+    def _direct_grid_values(self):
+        """Vertex values of a PWL candidate defined on THIS grid.
+
+        A :class:`~safe_learning_tpu.Triangulation` whose discretization
+        equals the verification grid has ``v(grid) == parameters``
+        exactly — reading them directly skips one corner-table row
+        gather per grid point (the measured ~13.4 ns/row random-access
+        floor; at 51^4 that is ~90 ms per sweep). Returns ``None`` for
+        every other candidate.
+        """
+        from .functions.simplex import Triangulation
+
+        lf = self.lyapunov_function
+        if (isinstance(lf, Triangulation) and lf.output_dim == 1
+                and lf.discretization == self.discretization):
+            return lf.parameters.reshape(-1)
+        return None
+
     def update_values(self, batch_size=None):
         """Re-evaluate ``v`` on the whole grid.
 
         (reference ``lyapunov.py:305-322``)."""
+        direct = self._direct_grid_values()
+        if direct is not None:
+            self.values = direct
+            return
         grid = self.discretization
         points = grid.all_points
         batch = batch_size or max(int(config.gp_batch_size), 1)
@@ -793,7 +824,7 @@ class Lyapunov:
             self.policy, self.dynamics, self.lyapunov_function,
             self._lipschitz_lyapunov, self._lipschitz_dynamics, self.tau,
             points, exempt_dev, self.certificate_margin,
-            self.level_margin)
+            self.level_margin, self._direct_grid_values())
 
         # Keep the values device-resident: consumers that need them on
         # the host (sorting, checkpoints) convert lazily, and fused

@@ -1,0 +1,151 @@
+"""Multi-process (multi-host) execution helpers.
+
+``parallel/mesh.py`` covers single-process meshes (all devices visible
+to one Python process — a TPU board). Crossing hosts (a pod slice over
+DCN, or the multi-process CPU dryrun) needs three extra pieces, provided
+here:
+
+- :func:`initialize_distributed` — one-call wrapper around
+  ``jax.distributed.initialize`` so every process joins the coordination
+  service and ``jax.devices()`` becomes the GLOBAL device list;
+- :func:`make_global_mesh` — a 1-D grid mesh over the global devices;
+- :func:`global_grid_points` / :func:`global_array` — build globally
+  sharded arrays where each process materializes only its addressable
+  shards (``jax.make_array_from_callback``; a plain ``device_put`` of a
+  host array cannot address remote devices);
+- :func:`is_coordinator` — gate host-side state (checkpoints, prints,
+  matplotlib) on process 0.
+
+The verification sweep itself is unchanged: the decrease check is
+per-point, the certified level is one global reduction, and XLA inserts
+the cross-host collectives for the sharded ``jit`` program. See
+``scripts/multiprocess_dryrun.py`` for the runnable multi-process CPU
+check and ``docs/design.md`` for the DCN story.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+__all__ = ["initialize_distributed", "make_global_mesh", "global_array",
+           "global_grid_points", "is_coordinator", "fetch_global"]
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None, **kwargs):
+    """Join the JAX distributed runtime; return (process_id, count).
+
+    All three arguments may be ``None`` on managed platforms (Cloud TPU
+    pods auto-discover); for manual launches (e.g. the CPU dryrun) pass
+    ``coordinator_address='host:port'``, ``num_processes`` and this
+    process's ``process_id``. Safe to call once per process, BEFORE any
+    other JAX API touches a backend.
+    """
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id, **kwargs)
+    return jax.process_index(), jax.process_count()
+
+
+def is_coordinator():
+    """Whether this is process 0 (gate host-side state on it)."""
+    return jax.process_index() == 0
+
+
+def make_global_mesh(axis_names=("grid",)):
+    """A 1-D mesh over ALL devices of ALL processes."""
+    devices = np.asarray(jax.devices())
+    shape = (devices.size,) + (1,) * (len(axis_names) - 1)
+    return Mesh(devices.reshape(shape), axis_names)
+
+
+def global_array(shape, dtype, mesh, fill, spec=None):
+    """Globally sharded array; each process fills only its shards.
+
+    ``fill(index)`` receives the numpy-style index of one shard of the
+    GLOBAL array and returns that shard's host data — called only for
+    shards addressable by this process.
+    """
+    spec = PartitionSpec(mesh.axis_names[0]) if spec is None else spec
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(tuple(shape), sharding, fill)
+
+
+def global_grid_points(grid, mesh):
+    """The grid's points as a globally sharded ``(nindex, ndim)`` array.
+
+    The grid is static host metadata replicated on every process, so
+    each process computes its own shards locally — no host-to-host
+    transfer of the (possibly multi-GB) point table.
+    """
+    points = grid.all_points
+    spec = PartitionSpec(mesh.axis_names[0], None)
+    return global_array(points.shape, points.dtype, mesh,
+                        lambda index: points[index], spec=spec)
+
+
+def fetch_global(array):
+    """Gather a (possibly sharded) global array fully onto every host.
+
+    Thin wrapper over ``multihost_utils.process_allgather`` that is a
+    no-op ``np.asarray`` in single-process mode.
+    """
+    if jax.process_count() == 1:
+        return np.asarray(array)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(
+        array, tiled=True))
+
+
+def sharded_decrease_check(lyapunov, mesh):
+    """Margin-guarded decrease booleans for the whole grid, SPMD.
+
+    The multi-host form of the fused sweep's first stage: grid points
+    sharded over the global mesh, one jitted program, XLA inserts the
+    collectives. Returns ``(negative, values)`` as global arrays (use
+    :func:`fetch_global` to materialize them on the hosts).
+    """
+    from ..lyapunov import _negative_batch, _values_batch
+
+    points = global_grid_points(lyapunov.discretization, mesh)
+    negative, _, _ = _negative_batch(
+        lyapunov.policy, lyapunov.dynamics, lyapunov.lyapunov_function,
+        lyapunov._lipschitz_lyapunov, lyapunov._lipschitz_dynamics,
+        lyapunov.tau, points, lyapunov.certificate_margin)
+    values = _values_batch(lyapunov.lyapunov_function, points)
+    return negative, values
+
+
+def sharded_certified_level(lyapunov, mesh):
+    """Full multi-host certified-level update; returns (safe, c_max).
+
+    Runs the fused update (decrease check + O(n) level reduction) on the
+    globally sharded grid and materializes the resulting safe set on
+    every host. ``lyapunov.safe_set`` / ``c_max`` are updated like
+    ``update_safe_set(can_shrink=True)``.
+    """
+    from ..lyapunov import _fused_update
+
+    grid = lyapunov.discretization
+    points = global_grid_points(grid, mesh)
+    initial = (np.asarray(lyapunov.initial_safe_set)
+               if lyapunov.initial_safe_set is not None
+               else np.zeros(grid.nindex, dtype=bool))
+    exempt = global_array((grid.nindex,), np.bool_, mesh,
+                          lambda index: initial[index])
+    safe_dev, c_max, values, any_safe = _fused_update(
+        lyapunov.policy, lyapunov.dynamics, lyapunov.lyapunov_function,
+        lyapunov._lipschitz_lyapunov, lyapunov._lipschitz_dynamics,
+        lyapunov.tau, points, exempt, lyapunov.certificate_margin,
+        lyapunov.level_margin, lyapunov._direct_grid_values())
+    safe = np.array(fetch_global(safe_dev))  # writable host copy
+    c_max = float(c_max) if bool(any_safe) else -np.inf
+    safe |= initial
+    lyapunov.safe_set = safe
+    lyapunov.c_max = float(c_max)
+    lyapunov.values = fetch_global(values)
+    lyapunov._refinement = np.where(safe, 1, 0)
+    return safe, lyapunov.c_max

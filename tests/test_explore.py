@@ -193,3 +193,68 @@ def test_pad_pow2_rejects_empty_batch():
     from safe_learning_tpu.explore import _pad_pow2
     with pytest.raises(ValueError, match="empty"):
         _pad_pow2(np.zeros((0, 3)))
+
+
+def test_batch_sampler_matches_sequential_loop():
+    """get_safe_sample_batch (one fused k-step program, on-device
+    selection-grade GP appends) must reproduce the sequential
+    get_safe_sample + add_data_point loop: same chosen pairs, same
+    measurements, and a final GP that predicts identically (the
+    authoritative append runs in the same f64 island)."""
+    import jax.numpy as jnp
+
+    from safe_learning_tpu import get_safe_sample_batch
+
+    def build():
+        lyap = _make_lyapunov_with_gp()
+        lyap.update_safe_set()
+        return lyap
+
+    true_dyn = LambdaFunction(
+        lambda sa: 0.7 * sa[:, :1] + 0.4 * sa[:, 1:]
+        + 0.05 * jnp.sin(3.0 * sa[:, :1]))
+    pert = np.array([[-0.1], [0.0], [0.1]])
+    k = 4
+
+    # Sequential reference loop.
+    lyap_seq = build()
+    seq_pairs, seq_ys = [], []
+    for _ in range(k):
+        sa, _ = get_safe_sample(lyap_seq, pert,
+                                rng=np.random.default_rng(0))
+        y = np.asarray(true_dyn(jnp.asarray(sa)))
+        lyap_seq.dynamics = lyap_seq.dynamics.add_data_point(sa, y)
+        seq_pairs.append(sa[0])
+        seq_ys.append(y[0])
+
+    # Fused batch.
+    lyap_b = build()
+    sas, ys, bounds, safes = get_safe_sample_batch(
+        lyap_b, true_dyn, k, pert, rng=np.random.default_rng(0))
+    assert safes.all()
+    assert_allclose(sas, np.asarray(seq_pairs), atol=1e-6)
+    assert_allclose(ys, np.asarray(seq_ys), atol=1e-6)
+    assert int(lyap_b.dynamics.count) == int(lyap_seq.dynamics.count)
+
+    q = np.array([[0.15, -0.2], [-0.3, 0.1]])
+    m_seq, s_seq = lyap_seq.dynamics(jnp.asarray(q))
+    m_b, s_b = lyap_b.dynamics(jnp.asarray(q))
+    assert_allclose(np.asarray(m_b), np.asarray(m_seq), atol=1e-6)
+    assert_allclose(np.asarray(s_b), np.asarray(s_seq), atol=1e-6)
+
+
+def test_batch_sampler_backup_warning():
+    """With an empty certified level (c_max very low) every step falls
+    back to the backup policy and a RuntimeWarning is raised once."""
+    from safe_learning_tpu import get_safe_sample_batch
+
+    lyap = _make_lyapunov_with_gp()
+    lyap.update_safe_set()
+    lyap.c_max = -np.inf  # nothing maps inside
+    true_dyn = LambdaFunction(lambda sa: 0.7 * sa[:, :1] + 0.4 * sa[:, 1:])
+    with pytest.warns(RuntimeWarning, match="backup"):
+        sas, ys, bounds, safes = get_safe_sample_batch(
+            lyap, true_dyn, 3, np.zeros((1, 1)),
+            rng=np.random.default_rng(0))
+    assert not safes.any()
+    assert sas.shape == (3, 2)  # 1-D state + 1-D action

@@ -459,3 +459,39 @@ def test_ignored_reference_knobs_warn_once():
         lyap.update_safe_set(max_refinement=2, safety_factor=2.0)
     with pytest.warns(RuntimeWarning, match="no effect"):
         lyap.update_safe_set(max_refinement=2, parallel_iterations=8)
+
+
+def test_pwl_candidate_direct_grid_values():
+    """A Triangulation candidate on the verification grid takes its
+    vertex values directly (exact; skips one row gather per grid point).
+    The sweep must match a wrapped candidate forced through the
+    interpolation path, and update_values must return the parameters."""
+    rng = np.random.default_rng(0)
+    grid = GridWorld([[-1, 1], [-1, 1]], 17)
+    pts = grid.all_points
+    vals = (pts ** 2).sum(axis=1, keepdims=True)
+    tri_candidate = __import__("safe_learning_tpu").Triangulation(
+        grid, vals)
+    policy = LambdaFunction(lambda x: 0.0 * x[:, :1])
+    dyn = LinearSystem([np.array([[0.8, 0.0], [0.0, 0.7]]),
+                        np.zeros((2, 1))])
+    mid = grid.nindex // 2
+
+    ly_direct = Lyapunov(grid, tri_candidate, dyn, 0.8, 1.0, 1e-3,
+                         policy, initial_set=[mid])
+    assert ly_direct._direct_grid_values() is not None
+    ly_direct.update_safe_set()
+
+    # Same candidate hidden behind a LambdaFunction: interpolation path.
+    wrapped = LambdaFunction(lambda x: tri_candidate(x))
+    ly_interp = Lyapunov(grid, wrapped, dyn, 0.8, 1.0, 1e-3, policy,
+                         initial_set=[mid])
+    assert ly_interp._direct_grid_values() is None
+    ly_interp.update_safe_set()
+
+    assert_array_equal(ly_direct.safe_set, ly_interp.safe_set)
+    assert_allclose(ly_direct.c_max, ly_interp.c_max, rtol=1e-6)
+    assert ly_direct.safe_set.sum() > 1
+    # update_values returns the parameters themselves.
+    assert_allclose(np.asarray(ly_direct.values),
+                    vals.ravel(), rtol=0, atol=0)

@@ -196,3 +196,27 @@ def test_sharded_adaptive_non_power_of_two_mesh():
                                           batch_size=100)
     assert_array_equal(safe, single.safe_set)
     assert c_max == single.c_max
+
+
+def test_multiprocess_dryrun_script():
+    """Multi-host readiness: N separate processes (1 CPU device each)
+    join the JAX coordination service, run the fused sweep as one
+    globally sharded program, and agree bit-for-bit with a
+    single-process run (scripts/multiprocess_dryrun.py)."""
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                          "multiprocess_dryrun.py")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    # The launcher spawns its own workers with their own XLA flags.
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, script, "--nprocs", "2",
+         "--coordinator", "localhost:45911"],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "multiprocess dryrun OK" in out.stdout

@@ -370,3 +370,52 @@ def test_corner_block_eval_matches_chain_path(ndim):
             config.block_gather_limit = old
         for a, b in zip(results[0], results[1]):
             assert_allclose(a, b, atol=1e-11)
+
+
+@pytest.mark.parametrize("ndim", [2, 3, 4])
+def test_partial_fold_eval_matches_full_block(ndim):
+    """Partially folded corner tables (2^(d-k) row gathers) give exactly
+    the full-block result — values and both gradients — for every fold
+    the memory budget can select (round-3 overflow-regime path)."""
+    from safe_learning_tpu.config import config
+
+    rng = np.random.default_rng(ndim)
+    grid = GridWorld([[-1, 1]] * ndim, 5)
+    params = rng.normal(size=(grid.nindex, 2))
+    points = rng.uniform(-1.3, 1.3, size=(41, ndim))
+    tri = Triangulation(grid, params)
+
+    def value_sum(p, pts):
+        return jnp.sum(jnp.sin(tri.replace(parameters=p)(pts)))
+
+    shape = tuple(int(n) for n in grid.shape)
+    def entries(k):
+        u = ndim - k
+        rows = int(np.prod(shape[:u])) * int(
+            np.prod([n - 1 for n in shape[u:]]) if u < ndim else 1)
+        return rows * (2 ** k) * 2
+
+    old = config.block_gather_limit
+    results = {}
+    try:
+        for k in range(ndim, 0, -1):
+            config.block_gather_limit = entries(k)
+            jax.clear_caches()
+            fold = tri._block_fold()
+            if fold is None:
+                continue  # chain regime for this budget
+            assert fold <= k
+            results[k] = (
+                np.asarray(tri(points)),
+                np.asarray(jax.grad(value_sum)(tri.parameters,
+                                               jnp.asarray(points))),
+                np.asarray(jax.grad(value_sum, argnums=1)(
+                    tri.parameters, jnp.asarray(points))))
+    finally:
+        config.block_gather_limit = old
+        jax.clear_caches()
+    assert ndim in results and len(results) >= 2
+    ref = results[ndim]
+    for k, got in results.items():
+        for a, b in zip(ref, got):
+            assert_allclose(a, b, atol=1e-11, err_msg=f"fold {k}")
