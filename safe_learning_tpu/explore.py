@@ -378,8 +378,7 @@ def get_safe_sample_batch(lyapunov, true_dynamics, num_steps,
                           perturbations, limits=None, positive=False,
                           num_samples=None, rng=None, noise_key=None,
                           apply=True):
-    """Run ``num_steps`` sample -> measure -> append rounds in ONE
-    dispatch.
+    """Run ``num_steps`` sample/measure/append rounds in one dispatch.
 
     The k-step batched form of :func:`get_safe_sample` for active
     learning loops that re-verify only after a round of measurements
