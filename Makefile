@@ -1,6 +1,6 @@
 # Development targets (reference: Makefile with test/docker targets).
 
-.PHONY: test lint bench examples clean
+.PHONY: test lint bench examples notebooks clean
 
 test:
 	bash scripts/test_code.sh
@@ -23,6 +23,10 @@ examples:
 	          examples/reinforcement_learning_cartpole.py; do \
 	    echo "=== $$f ==="; python $$f || exit 1; \
 	done
+
+# Rebuild + re-execute the tutorial notebooks (CPU, quick sizes).
+notebooks:
+	python scripts/build_notebooks.py
 
 clean:
 	rm -rf .jax_cache __pycache__ */__pycache__ */*/__pycache__

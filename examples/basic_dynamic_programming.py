@@ -117,7 +117,7 @@ def main():
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        ax = sl.plotting.plot_triangulation_2d(rl.value_function)
+        ax, _ = sl.plotting.plot_triangulation_2d(rl.value_function)
         ax.plot(traj[:, 0], traj[:, 1], lw=2, color="k")
         ax.axvline(0.6, color="r")
         plt.xlabel("position")

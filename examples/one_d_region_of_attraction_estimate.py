@@ -43,10 +43,13 @@ def main():
                             mean_function=mean_function,
                             capacity=max(32, n_updates))
 
-    # One GP sample is the hidden true system (notebook cell 6). The key
-    # offset picks a draw whose ROA genuinely extends beyond the initial
-    # set (some draws are unstable outside |x|<0.2 and nothing can grow).
-    key = jax.random.PRNGKey(args.seed + 6)
+    # One GP sample is the hidden true system (notebook cell 6). With the
+    # lane-independent sampler (identical draws in f32 and f64 sessions)
+    # the default seed draws a system whose true ROA covers the domain, so
+    # the loop can certify it; some other draws are unstable outside
+    # |x|<0.2 and nothing could grow (offsets 1, 12 at the time of
+    # writing — fine for the math, dull for the demo).
+    key = jax.random.PRNGKey(args.seed)
     sample_disc = np.hstack([np.linspace(-1, 1, 201)[:, None],
                              np.zeros((201, 1))])
     true_dynamics = sl.sample_gp_function(sample_disc, gp, key)[0]

@@ -45,6 +45,6 @@ def test_plot_safe_set_and_triangulation_2d():
     lyap.update_safe_set()
     ax = plot_safe_set_2d(lyap)
     assert ax is not None
-    ax = plot_triangulation_2d(v)
+    ax, _img = plot_triangulation_2d(v)
     assert ax is not None
     matplotlib.pyplot.close("all")
