@@ -11,7 +11,6 @@ Run:  python examples/basic_dynamic_programming.py [--full --plot]
 import os
 import sys
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,50 +52,21 @@ def main():
 
     rl = sl.PolicyIteration(policy, dynamics, reward, value_function,
                             gamma=gamma)
-    states = rl.state_space
 
-    @jax.jit
-    def policy_ascent(pol, vf):
-        """All 200 ascent steps of one policy-improvement round as a
-        single compiled scan (the notebook runs one session.run each).
-        Ascends only the TRAINABLE parameters (the PWL action table),
-        never the Saturation action bounds."""
-        def body(p, _):
-            def loss(pp):
-                from safe_learning_tpu.rl import _future_values_core
-                return -1.0 / (1 - gamma) * jnp.mean(_future_values_core(
-                    pol.with_parameters(pp), dynamics, reward, vf, gamma,
-                    states, None))
-
-            grads = jax.grad(loss)(p)
-            return jax.tree_util.tree_map(lambda w, g: w - 1.0 * g, p,
-                                          grads), None
-
-        params, _ = jax.lax.scan(body, pol.parameters_dict, None,
-                                 length=200)
-        return pol.with_parameters(params)
-
-    old_values = np.zeros((discretization.nindex, 1))
-    old_actions = np.zeros((discretization.nindex, 1))
-    converged = False
+    # The WHOLE policy iteration — every exact PWL value solve, every
+    # 200-step policy-ascent round, and the convergence test — is ONE
+    # compiled device program (the notebook runs one session.run per
+    # SGD step and syncs the convergence check on the host each round).
     with Timer("policy iteration"):
-        for i in range(30):
-            rl.optimize_value_function()
-            rl.policy = policy_ascent(rl.policy, rl.value_function)
-
-            values = np.asarray(rl.value_function.parameters)
-            actions = np.clip(np.asarray(rl.policy.fun.parameters),
-                              -1.0, 1.0)
-            value_change = np.max(np.abs(old_values - values))
-            actions_change = np.max(np.abs(old_actions - actions))
-            if value_change <= 1e-1 and actions_change <= 1e-1:
-                converged = True
-                break
-            old_values, old_actions = values, actions
+        info = rl.policy_iteration(outer_iters=30, ascent_steps=200,
+                                   learning_rate=1.0,
+                                   convergence_tol=1e-1)
 
     print("{} after {} iterations (value change {:.3g}, policy change "
-          "{:.3g})".format("converged" if converged else "didn't converge",
-                           i + 1, value_change, actions_change))
+          "{:.3g})".format(
+              "converged" if info["converged"] else "didn't converge",
+              info["iterations"], info["value_change"],
+              info["policy_change"]))
 
     # Closed-loop rollout from x0 = (-0.5, 0): must reach the goal.
     traj = [np.array([[-0.5, 0.0]])]

@@ -59,48 +59,26 @@ reward = sl.LambdaFunction(reward_fn, input_dim=3, output_dim=1)
 
 rl = sl.PolicyIteration(policy, dynamics, reward, value_function,
                         gamma=gamma)
-states = rl.state_space
 
 # %% [markdown]
-# ## Policy iteration
+# ## Policy iteration — one device program
 #
-# Alternate exact PWL policy evaluation (`optimize_value_function`)
-# with policy improvement by gradient ascent on the one-step lookahead
-# value. The 200 ascent steps per round run as ONE compiled
-# `lax.scan` — under `jit` the whole inner loop is a single device
-# program (the reference pays one `session.run` per step).
+# `PolicyIteration.policy_iteration` alternates the exact PWL value
+# solve with 200-step policy-ascent rounds until both the value
+# parameters and the policy outputs stop changing — and the WHOLE
+# loop, convergence test included, is a single compiled device
+# program (`lax.while_loop` nesting a fixed-point `while_loop` and an
+# ascent `scan`). The reference pays one `session.run` per SGD step
+# plus a host sync per convergence check; here the entire
+# optimization is one dispatch.
 
 # %%
-@jax.jit
-def policy_ascent(pol, vf):
-    def body(p, _):
-        def loss(pp):
-            from safe_learning_tpu.rl import _future_values_core
-            return -1.0 / (1 - gamma) * jnp.mean(_future_values_core(
-                pol.with_parameters(pp), dynamics, reward, vf, gamma,
-                states, None))
-
-        grads = jax.grad(loss)(p)
-        return jax.tree_util.tree_map(lambda w, g: w - 1.0 * g, p,
-                                      grads), None
-
-    params, _ = jax.lax.scan(body, pol.parameters_dict, None, length=200)
-    return pol.with_parameters(params)
-
-old_values = np.zeros((discretization.nindex, 1))
-old_actions = np.zeros((discretization.nindex, 1))
-for i in range(30):
-    rl.optimize_value_function()
-    rl.policy = policy_ascent(rl.policy, rl.value_function)
-    values = np.asarray(rl.value_function.parameters)
-    actions = np.clip(np.asarray(rl.policy.fun.parameters), -1.0, 1.0)
-    value_change = np.max(np.abs(old_values - values))
-    actions_change = np.max(np.abs(old_actions - actions))
-    if value_change <= 1e-1 and actions_change <= 1e-1:
-        break
-    old_values, old_actions = values, actions
+info = rl.policy_iteration(outer_iters=30, ascent_steps=200,
+                           learning_rate=1.0, convergence_tol=1e-1)
 print("converged after {} iterations (value change {:.3g}, policy "
-      "change {:.3g})".format(i + 1, value_change, actions_change))
+      "change {:.3g})".format(info["iterations"],
+                              info["value_change"],
+                              info["policy_change"]))
 
 # %% [markdown]
 # ## Rollout

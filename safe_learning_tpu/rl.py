@@ -121,6 +121,75 @@ def _policy_ascent(policy, params, dynamics, reward_function,
     return params, losses
 
 
+@partial(jax.jit, static_argnames=("outer_iters", "ascent_steps",
+                                   "value_max_iter"))
+def _fused_policy_iteration(policy, pparams0, value_function, dynamics,
+                            reward_function, gamma, states,
+                            learning_rate, value_tol, convergence_tol,
+                            *, outer_iters, ascent_steps,
+                            value_max_iter):
+    """Whole policy iteration (value solves + ascent rounds) on device.
+
+    One ``lax.while_loop`` over outer iterations; each iteration nests
+    the PWL value fixed point (``lax.while_loop``) and ``ascent_steps``
+    full-grid gradient-ascent steps (``lax.scan``). Convergence — both
+    the value parameters and the policy's *outputs* over the state grid
+    changing by at most ``convergence_tol`` — is decided on device, so
+    the entire optimization is ONE dispatch with no host round-trips.
+
+    Returns ``(values, pparams, iterations, value_change,
+    policy_change, worst_delta)`` where ``worst_delta`` is the largest
+    final fixed-point residual seen (checked on the host afterwards).
+    """
+    init_v = jnp.asarray(value_function.parameters[:, :1])
+
+    def outer_cond(carry):
+        _, _, it, vc, pc, _ = carry
+        return jnp.logical_and(
+            it < outer_iters,
+            jnp.logical_or(vc > convergence_tol, pc > convergence_tol))
+
+    def outer_body(carry):
+        vparams, pparams, it, _, _, worst = carry
+        pol = policy.with_parameters(pparams)
+        actions = pol(states)
+        next_states = dynamics(states, actions)
+        if isinstance(next_states, (tuple, list)):
+            next_states = next_states[0]
+        rewards = reward_function(states, actions).reshape(-1, 1)
+        vertices, weights = value_function.interpolation_weights(
+            next_states)
+        values, delta, _ = _pwl_fixed_point(
+            vertices, weights, rewards, gamma, vparams, value_tol,
+            value_max_iter)
+        vf = value_function.replace(parameters=values)
+
+        def ascent_body(p, _):
+            def loss(pp):
+                return -1.0 / (1.0 - gamma) * jnp.mean(
+                    _future_values_core(policy.with_parameters(pp),
+                                        dynamics, reward_function, vf,
+                                        gamma, states, None))
+
+            grads = jax.grad(loss)(p)
+            return jax.tree_util.tree_map(
+                lambda w, g: w - learning_rate * g, p, grads), None
+
+        new_pparams, _ = jax.lax.scan(ascent_body, pparams, None,
+                                      length=ascent_steps)
+        value_change = jnp.max(jnp.abs(values - vparams))
+        policy_change = jnp.max(jnp.abs(
+            policy.with_parameters(new_pparams)(states) - pol(states)))
+        return (values, new_pparams, it + 1, value_change,
+                policy_change, jnp.maximum(worst, delta))
+
+    init = (init_v, pparams0, jnp.asarray(0, jnp.int32),
+            jnp.asarray(jnp.inf, init_v.dtype),
+            jnp.asarray(jnp.inf, init_v.dtype),
+            jnp.asarray(0.0, init_v.dtype))
+    return jax.lax.while_loop(outer_cond, outer_body, init)
+
+
 @partial(jax.jit, static_argnames=("max_iter",))
 def _pwl_fixed_point(vertices, weights, rewards, gamma, init_values, tol,
                      max_iter):
@@ -309,6 +378,71 @@ class PolicyIteration:
                                     int(np.asarray(iterations))))
         self.value_function = self.value_function.replace(parameters=values)
         return values
+
+    # ------------------------------------------------------------------
+    def policy_iteration(self, outer_iters=30, ascent_steps=200,
+                         learning_rate=1.0, convergence_tol=0.1,
+                         value_tol=None, value_max_iter=20000):
+        """Run full policy iteration as ONE compiled device program.
+
+        Alternates the exact PWL value solve
+        (:meth:`optimize_value_function`) with ``ascent_steps``
+        full-state-grid gradient-ascent steps on the one-step lookahead
+        value, until both the value parameters and the policy outputs
+        over the grid change by at most ``convergence_tol`` (or
+        ``outer_iters`` is reached) — the loop the reference's
+        ``basic_dynamic_programming.ipynb`` runs cell by cell with one
+        ``session.run`` per step. Fusing it removes every host
+        round-trip: through a high-latency device link the whole
+        optimization costs one dispatch.
+
+        Requires a policy with trainable parameters and deterministic
+        dynamics (use :meth:`UncertainFunction.to_mean_function` for
+        GPs). Updates ``self.policy`` and ``self.value_function``.
+
+        Returns
+        -------
+        info : dict
+            ``iterations``, ``converged``, ``value_change``,
+            ``policy_change`` (diagnostics, device-synced).
+
+        Raises
+        ------
+        OptimizationError
+            If any inner value solve failed to reach its tolerance.
+        """
+        params = self.policy.parameters_dict
+        if not params:
+            raise ValueError(
+                "policy has no trainable parameters (parameters_dict is "
+                "empty) — wrap it in a parameterized Function")
+        init = jnp.asarray(self.value_function.parameters[:, :1])
+        if value_tol is None:
+            value_tol = 1e-9 if init.dtype == jnp.float64 else 1e-5
+        values, pparams, iterations, value_change, policy_change, \
+            worst_delta = _fused_policy_iteration(
+                self.policy, params, self.value_function, self.dynamics,
+                self.reward_function, self.gamma, self.state_space,
+                jnp.asarray(learning_rate, dtype=config.dtype),
+                jnp.asarray(value_tol, dtype=init.dtype),
+                jnp.asarray(convergence_tol, dtype=init.dtype),
+                outer_iters=int(outer_iters),
+                ascent_steps=int(ascent_steps),
+                value_max_iter=int(value_max_iter))
+        worst = float(np.asarray(worst_delta))
+        if not np.isfinite(worst) or worst > float(value_tol):
+            raise OptimizationError(
+                "PWL value iteration did not converge inside the fused "
+                "policy iteration: worst delta={}".format(worst))
+        self.value_function = self.value_function.replace(
+            parameters=values)
+        self.policy = self.policy.with_parameters(pparams)
+        return {"iterations": int(np.asarray(iterations)),
+                "converged": bool(np.asarray(
+                    jnp.logical_and(value_change <= convergence_tol,
+                                    policy_change <= convergence_tol))),
+                "value_change": float(np.asarray(value_change)),
+                "policy_change": float(np.asarray(policy_change))}
 
     # ------------------------------------------------------------------
     def discrete_policy_optimization(self, action_space, constraint=None):

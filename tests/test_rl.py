@@ -358,3 +358,90 @@ def test_optimize_policy_rejects_parameterless_policy():
         gamma=0.9)
     with pytest.raises(ValueError, match="trainable"):
         rl.optimize_policy(steps=5)
+
+
+def _mountain_car_setup(n=9):
+    """Small mountain-car policy-iteration instance (deterministic)."""
+    domain = [[-1.2, 0.7], [-0.07, 0.07]]
+    grid = GridWorld(domain, [n, n])
+    value_function = Triangulation(grid, np.zeros(grid.nindex),
+                                   project=True)
+    policy = sl.Saturation(
+        Triangulation(grid, np.zeros(grid.nindex), project=True),
+        -1.0, 1.0)
+
+    def dynamics_fn(xu):
+        x0 = xu[:, 0] + xu[:, 1]
+        x1 = (xu[:, 1] + 0.001 * xu[:, 2]
+              - 0.0025 * jnp.cos(3 * xu[:, 0]))
+        return jnp.stack((x0, x1), axis=1)
+
+    def reward_fn(xu):
+        return jnp.where(xu[:, :1] > 0.6, 0.01, 0.0)
+
+    dynamics = LambdaFunction(dynamics_fn, input_dim=3, output_dim=2)
+    reward = LambdaFunction(reward_fn, input_dim=3, output_dim=1)
+    return PolicyIteration(policy, dynamics, reward, value_function,
+                           gamma=0.99)
+
+
+def test_fused_policy_iteration_matches_manual_loop():
+    """The one-dispatch policy_iteration reproduces the host-loop
+    alternation (value solve + full-grid ascent) step for step."""
+    from safe_learning_tpu.rl import _future_values_core
+
+    rl = _mountain_car_setup()
+    gamma = rl.gamma
+    states = rl.state_space
+    outer, steps, lr = 4, 20, 1.0
+
+    # Manual host loop (the pattern of examples/basic_dynamic_programming
+    # before round 3).
+    manual = _mountain_car_setup()
+
+    @jax.jit
+    def ascent(pol, vf):
+        def body(p, _):
+            def loss(pp):
+                return -1.0 / (1 - gamma) * jnp.mean(_future_values_core(
+                    pol.with_parameters(pp), manual.dynamics,
+                    manual.reward_function, vf, gamma, states, None))
+
+            return jax.tree_util.tree_map(
+                lambda w, g: w - lr * g, p, jax.grad(loss)(p)), None
+
+        params, _ = jax.lax.scan(body, pol.parameters_dict, None,
+                                 length=steps)
+        return pol.with_parameters(params)
+
+    for _ in range(outer):
+        manual.optimize_value_function()
+        manual.policy = ascent(manual.policy, manual.value_function)
+
+    info = rl.policy_iteration(outer_iters=outer, ascent_steps=steps,
+                               learning_rate=lr, convergence_tol=0.0)
+    assert info["iterations"] == outer
+    assert_allclose(np.asarray(rl.value_function.parameters),
+                    np.asarray(manual.value_function.parameters),
+                    rtol=0, atol=1e-10)
+    assert_allclose(np.asarray(rl.policy.fun.parameters),
+                    np.asarray(manual.policy.fun.parameters),
+                    rtol=0, atol=1e-10)
+
+
+def test_fused_policy_iteration_converges_and_stops_early():
+    rl = _mountain_car_setup()
+    info = rl.policy_iteration(outer_iters=50, ascent_steps=20,
+                               learning_rate=1.0, convergence_tol=0.1)
+    assert info["converged"]
+    assert info["iterations"] < 50
+    assert info["value_change"] <= 0.1
+    assert info["policy_change"] <= 0.1
+
+
+def test_fused_policy_iteration_rejects_parameterless_policy():
+    rl = _mountain_car_setup()
+    rl.policy = LambdaFunction(lambda x: 0.0 * x[:, :1], input_dim=2,
+                               output_dim=1)
+    with pytest.raises(ValueError):
+        rl.policy_iteration(outer_iters=1)
