@@ -109,7 +109,13 @@ def build_instance(num_states=501, capacity=None, stacked=False,
 
 
 def main():
-    args = example_args(__doc__)
+    args = example_args(
+        __doc__,
+        extra=lambda p: p.add_argument(
+            "--sequential", action="store_true",
+            help="per-sample host loop instead of the fused k-step "
+                 "program (identical trajectory on record; see "
+                 "tests/test_explore.py)"))
     num_states = 501 if args.full else 201
     n_max = 16
     updates = 12 if args.full else 6
@@ -117,8 +123,14 @@ def main():
 
     # capacity hint: 1 prior point + updates*data_per_update appends;
     # preallocating keeps every program on one compiled shape.
+    # stacked=True batches the per-dimension GPs as a
+    # StackedGaussianProcess (one fused TPU predict per sweep, and the
+    # form the fused k-step sampler advances on device) — identical
+    # results to the notebook's FunctionStack fan-out (tested); pass
+    # --sequential to run the per-sample host loop instead.
     lyap, true_pendulum = build_instance(
-        num_states, capacity=max(64, 1 + updates * data_per_update))
+        num_states, capacity=max(64, 1 + updates * data_per_update),
+        stacked=not args.sequential)
     grid = lyap.discretization
     print("Grid size: {}  tau: {:.2e}".format(grid.nindex, lyap.tau))
     lyap.update_safe_set(can_shrink=False, max_refinement=n_max,
@@ -130,18 +142,32 @@ def main():
     action_limits = np.array([[-1.0, 1.0]])
     rng = np.random.default_rng(args.seed)
 
+    # The measurement system as one Function over (x, u) rows — the shape
+    # get_safe_sample_batch measures (the reference re-verifies only
+    # after each round of data_per_update samples, cell 23, so all
+    # samples of a round run as ONE fused device program).
+    measure = sl.LambdaFunction(
+        lambda sa: true_pendulum(sa[:, :2], sa[:, 2:]),
+        input_dim=3, output_dim=2)
+
     history = []
     for it in range(updates):
         with Timer("update {} ({} measurements + verify)".format(
                 it + 1, data_per_update)):
-            for _ in range(data_per_update):
-                xu, _ = sl.get_safe_sample(
-                    lyap, action_variation, action_limits, positive=True,
-                    num_samples=1000, rng=rng)
-                measurement = np.asarray(true_pendulum(
-                    jnp.asarray(xu[:, :2]), jnp.asarray(xu[:, 2:])))
-                lyap.dynamics = lyap.dynamics.add_data_point(xu,
-                                                             measurement)
+            if args.sequential:
+                for _ in range(data_per_update):
+                    xu, _ = sl.get_safe_sample(
+                        lyap, action_variation, action_limits,
+                        positive=True, num_samples=1000, rng=rng)
+                    measurement = np.asarray(true_pendulum(
+                        jnp.asarray(xu[:, :2]), jnp.asarray(xu[:, 2:])))
+                    lyap.dynamics = lyap.dynamics.add_data_point(
+                        xu, measurement)
+            else:
+                sl.get_safe_sample_batch(
+                    lyap, measure, data_per_update, action_variation,
+                    action_limits, positive=True, num_samples=1000,
+                    rng=rng)
             lyap.update_safe_set(can_shrink=False, max_refinement=n_max,
                                  safety_factor=1.0)
         history.append(lyap.safe_set.mean())
