@@ -45,14 +45,38 @@ def _simulate(closed_loop_dynamics, points, horizon,
 
 
 def compute_roa(grid, closed_loop_dynamics, horizon=100, tol=1e-3,
-                equilibrium=None, no_traj=True):
+                equilibrium=None, no_traj=True, segment_steps=None):
     """Brute-force region of attraction by forward simulation.
 
     Simulates every grid point and keeps those ending within ``tol`` of
-    the equilibrium (reference ``examples/utilities.py:654-686``)."""
+    the equilibrium (reference ``examples/utilities.py:654-686``).
+
+    ``segment_steps`` splits the rollout into host-sequenced scans of at
+    most that many steps each (end states feed the next segment —
+    bitwise the same composition as one scan). Use it to bound
+    single-dispatch duration on very large (grid x horizon) products:
+    one 51^4 x 2000-step dispatch (~90 s of device time) exceeds this
+    machine's TPU-worker limit and kills the worker, while 4 x 500-step
+    segments run fine. Only valid with ``no_traj=True``.
+    """
     points = _grid_points(grid)
-    end_states, traj = _simulate(closed_loop_dynamics, points, horizon,
-                                 return_trajectories=not no_traj)
+    if segment_steps is not None and not no_traj:
+        raise ValueError("segment_steps requires no_traj=True "
+                         "(segmented trajectories are not stacked)")
+    if segment_steps is not None and horizon - 1 > int(segment_steps):
+        remaining = horizon - 1
+        end_states = points
+        while remaining > 0:
+            chunk = min(int(segment_steps), remaining)
+            # _simulate runs `h - 1` steps for `horizon=h`.
+            end_states, _ = _simulate(closed_loop_dynamics, end_states,
+                                      chunk + 1)
+            remaining -= chunk
+        traj = None
+    else:
+        end_states, traj = _simulate(closed_loop_dynamics, points,
+                                     horizon,
+                                     return_trajectories=not no_traj)
     if equilibrium is None:
         equilibrium = jnp.zeros((1, points.shape[1]), dtype=points.dtype)
     dists = jnp.linalg.norm(end_states - equilibrium, axis=1)

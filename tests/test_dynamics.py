@@ -175,3 +175,26 @@ def test_vanderpol_linearization():
     assert a.shape == (2, 2)
     eig = np.linalg.eigvals(a)
     assert (np.abs(eig) < 1).all()  # discrete-time stable
+
+
+def test_compute_roa_segmented_matches_single_scan():
+    """segment_steps composes to exactly the same end states."""
+    import safe_learning_tpu as sl
+
+    pend = sl.InvertedPendulum(0.15, 0.5, 0.1, 0.01)
+    k, _ = sl.utils.dlqr(*map(np.asarray, pend.linearize()),
+                         np.eye(2), np.eye(1))
+    pol = sl.LinearSystem(-k)
+
+    @jax.jit
+    def closed_loop(x):
+        return pend(x, pol(x))
+
+    grid = sl.GridWorld([[-0.5, 0.5]] * 2, 21)
+    whole = sl.compute_roa(grid, closed_loop, horizon=97, tol=1e-2)
+    segmented = sl.compute_roa(grid, closed_loop, horizon=97, tol=1e-2,
+                               segment_steps=25)
+    np.testing.assert_array_equal(whole, segmented)
+    with pytest.raises(ValueError):
+        sl.compute_roa(grid, closed_loop, horizon=97, no_traj=False,
+                       segment_steps=25)
