@@ -2,9 +2,11 @@
 
 Mirrors ``/root/reference/examples/reinforcement_learning_cartpole.ipynb``:
 the same actor-critic machinery as the pendulum notebook, scaled to the
-4-dimensional cart-pole, with ROA evaluation over a 4-D grid (the
-reference evaluates a 51^4 ~ 6.8M-point grid; ``--full`` reproduces a
-31^4 grid here, the quick mode a 13^4 one).
+4-dimensional cart-pole, with ROA evaluation over a 4-D grid. ``--full``
+runs the reference's exact evaluation scale — a 51^4 ~ 6.8M-point grid
+with a 2000-step closed-loop horizon (notebook cells 20/24), the rollout
+segmented to stay under the TPU worker's single-dispatch duration limit
+— while the quick mode uses a 13^4 grid.
 
 Run:  python examples/reinforcement_learning_cartpole.py [--full --plot]
 """
@@ -27,11 +29,11 @@ from examples._common import (Timer, example_args,  # noqa: E402
 def main():
     args = example_args(__doc__)
     if args.full:
-        grid_points, joint_iters, value_iters, policy_iters = 31, 400, 50, 10
-        roa_horizon = 800
+        grid_points, joint_iters, value_iters, policy_iters = 51, 400, 50, 10
+        roa_horizon, roa_segment = 2000, 500
     else:
         grid_points, joint_iters, value_iters, policy_iters = 13, 300, 50, 10
-        roa_horizon = 400
+        roa_horizon, roa_segment = 400, None
 
     # Cart-pole with notebook cell 7 parameters.
     dt = 0.01
@@ -102,9 +104,11 @@ def main():
 
     with Timer("4-D ROA sweeps"):
         new_roa = sl.compute_roa(grid, closed_loop_new,
-                                 horizon=roa_horizon, tol=0.1)
+                                 horizon=roa_horizon, tol=0.1,
+                                 segment_steps=roa_segment)
         lqr_roa = sl.compute_roa(grid, closed_loop_lqr,
-                                 horizon=roa_horizon, tol=0.1)
+                                 horizon=roa_horizon, tol=0.1,
+                                 segment_steps=roa_segment)
     print("learned-policy ROA fraction: {:.3f} (LQR: {:.3f})".format(
         new_roa.mean(), lqr_roa.mean()))
     assert new_roa.mean() > 0.005

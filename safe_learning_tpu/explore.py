@@ -243,6 +243,10 @@ def get_safe_sample(lyapunov, perturbations=None, limits=None,
             _margin_of(lyapunov), grid=grid, use_limits=use_limits,
             check_membership=check_membership)
 
+    # One combined D2H: separate bool()/np.asarray()/float() conversions
+    # would each block on their own relay round trip.
+    is_safe, sa_best, bound_best = jax.device_get(
+        (is_safe, sa_best, bound_best))
     if bool(is_safe):
         return (np.asarray(sa_best, dtype=config.np_dtype)[None],
                 float(bound_best))

@@ -830,7 +830,11 @@ class Lyapunov:
         # the host (sorting, checkpoints) convert lazily, and fused
         # re-sweeps never pay the D2H transfer (27 MB at 1M points).
         self.values = values
-        safe = np.array(safe_dev)
+        # One combined D2H for the three host-needed outputs: separate
+        # np.array/float/bool conversions each block on their own relay
+        # round trip (~100-300 ms apiece on this machine's tunnel).
+        safe, c_max, any_safe = jax.device_get((safe_dev, c_max, any_safe))
+        safe = np.array(safe)  # device_get may return read-only views
         self.c_max = float(c_max) if bool(any_safe) else -np.inf
         refinement = np.where(safe, 1, 0)
 
