@@ -38,7 +38,7 @@ def _pad_pow2(rows, min_bucket=8):
     if n == 0:
         raise ValueError("cannot pad an empty row batch (no candidate "
                          "rows to repeat)")
-    padded = 1 << max(min_bucket.bit_length() - 1, (n - 1).bit_length())
+    padded = _pow2_pad_len(n, min_bucket)
     if padded != n:
         rows = np.vstack([
             rows, np.broadcast_to(rows[-1:], (padded - n, rows.shape[1]))])
@@ -281,15 +281,19 @@ def _device_safe_set(lyapunov):
     """Device copy of the boolean safe set, cached on the set's VERSION.
 
     ``Lyapunov.safe_set`` is a property whose setter bumps a version
-    counter; both plain assignment and the examples' in-place idiom
-    (``lyap.safe_set |= mask``) go through it, so ``(id, version)`` is a
-    sound cache key without re-hashing the whole mask on every
-    exploration step (O(grid) host work the advisor flagged). Duck-typed
-    Lyapunov objects without the counter fall back to a content digest.
+    counter and stores a :class:`~safe_learning_tpu.utils.TrackedMask`
+    that counts its own item/slice/in-place mutations, so
+    ``(id, version, mutations)`` is a sound cache key without re-hashing
+    the whole mask on every exploration step (O(grid) host work the
+    advisor flagged) — and ``lyap.safe_set[i] = False`` cannot leave a
+    stale, larger device mask certifying samples. Duck-typed Lyapunov
+    objects without the counters fall back to a content digest.
     """
     arr = lyapunov.safe_set
     version = getattr(lyapunov, "_safe_set_version", None)
-    key = ((id(arr), version) if version is not None
+    mut = getattr(arr, "mutations", None)
+    key = ((id(arr), version, mut)
+           if version is not None and mut is not None
            else (id(arr), hash(arr.tobytes())))
     cache = getattr(lyapunov, "_safe_set_dev_cache", None)
     if cache is None or cache[0] != key:
@@ -337,14 +341,15 @@ def _fused_sample_batch(gp, true_dynamics, policy, lyapunov_function,
 
     A ``lax.scan`` over steps: score perturbed candidates at that step's
     safe-state subsample against the CURRENT GP, pick the
-    argmax-variance provably-safe pair (argmax-variance over all
-    candidates when none is safe — the backup fallback), measure the
-    true dynamics, and append the measurement with a working-dtype
-    on-device bordered Cholesky update so the next step's variances see
-    it. No host round-trips between measurements (the reference
-    re-verifies only after all samples of a round —
-    ``adaptive_safety_verification.ipynb`` cell 23 — so the alternation
-    carries no semantics).
+    argmax-variance provably-safe pair (when none is safe, the
+    argmax-variance ZERO-perturbation backup-policy candidate — the
+    same fallback set the sequential path and reference
+    ``lyapunov.py:780-793`` use), measure the true dynamics, and append
+    the measurement with a working-dtype on-device bordered Cholesky
+    update so the next step's variances see it. No host round-trips
+    between measurements (the reference re-verifies only after all
+    samples of a round — ``adaptive_safety_verification.ipynb`` cell 23
+    — so the alternation carries no semantics).
 
     Returns ``(state_actions (k, n+m), bounds (k,), safe_flags (k,),
     measurements (k, p))``.
@@ -364,14 +369,27 @@ def _fused_sample_batch(gp, true_dynamics, policy, lyapunov_function,
             safe &= safe_set_dev[grid.state_to_index(mean)]
         any_safe = jnp.any(safe)
         score = jnp.where(safe, bound, -jnp.inf)
-        best = jnp.where(any_safe, jnp.argmax(score), jnp.argmax(bound))
-        sa = state_actions[best]
+        best = jnp.argmax(score)
+        # Backup fallback: when no candidate is provably safe, the
+        # sequential path (and reference lyapunov.py:780-793) restricts
+        # to the UNperturbed policy actions, not the perturbed set.
+        backup_sa = _perturb_candidates(
+            policy, states_j, jnp.zeros_like(perturbations[:1]), limits,
+            use_limits)
+        _, backup_bound, _ = _score_candidates(
+            gp_j, lyapunov_function, lipschitz_lyapunov, c_max,
+            backup_sa, margin)
+        backup_best = jnp.argmax(backup_bound)
+        sa = jnp.where(any_safe, state_actions[best],
+                       backup_sa[backup_best])
+        sel_bound = jnp.where(any_safe, bound[best],
+                              backup_bound[backup_best])
         if use_noise:
             y = true_dynamics(sa[None, :], noise_key=key_j)
         else:
             y = true_dynamics(sa[None, :])
         gp_next = _device_border_append(gp_j, sa[None, :], y)
-        return gp_next, (sa, bound[best], any_safe, y[0])
+        return gp_next, (sa, sel_bound, any_safe, y[0])
 
     _, (sas, bounds, safes, ys) = jax.lax.scan(
         step, gp, (states_per_step, noise_keys))
@@ -476,9 +494,11 @@ def get_safe_sample_batch(lyapunov, true_dynamics, num_steps,
         use_limits=use_limits, check_membership=check_membership,
         use_noise=use_noise)
 
+    # One combined D2H: separate np.asarray conversions would each block
+    # on their own relay round trip (same fix as get_safe_sample).
+    sas, ys, bounds, safes = jax.device_get((sas, ys, bounds, safes))
     sas = np.asarray(sas, dtype=config.np_dtype)
     ys = np.asarray(ys, dtype=config.np_dtype)
-    bounds = np.asarray(bounds)
     safes = np.array(safes)
     if not safes.all():
         warnings.warn("No safe state-action pairs found at {} of {} "

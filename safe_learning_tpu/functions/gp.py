@@ -1543,12 +1543,17 @@ def sample_gp_function(discretization, gp, key, number=1,
     vr = v[:, keep]
 
     # Pinned-dtype normals: identical bits in the f32 and f64 lanes for
-    # the same key. Draw the full discretization's worth and slice the
-    # kept columns so the draw does not depend on the truncation count.
+    # the same key. Draw the full discretization's worth and pair each
+    # normal with its ABSOLUTE eigen position (not position relative to
+    # the cut): if a last-ulp covariance difference flips one borderline
+    # eigenvalue across the cut in one lane, only that eigenpair's
+    # contribution differs — relative indexing would shift every
+    # normal-to-eigenvector pairing and the lanes would sample
+    # completely different systems.
     z_full = np.asarray(jax.random.normal(key, (number, len(points64)),
                                           dtype=jnp.float32),
                         dtype=np.float64)
-    z = z_full[:, :int(keep.sum())]
+    z = z_full[:, keep]
     samples = mean64[None, :] + z @ (np.sqrt(wr)[:, None] * vr.T)
 
     if not return_function:

@@ -39,6 +39,7 @@ import numpy as np
 from .config import config
 from .functions.base import Function, as_deterministic
 from .grids import GridWorld
+from .utils import tracked_mask
 
 __all__ = ["Lyapunov", "smallest_boundary_value", "get_lyapunov_region"]
 
@@ -349,36 +350,36 @@ class Lyapunov:
     def safe_set(self):
         """Boolean mask of certified-safe grid states.
 
-        Update it by attribute assignment (``lyap.safe_set = mask``) or
-        augmented assignment (``lyap.safe_set |= mask`` — the examples'
-        idiom); both bump an internal version counter that invalidates
-        the device-resident copies the exploration step caches. Direct
-        item assignment (``lyap.safe_set[i] = True``) bypasses the
-        counter — re-assign the attribute afterwards if you must mutate
-        items in place.
+        Stored as a :class:`~safe_learning_tpu.utils.TrackedMask`: plain
+        assignment, augmented assignment (``lyap.safe_set |= mask`` —
+        the examples' idiom), AND direct item/slice assignment
+        (``lyap.safe_set[i] = True``, ``lyap.safe_set[:] = False``) all
+        invalidate the device-resident copies the exploration step
+        caches, so a stale mask can never certify a sample.
         """
         return self._safe_set
 
     @safe_set.setter
     def safe_set(self, value):
         """Set the safe set and bump its version counter."""
-        self._safe_set = value
+        self._safe_set = tracked_mask(value)
         self._safe_set_version += 1
 
     @property
     def initial_safe_set(self):
         """States safe a priori (exempt from the decrease check).
 
-        Same update contract as :attr:`safe_set`: assignment and
-        augmented assignment bump a version counter that invalidates the
-        cached device copy of the exempt mask.
+        Same update contract as :attr:`safe_set`: assignment, augmented
+        assignment, and item/slice assignment all invalidate the cached
+        device copy of the exempt mask.
         """
         return self._initial_safe_set
 
     @initial_safe_set.setter
     def initial_safe_set(self, value):
         """Set the initial set and bump its version counter."""
-        self._initial_safe_set = value
+        self._initial_safe_set = (None if value is None
+                                  else tracked_mask(value))
         self._initial_set_version += 1
 
     @property
@@ -798,6 +799,7 @@ class Lyapunov:
         # at 51^4).
         cacheable = can_shrink
         key = (id(self.initial_safe_set), self._initial_set_version,
+               getattr(self.initial_safe_set, "mutations", None),
                self.mesh)
         exempt_dev = (getattr(self, "_exempt_dev", None)
                       if cacheable and getattr(self, "_exempt_key",

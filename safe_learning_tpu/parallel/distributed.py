@@ -14,7 +14,9 @@ here:
   shards (``jax.make_array_from_callback``; a plain ``device_put`` of a
   host array cannot address remote devices);
 - :func:`is_coordinator` — gate host-side state (checkpoints, prints,
-  matplotlib) on process 0.
+  matplotlib) on process 0;
+- :func:`sharded_decrease_check` / :func:`sharded_certified_level` —
+  the verification sweep's two global programs over a multi-host mesh.
 
 The verification sweep itself is unchanged: the decrease check is
 per-point, the certified level is one global reduction, and XLA inserts
@@ -30,7 +32,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 __all__ = ["initialize_distributed", "make_global_mesh", "global_array",
-           "global_grid_points", "is_coordinator", "fetch_global"]
+           "global_grid_points", "is_coordinator", "fetch_global",
+           "sharded_decrease_check", "sharded_certified_level"]
 
 
 def initialize_distributed(coordinator_address=None, num_processes=None,
@@ -66,11 +69,17 @@ def global_array(shape, dtype, mesh, fill, spec=None):
 
     ``fill(index)`` receives the numpy-style index of one shard of the
     GLOBAL array and returns that shard's host data — called only for
-    shards addressable by this process.
+    shards addressable by this process. Shards are cast to ``dtype`` so
+    a fill callback whose natural dtype differs (e.g. float64 host grids
+    in an x64 process feeding a float32 global array) cannot silently
+    produce a mismatched global array.
     """
     spec = PartitionSpec(mesh.axis_names[0]) if spec is None else spec
     sharding = NamedSharding(mesh, spec)
-    return jax.make_array_from_callback(tuple(shape), sharding, fill)
+    dtype = np.dtype(dtype)
+    return jax.make_array_from_callback(
+        tuple(shape), sharding,
+        lambda index: np.asarray(fill(index), dtype=dtype))
 
 
 def global_grid_points(grid, mesh):

@@ -24,8 +24,66 @@ __all__ = [
     "get_parameter_change", "find_nearest", "balanced_class_weights",
     "balanced_confusion_weights", "constrained_batch_sampler",
     "add_weight_constraint", "gradient_clipping", "monomials",
-    "derivative_monomials",
+    "derivative_monomials", "TrackedMask", "tracked_mask",
 ]
+
+
+class TrackedMask(np.ndarray):
+    """ndarray view that counts its own in-place mutations.
+
+    :class:`~safe_learning_tpu.lyapunov.Lyapunov` stores its safe and
+    initial masks as this view so device-resident cache copies can key on
+    ``(id, version, mutations)`` and never serve a stale mask after item
+    or slice assignment (``mask[i] = True``, ``mask[:] = False``) or an
+    in-place logical op through an alias — without re-hashing the whole
+    mask on every exploration step. The counter cell is SHARED with every
+    view or template-derived array, so mutation through a view still
+    invalidates the parent's caches (over-invalidating at worst, never
+    under-).
+
+    Escape hatches that bypass tracking (reassign the attribute after
+    using them): ``np.asarray(mask)`` strips the subclass, and raw-buffer
+    mutators (``mask.fill``, ``np.put``, writes through
+    ``mask.__array_interface__``) do not go through ``__setitem__``.
+    """
+
+    def __array_finalize__(self, obj):
+        cell = getattr(obj, "_mut_cell", None)
+        self._mut_cell = cell if cell is not None else [0]
+
+    @property
+    def mutations(self):
+        """Count of tracked in-place mutations (shared across views)."""
+        return self._mut_cell[0]
+
+    def _bump(self):
+        self._mut_cell[0] += 1
+
+    def __setitem__(self, key, value):
+        super().__setitem__(key, value)
+        self._bump()
+
+    def __ior__(self, other):
+        out = super().__ior__(other)
+        self._bump()
+        return out
+
+    def __iand__(self, other):
+        out = super().__iand__(other)
+        self._bump()
+        return out
+
+    def __ixor__(self, other):
+        out = super().__ixor__(other)
+        self._bump()
+        return out
+
+
+def tracked_mask(value):
+    """Return ``value`` as a :class:`TrackedMask` (no copy for arrays)."""
+    if isinstance(value, TrackedMask):
+        return value
+    return np.asarray(value).view(TrackedMask)
 
 
 def batchify(arrays, batch_size):

@@ -258,3 +258,40 @@ def test_batch_sampler_backup_warning():
             rng=np.random.default_rng(0))
     assert not safes.any()
     assert sas.shape == (3, 2)  # 1-D state + 1-D action
+
+
+def test_batch_sampler_backup_uses_zero_perturbation():
+    """The fused batch fallback must restrict to the UNperturbed
+    backup-policy candidates (reference lyapunov.py:780-793), exactly
+    like the sequential path — not argmax-variance over the perturbed
+    set."""
+    from safe_learning_tpu import get_safe_sample_batch
+
+    lyap = _make_lyapunov_with_gp()
+    lyap.c_max = -np.inf  # nothing is provably safe
+    true_dyn = LambdaFunction(lambda sa: 0.6 * sa[:, :1] + 0.4 * sa[:, 1:])
+    pert = np.array([[-0.5], [0.5]])  # deliberately NO zero row
+    with pytest.warns(RuntimeWarning, match="backup"):
+        sas, _, _, safes = get_safe_sample_batch(
+            lyap, true_dyn, 3, pert, rng=np.random.default_rng(0))
+    assert not safes.any()
+    # Every chosen action is the policy's own action at the state.
+    assert_allclose(sas[:, 1], -0.2 * sas[:, 0], atol=1e-6)
+
+
+def test_safe_set_item_assignment_invalidates_device_cache():
+    """Direct item assignment (``lyap.safe_set[i] = False``) must be
+    visible to the cached device membership mask — a stale, larger mask
+    would certify a sample whose next state was just pruned."""
+    lyap = _make_lyapunov_with_gp()
+    pert = np.zeros((1, 1))
+    # Populate the device cache with the current safe set.
+    get_safe_sample(lyap, pert, rng=np.random.default_rng(0))
+    keep = np.zeros(len(lyap.safe_set), dtype=bool)
+    keep[[4, 5, 6]] = True
+    # Prune via ITEM assignment — no property setter involved.
+    lyap.safe_set[~keep] = False
+    sa, _ = get_safe_sample(lyap, pert, rng=np.random.default_rng(0))
+    mean, _ = lyap.dynamics(jnp.asarray(sa))
+    idx = int(np.asarray(lyap.discretization.state_to_index(mean))[0])
+    assert lyap.safe_set[idx]

@@ -586,3 +586,27 @@ def test_unstack_reuses_stacked_caches():
         # The view's factor IS the stack's slice (no refactorization).
         assert_allclose(np.asarray(view.chol_inv),
                         np.asarray(stacked.chol_inv[s]), atol=0)
+
+
+def test_sample_gp_function_truncation_pairing_stable():
+    """Normals pair with ABSOLUTE eigen positions: tightening the
+    spectral cut changes only the dropped (tiny) eigenpairs'
+    contributions. Relative-to-the-cut pairing would re-pair every
+    normal and sample a completely different system whenever two
+    dtype lanes disagree on one borderline eigenvalue."""
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-1, 1, size=(6, 1))
+    y = np.sin(2 * x)
+    gp = GaussianProcess(RBF(1.0, 0.4, input_dim=1), x, y, 1e-6)
+    grid = GridWorld([[-1, 1]], 41)
+    key = jax.random.PRNGKey(7)
+    a = sample_gp_function(grid, gp, key, number=1,
+                           return_function=False, cut_rel=1e-12)[0]
+    b = sample_gp_function(grid, gp, key, number=1,
+                           return_function=False, cut_rel=1e-2)[0]
+    # The wider cut keeps strictly more of the decayed spectrum ...
+    assert not np.array_equal(a, b)
+    # ... yet the draws share the dominant eigenpairs bit-for-bit, so
+    # they stay essentially the same function.
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.99

@@ -446,6 +446,25 @@ def test_exempt_cache_tracks_initial_set_inplace_mutation():
     assert lyap.safe_set[1] and lyap.safe_set[3]
 
 
+def test_exempt_cache_tracks_initial_set_item_assignment():
+    """Direct ITEM assignment (``lyap.initial_safe_set[i] = True``)
+    must also refresh the cached device exempt mask: the mask is a
+    TrackedMask whose mutations feed the cache key, so no mutation
+    idiom can leave a stale exempt set."""
+    grid = GridWorld([[-1, 1]], 5)
+    policy = LambdaFunction(lambda x: 0.0 * x)
+    dyn = LinearSystem(np.array([[2.0, 0.0]]))  # expanding: all fail
+    lyap = Lyapunov(grid, _quad_v(), dyn, 0.4, 0.3, 0.5, policy,
+                    initial_set=[2])
+    lyap.update_safe_set()  # populates the device exempt cache
+    assert_allclose(lyap.c_max, 0.0)
+
+    lyap.initial_safe_set[[1, 3]] = True  # no setter, no new object
+    lyap.update_safe_set()
+    assert_allclose(lyap.c_max, 0.25)
+    assert lyap.safe_set[1] and lyap.safe_set[3]
+
+
 def test_ignored_reference_knobs_warn_once():
     """Non-default safety_factor / parallel_iterations must raise a
     RuntimeWarning instead of silently changing semantics vs the

@@ -167,3 +167,22 @@ def test_add_weight_constraint_and_gradient_clipping():
     grads = (jnp.array([10.0, -10.0]),)
     assert_allclose(np.asarray(gradient_clipping(grads, -1.0, 1.0)[0]),
                     [1.0, -1.0])
+
+
+def test_tracked_mask_counts_mutations():
+    """TrackedMask counts item/slice assignment and in-place logical ops,
+    sharing the counter with views (the cache-key primitive behind the
+    safe-set device caches)."""
+    from safe_learning_tpu.utils import TrackedMask, tracked_mask
+
+    m = tracked_mask(np.zeros(8, dtype=bool))
+    assert isinstance(m, TrackedMask) and m.mutations == 0
+    m[2] = True
+    m[:4] = False
+    m |= np.ones(8, dtype=bool)
+    m &= np.ones(8, dtype=bool)
+    assert m.mutations == 4
+    v = m[1:5]
+    v[0] = False  # mutation through a view bumps the shared counter
+    assert m.mutations == 5
+    assert tracked_mask(m) is m

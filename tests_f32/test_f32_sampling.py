@@ -84,7 +84,7 @@ def test_sample_island_matches_numpy_f64_reconstruction():
     keep = w > 1e-6 * w.max()
     z = np.asarray(jax.random.normal(key, (2, len(pts)),
                                      dtype=jnp.float32), np.float64)
-    z = z[:, :int(keep.sum())]
+    z = z[:, keep]  # absolute eigen-position pairing (cut-stable)
     samples = mean[:, 0][None, :] + z @ (np.sqrt(w[keep])[:, None]
                                          * v[:, keep].T)
     # f32 output cast is the only difference.
