@@ -29,7 +29,7 @@ __all__ = [
 
 
 class TrackedMask(np.ndarray):
-    """ndarray view that counts its own in-place mutations.
+    """Count in-place mutations of an ndarray view of a boolean mask.
 
     :class:`~safe_learning_tpu.lyapunov.Lyapunov` stores its safe and
     initial masks as this view so device-resident cache copies can key on
@@ -48,6 +48,7 @@ class TrackedMask(np.ndarray):
     """
 
     def __array_finalize__(self, obj):
+        """Share the mutation-counter cell with the source view."""
         cell = getattr(obj, "_mut_cell", None)
         self._mut_cell = cell if cell is not None else [0]
 
@@ -60,20 +61,24 @@ class TrackedMask(np.ndarray):
         self._mut_cell[0] += 1
 
     def __setitem__(self, key, value):
+        """Assign items/slices, counting the mutation."""
         super().__setitem__(key, value)
         self._bump()
 
     def __ior__(self, other):
+        """In-place OR, counting the mutation."""
         out = super().__ior__(other)
         self._bump()
         return out
 
     def __iand__(self, other):
+        """In-place AND, counting the mutation."""
         out = super().__iand__(other)
         self._bump()
         return out
 
     def __ixor__(self, other):
+        """In-place XOR, counting the mutation."""
         out = super().__ixor__(other)
         self._bump()
         return out
