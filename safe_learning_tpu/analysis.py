@@ -60,9 +60,15 @@ def compute_roa(grid, closed_loop_dynamics, horizon=100, tol=1e-3,
     segments run fine. Only valid with ``no_traj=True``.
     """
     points = _grid_points(grid)
-    if segment_steps is not None and not no_traj:
-        raise ValueError("segment_steps requires no_traj=True "
-                         "(segmented trajectories are not stacked)")
+    if segment_steps is not None:
+        if not no_traj:
+            raise ValueError("segment_steps requires no_traj=True "
+                             "(segmented trajectories are not stacked)")
+        segment_steps = int(segment_steps)
+        if segment_steps < 1:
+            raise ValueError("segment_steps must be >= 1 (got {}); a "
+                             "non-positive chunk would never consume the "
+                             "horizon".format(segment_steps))
     if segment_steps is not None and horizon - 1 > int(segment_steps):
         remaining = horizon - 1
         end_states = points

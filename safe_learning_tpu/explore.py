@@ -421,8 +421,9 @@ def get_safe_sample_batch(lyapunov, true_dynamics, num_steps,
         ``noise_key`` is given here).
     num_steps : int
     perturbations : (p, m) array
-        Action perturbations; include the ZERO perturbation to match the
-        reference's backup-fallback semantics exactly.
+        Action perturbations. The backup fallback (no provably safe
+        candidate) is evaluated on the UNperturbed policy actions
+        internally, so a zero row is not required.
     limits, positive, num_samples, rng
         As in :func:`get_safe_sample` (``num_samples`` resamples per
         step, like the reference's per-call subsample).

@@ -628,10 +628,13 @@ class Lyapunov:
         initial = (self.initial_safe_set
                    if self.initial_safe_set is not None
                    else np.zeros(nindex, dtype=bool))
-        prev_safe = self.safe_set.copy()
+        # Plain-ndarray copies: .copy() of a TrackedMask shares the
+        # mutation counter, so the |= below would spuriously invalidate
+        # the device caches keyed on initial_safe_set.mutations.
+        prev_safe = np.array(self.safe_set)
 
         # Points that count as safe without passing the decrease check.
-        exempt = initial.copy()
+        exempt = np.array(initial)
         if not can_shrink:
             exempt |= prev_safe
         exempt_sorted = exempt[order]
@@ -787,8 +790,10 @@ class Lyapunov:
         initial = (self.initial_safe_set
                    if self.initial_safe_set is not None
                    else np.zeros(nindex, dtype=bool))
-        prev_safe = self.safe_set.copy()
-        exempt = initial.copy()
+        # Plain copies — see the matching note in the adaptive sweep:
+        # TrackedMask.copy() shares the counter and the |= would bump it.
+        prev_safe = np.array(self.safe_set)
+        exempt = np.array(initial)
         if not can_shrink:
             exempt |= prev_safe
 

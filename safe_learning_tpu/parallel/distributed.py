@@ -72,14 +72,23 @@ def global_array(shape, dtype, mesh, fill, spec=None):
     shards addressable by this process. Shards are cast to ``dtype`` so
     a fill callback whose natural dtype differs (e.g. float64 host grids
     in an x64 process feeding a float32 global array) cannot silently
-    produce a mismatched global array.
+    produce a mismatched global array; shards that already match pass
+    through untouched, and device-resident shards are cast on device
+    (no host round trip).
     """
     spec = PartitionSpec(mesh.axis_names[0]) if spec is None else spec
     sharding = NamedSharding(mesh, spec)
     dtype = np.dtype(dtype)
-    return jax.make_array_from_callback(
-        tuple(shape), sharding,
-        lambda index: np.asarray(fill(index), dtype=dtype))
+
+    def _shard(index):
+        shard = fill(index)
+        if getattr(shard, "dtype", None) == dtype:
+            return shard
+        if isinstance(shard, jax.Array):
+            return shard.astype(dtype)
+        return np.asarray(shard, dtype=dtype)
+
+    return jax.make_array_from_callback(tuple(shape), sharding, _shard)
 
 
 def global_grid_points(grid, mesh):

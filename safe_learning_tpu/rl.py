@@ -429,7 +429,12 @@ class PolicyIteration:
                 outer_iters=int(outer_iters),
                 ascent_steps=int(ascent_steps),
                 value_max_iter=int(value_max_iter))
-        worst = float(np.asarray(worst_delta))
+        # One combined D2H for every scalar diagnostic: separate
+        # float(np.asarray(...)) conversions would each block on their
+        # own relay round trip (same fix as the Lyapunov sweep).
+        worst, iters, vc, pc = jax.device_get(
+            (worst_delta, iterations, value_change, policy_change))
+        worst = float(worst)
         if not np.isfinite(worst) or worst > float(value_tol):
             raise OptimizationError(
                 "PWL value iteration did not converge inside the fused "
@@ -437,12 +442,11 @@ class PolicyIteration:
         self.value_function = self.value_function.replace(
             parameters=values)
         self.policy = self.policy.with_parameters(pparams)
-        return {"iterations": int(np.asarray(iterations)),
-                "converged": bool(np.asarray(
-                    jnp.logical_and(value_change <= convergence_tol,
-                                    policy_change <= convergence_tol))),
-                "value_change": float(np.asarray(value_change)),
-                "policy_change": float(np.asarray(policy_change))}
+        tol = float(convergence_tol)
+        return {"iterations": int(iters),
+                "converged": bool(float(vc) <= tol and float(pc) <= tol),
+                "value_change": float(vc),
+                "policy_change": float(pc)}
 
     # ------------------------------------------------------------------
     def discrete_policy_optimization(self, action_space, constraint=None):

@@ -42,9 +42,11 @@ class TrackedMask(np.ndarray):
     under-).
 
     Escape hatches that bypass tracking (reassign the attribute after
-    using them): ``np.asarray(mask)`` strips the subclass, and raw-buffer
-    mutators (``mask.fill``, ``np.put``, writes through
-    ``mask.__array_interface__``) do not go through ``__setitem__``.
+    using them): ``np.asarray(mask)`` strips the subclass but still views
+    the same buffer, and raw-buffer mutators (``mask.fill``, ``np.put``,
+    writes through ``mask.__array_interface__``) do not go through
+    ``__setitem__``. :func:`tracked_mask` copies plain-array input so the
+    caller's own reference is never an untracked alias.
     """
 
     def __array_finalize__(self, obj):
@@ -85,10 +87,20 @@ class TrackedMask(np.ndarray):
 
 
 def tracked_mask(value):
-    """Return ``value`` as a :class:`TrackedMask` (no copy for arrays)."""
+    """Return ``value`` as a :class:`TrackedMask`.
+
+    Non-:class:`TrackedMask` inputs are COPIED: wrapping a view of the
+    caller's buffer would let writes through the caller's own reference
+    bypass the mutation counter (and hence serve a stale device cache) —
+    exactly the hazard the counter exists to close. The copy is one
+    O(grid) boolean memcpy per attribute assignment, which the sweep it
+    guards dwarfs. An existing :class:`TrackedMask` passes through
+    unchanged (the ``lyap.safe_set |= m`` idiom hands the property's own
+    mask back to the setter).
+    """
     if isinstance(value, TrackedMask):
         return value
-    return np.asarray(value).view(TrackedMask)
+    return np.array(value, copy=True).view(TrackedMask)
 
 
 def batchify(arrays, batch_size):

@@ -198,3 +198,21 @@ def test_compute_roa_segmented_matches_single_scan():
     with pytest.raises(ValueError):
         sl.compute_roa(grid, closed_loop, horizon=97, no_traj=False,
                        segment_steps=25)
+
+
+def test_compute_roa_rejects_nonpositive_segment_steps():
+    """A chunk size < 1 would never consume the horizon (infinite loop);
+    it must be rejected up front like the no_traj misuse."""
+    import safe_learning_tpu as sl
+
+    pend = sl.InvertedPendulum(0.15, 0.5, 0.1, 0.01)
+
+    @jax.jit
+    def closed_loop(x):
+        return pend(x, 0.0 * x[:, :1])
+
+    grid = sl.GridWorld([[-0.5, 0.5]] * 2, 5)
+    for bad in (0, -3, 0.5):
+        with pytest.raises(ValueError, match="segment_steps"):
+            sl.compute_roa(grid, closed_loop, horizon=10,
+                           segment_steps=bad)

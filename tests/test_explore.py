@@ -295,3 +295,22 @@ def test_safe_set_item_assignment_invalidates_device_cache():
     mean, _ = lyap.dynamics(jnp.asarray(sa))
     idx = int(np.asarray(lyap.discretization.state_to_index(mean))[0])
     assert lyap.safe_set[idx]
+
+
+def test_safe_set_alias_write_cannot_stale_device_cache():
+    """Writes through the caller's original array after ``lyap.safe_set =
+    mask`` must not be able to serve a stale device mask: tracked_mask
+    copies, so the alias write simply has no effect on the certificate
+    (the conservative direction)."""
+    lyap = _make_lyapunov_with_gp()
+    pert = np.zeros((1, 1))
+    mask = np.array(lyap.safe_set)
+    lyap.safe_set = mask
+    get_safe_sample(lyap, pert, rng=np.random.default_rng(0))  # warm cache
+    mask[:] = True  # alias write — bypasses every tracked idiom
+    assert not lyap.safe_set.all() or mask.sum() == len(mask)
+    # The device cache and the host mask still agree.
+    sa, _ = get_safe_sample(lyap, pert, rng=np.random.default_rng(0))
+    mean, _ = lyap.dynamics(jnp.asarray(sa))
+    idx = int(np.asarray(lyap.discretization.state_to_index(mean))[0])
+    assert lyap.safe_set[idx]

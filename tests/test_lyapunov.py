@@ -514,3 +514,20 @@ def test_pwl_candidate_direct_grid_values():
     # update_values returns the parameters themselves.
     assert_allclose(np.asarray(ly_direct.values),
                     vals.ravel(), rtol=0, atol=0)
+
+
+def test_interleaved_sweeps_do_not_bump_initial_set_counter():
+    """update_safe_set(can_shrink=False) builds its exempt scratch mask
+    from plain copies: a TrackedMask copy would share the mutation
+    counter, and the internal ``|=`` would spuriously invalidate the
+    cached device exempt mask on every can_shrink alternation."""
+    grid = GridWorld([[-1, 1]], 5)
+    policy = LambdaFunction(lambda x: 0.0 * x)
+    dyn = LinearSystem(np.array([[0.5, 0.0]]))
+    lyap = Lyapunov(grid, _quad_v(), dyn, 0.4, 0.3, 0.1, policy,
+                    initial_set=[2])
+    lyap.update_safe_set(can_shrink=True)
+    before = lyap.initial_safe_set.mutations
+    lyap.update_safe_set(can_shrink=False)
+    lyap.update_safe_set(can_shrink=True)
+    assert lyap.initial_safe_set.mutations == before

@@ -186,3 +186,25 @@ def test_tracked_mask_counts_mutations():
     v[0] = False  # mutation through a view bumps the shared counter
     assert m.mutations == 5
     assert tracked_mask(m) is m
+
+
+def test_tracked_mask_copies_plain_input():
+    """tracked_mask must COPY a plain ndarray: a no-copy view would let
+    writes through the caller's own reference bypass the mutation
+    counter and serve a stale device cache."""
+    from safe_learning_tpu.utils import TrackedMask, tracked_mask
+
+    src = np.ones(6, dtype=bool)
+    m = tracked_mask(src)
+    src[2] = False  # alias write through the caller's reference
+    assert m[2]  # decoupled: the tracked mask never saw it
+    assert m.mutations == 0
+    # .copy() of a TrackedMask shares the counter cell (documented
+    # over-invalidation) — call sites needing independent scratch masks
+    # use np.array(mask).
+    c = m.copy()
+    c[0] = False
+    assert m.mutations == 1 and isinstance(c, TrackedMask)
+    plain = np.array(m)
+    plain[1] = False
+    assert m.mutations == 1 and not isinstance(plain, TrackedMask)
