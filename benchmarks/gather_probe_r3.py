@@ -30,14 +30,20 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import safe_learning_tpu as sl  # noqa: E402
 
 
-def timeit(name, fn, *args, iters=20):
-    """Time fn(*args) chained through a carry; print ms/iter."""
-    out = fn(*args)
-    jax.block_until_ready(out)
+def timeit(name, fn, carry, iters=20):
+    """Time ``carry = fn(carry)`` chained; print ms/iter.
+
+    The carry RETURNED by each iteration feeds the next — re-issuing
+    ``fn`` with the same argument would send bit-identical dispatches,
+    which this machine's TPU relay memoizes (the timing would then
+    measure relay issue rate, not device compute).
+    """
+    carry = fn(carry)
+    jax.block_until_ready(carry)
     start = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        carry = fn(carry)
+    jax.block_until_ready(carry)
     dt = (time.perf_counter() - start) / iters * 1e3
     print(f"{name}: {dt:.3f} ms", flush=True)
     return dt

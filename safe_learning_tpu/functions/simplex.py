@@ -350,15 +350,14 @@ class Triangulation(DeterministicFunction):
         w_corner = self._corner_weights(rank, weights,
                                         jnp.asarray(pow2))  # (N, 2^d)
         table = self._corner_table(fold)
-        row_strides = jnp.asarray(row_major_strides(
-            self._mixed_shape(fold)), dtype=jnp.int32)
+        strides = np.asarray(row_major_strides(self._mixed_shape(fold)))
+        row_strides = jnp.asarray(strides, dtype=jnp.int32)
         base = jnp.sum(cell * row_strides, axis=-1)
         blocks = []
         for code_u in range(2 ** u):
             offs = np.array([(code_u >> i) & 1 for i in range(u)]
                             + [0] * fold, dtype=np.int32)
-            row_idx = base + int(np.sum(offs * np.asarray(
-                row_major_strides(self._mixed_shape(fold)))[: d]))
+            row_idx = base + int(np.sum(offs * strides[: d]))
             blocks.append(_gather_rows(table, row_idx))
         block = jnp.stack(blocks, axis=1).reshape(-1, 2 ** d, p)
         return jnp.sum(w_corner[:, :, None] * block, axis=1)
