@@ -108,7 +108,7 @@ print("initial certified fraction: {:.3f}".format(lyap.safe_set.mean()))
 # of the reference notebook. The fused k-step variant
 # (`get_safe_sample_batch`) collapses a whole round into a single
 # device program; see `docs/performance.md` for the measured latency
-# (0.59 s per 15-sample round at the 501² scale on a v5e chip).
+# (0.52 s per 15-sample round at the 501² scale on a v5e chip).
 
 # %%
 action_variation = np.array([[0.0]])
