@@ -30,7 +30,8 @@ from .rl import OptimizationError, PolicyIteration
 from .dynamics import CartPole, InvertedPendulum, VanDerPol
 from .analysis import (compute_roa, compute_closedloop_response, gridify,
                        reward_rollout)
-from . import checkpoints, oracle, parallel, plotting, profiling, utils
+from . import (checkpoints, errorbounds, oracle, parallel, plotting,
+               profiling, utils)
 
 __version__ = "0.1.0"
 

@@ -77,6 +77,13 @@ class Configuration:
         # within f32 rounding of v must not slip into the certified
         # set. Calibrated together with certificate_margin.
         self.level_margin = 0.0
+        # Hardware slack multiplier on the unit roundoff used by the
+        # ANALYTIC certificate-margin derivation
+        # (errorbounds.analytic_certificate_margin): covers non-IEEE dot
+        # implementations (MXU 6-pass bf16 HIGHEST) and transcendental
+        # slack. 4.0 dominates every recorded kernel-accuracy
+        # measurement on v5e by a wide margin.
+        self.fp_error_factor = 4.0
         # Online GP learning: refresh the Cholesky cache with an O(n^2)
         # bordered append (float64 host island) when possible, instead of
         # the O(n^3) refactorization. Equivalent to f64 roundoff; set

@@ -1,0 +1,360 @@
+"""Analytic forward-error bound for the float32 verification pipeline.
+
+:func:`~safe_learning_tpu.oracle.calibrate_certificate_margin` makes the
+f32 certificate conservative by *measuring* the pipeline error on a grid
+subsample and installing a safety multiple of the worst deviation. This
+module supplies the complementary *derived* bound: a per-instance
+Higham-style rounding-error analysis of the decrease-condition pipeline
+(policy -> GP posterior -> Lyapunov values -> threshold), evaluated over
+the FULL grid, so the installed margin dominates the f32 error at every
+point by construction rather than by sampling.
+
+The analysis follows the standard model of floating-point arithmetic
+(Higham, *Accuracy and Stability of Numerical Algorithms*, ch. 3):
+every scalar operation is exact up to relative error ``u``, an inner
+product of length ``n`` accumulates at most ``gamma_n = n u / (1 - n u)``
+relative to the sum of absolute products — a bound that holds for ANY
+summation order, so it covers both the XLA dot and the fused Pallas
+kernel's tiled accumulation. Two deliberate conservative choices keep
+the model honest on real hardware:
+
+- ``u = config.fp_error_factor * 2^-24``: the factor (default 4) covers
+  non-IEEE dot implementations (the TPU MXU's 6-pass bfloat16
+  ``HIGHEST`` decomposition) and transcendental-function slack. The
+  recorded kernel-accuracy measurements (``scripts/TPU_SMOKE_OUTPUT.txt``:
+  fused-vs-XLA mean deviation 3.3e-6 on unit-scale data) sit well inside
+  one ulp-factor of this model.
+- the cached GP factors are treated as the CORRECT ROUNDING of the exact
+  float64 factorization (``|C_32 - C_64| <= u |C_64|``); this is the
+  framework's own invariant in float32 mode — ``chol``/``chol_inv``/
+  ``alpha`` come from the float64 host island and are stored rounded
+  (``functions/gp.py:_host_factorize``, ``_bordered_append``). A jitter
+  retry changes the *model*, not just the rounding, and voids the bound
+  (as it voids the empirical calibration).
+
+Supported instance shape (the flagship / property-test pipeline):
+``LinearSystem``-family policy, plain :class:`GaussianProcess` dynamics
+with an RBF kernel and an optional ``LinearSystem`` prior mean,
+:class:`QuadraticFunction` Lyapunov candidate, scalar ``L_f``, and
+``L_v`` given as a constant or an explicit :class:`ErrorModel`. Anything
+else raises ``NotImplementedError`` — fall back to the empirical
+calibrator, which handles arbitrary compositions by measurement.
+
+Reference context: the reference runs float64 end to end
+(``/root/reference/safe_learning/configuration.py:16``) so its
+threshold (``lyapunov.py:265-288``) absorbs only discretization error;
+here the margin additionally absorbs a *derived* bound on dtype error.
+"""
+
+from __future__ import annotations
+
+from collections import namedtuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import config
+from .functions.base import ConstantFunction, Saturation
+from .functions.gp import RBF, GaussianProcess
+from .functions.linear import LinearSystem, QuadraticFunction
+
+__all__ = ["ErrorModel", "analytic_certificate_margin"]
+
+#: Explicit rounding model for an opaque (e.g. Lambda) function used as
+#: the ``L_v`` Lipschitz bound: ``eval_bound(x) -> (N, d)`` absolute
+#: f32-evaluation error, ``input_lipschitz`` a scalar (or per-dim array)
+#: bound on the function's own Lipschitz constant over the domain.
+ErrorModel = namedtuple("ErrorModel", ["eval_bound", "input_lipschitz"])
+
+# max_t t e^{-t/2} (at t=2) and max_t sqrt(t) e^{-t/2} (at t=1): the
+# scale-free peaks of the RBF entry/derivative magnitudes used to turn
+# per-pair bounds into global constants.
+_MAX_TE = 2.0 / np.e
+_MAX_STE = float(np.exp(-0.5))
+
+
+def _unit_roundoff():
+    """Hardware-slack-adjusted unit roundoff of the working dtype."""
+    base = float(np.finfo(config.np_dtype).eps) / 2.0
+    return base * float(getattr(config, "fp_error_factor", 4.0))
+
+
+def _gamma(n, u):
+    """Higham's ``gamma_n`` (valid for any summation order)."""
+    nu = float(n) * u
+    if nu >= 1.0:
+        raise ValueError("accumulation length too large for the dtype")
+    return nu / (1.0 - nu)
+
+
+def _linear_core(fn):
+    """Unwrap a LinearSystem-family policy to its matrix, or None."""
+    if isinstance(fn, Saturation):
+        fn = fn.fun
+    if isinstance(fn, LinearSystem):
+        return fn.matrix
+    return None
+
+
+def _policy_terms(policy, u):
+    """(matrix, eval-gamma) of a supported policy; clip is 1-Lipschitz."""
+    mat = _linear_core(policy)
+    if mat is not None:
+        return mat, _gamma(mat.shape[1] + 1, u)
+    if isinstance(policy, ConstantFunction):
+        return None, 0.0
+    raise NotImplementedError(
+        "analytic margin supports LinearSystem/Saturation/Constant "
+        "policies; got {} — use calibrate_certificate_margin"
+        .format(type(policy).__name__))
+
+
+def _lv_model(lipschitz_lyapunov, lipschitz_model, u):
+    """Resolve the L_v rounding model (constant -> exact)."""
+    if lipschitz_model is not None:
+        return lipschitz_model
+    if isinstance(lipschitz_lyapunov, (int, float, ConstantFunction)):
+        # A constant is stored with identical bits in both lanes and its
+        # "evaluation" is an exact broadcast: zero rounding error.
+        return ErrorModel(lambda x: jnp.zeros((x.shape[0], 1)), 0.0)
+    raise NotImplementedError(
+        "analytic margin needs an ErrorModel for non-constant L_v "
+        "functions (pass lipschitz_model=...); got {}"
+        .format(type(lipschitz_lyapunov).__name__))
+
+
+def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
+                                lipschitz_model=None, set_margin=True):
+    """Derived (non-sampled) conservative margin for the f32 sweep.
+
+    Runs one absolute-value sweep over the FULL grid computing, at every
+    state, a rigorous bound on ``|margin_f32(x) - margin_f64(x)|`` under
+    the rounding model in the module docstring, and returns
+    ``safety * max_x bound(x)``. With ``set_margin=True`` also installs
+    the companion level margin (``2 * max |v_f32 - v_f64|`` bound plus
+    an ulp floor), mirroring
+    :func:`~safe_learning_tpu.oracle.calibrate_certificate_margin`.
+
+    Unlike the calibrator this needs no float64 oracle pass and covers
+    every grid point, at the price of supporting only the analyzed
+    function types and overshooting the true error by the usual
+    worst-case-analysis factor (measured ~5-60x on the property-test
+    instances; the certified-fraction cost stays small because the
+    certificate's own threshold dwarfs the margin — see
+    ``docs/performance.md``).
+
+    Parameters
+    ----------
+    lyapunov : Lyapunov
+    batch_size : int, optional
+        Grid states per device dispatch of the bound sweep.
+    safety : float, optional
+        Multiplier on the derived bound (1.0 is already rigorous under
+        the stated model; keep >1 only for belt-and-braces).
+    lipschitz_model : ErrorModel, optional
+        Rounding model for a non-constant ``L_v`` function.
+    set_margin : bool, optional
+        Install ``certificate_margin`` / ``level_margin`` on the
+        instance.
+
+    Returns
+    -------
+    margin : float
+        The installed (or would-be) decrease-comparison margin.
+    """
+    u = _unit_roundoff()
+    gp = lyapunov.dynamics
+    if not isinstance(gp, GaussianProcess):
+        raise NotImplementedError(
+            "analytic margin currently supports plain GaussianProcess "
+            "dynamics; got {} — use calibrate_certificate_margin"
+            .format(type(gp).__name__))
+    if not isinstance(gp.kernel, RBF):
+        raise NotImplementedError(
+            "analytic margin currently supports RBF kernels; got {}"
+            .format(type(gp.kernel).__name__))
+    v_fun = lyapunov.lyapunov_function
+    if not isinstance(v_fun, QuadraticFunction):
+        raise NotImplementedError(
+            "analytic margin currently supports QuadraticFunction "
+            "candidates; got {}".format(type(v_fun).__name__))
+    mean_mat = None
+    if gp.mean_function is not None:
+        mean_mat = _linear_core(gp.mean_function)
+        if mean_mat is None:
+            raise NotImplementedError(
+                "analytic margin supports LinearSystem prior means; "
+                "got {}".format(type(gp.mean_function).__name__))
+    if not isinstance(lyapunov._lipschitz_dynamics, (int, float)):
+        raise NotImplementedError("analytic margin needs a scalar L_f")
+
+    pol_mat, pol_gamma = _policy_terms(lyapunov.policy, u)
+    lvm = _lv_model(lyapunov._lipschitz_lyapunov, lipschitz_model, u)
+    lv_lip = jnp.asarray(lvm.input_lipschitz, dtype=config.dtype)
+
+    grid = lyapunov.discretization
+    d = grid.ndim
+    nd = gp.input_dim            # state + action dims
+    n_cap = gp.capacity
+    s2 = float(gp.scale) ** 2
+    sigf2_raw = float(np.asarray(gp.kernel.variance))
+    sigf2 = sigf2_raw * s2
+    ls = jnp.asarray(gp.kernel.lengthscales, dtype=config.dtype)
+    ls = jnp.broadcast_to(jnp.atleast_1d(ls), (nd,))
+    beta = float(gp.beta)
+    lf = float(lyapunov._lipschitz_dynamics)
+    tau = float(lyapunov.tau)
+    p_mat = jnp.asarray(v_fun.matrix, dtype=config.dtype)
+    p_abs = jnp.abs(p_mat)
+    p_sym = p_abs + p_abs.T
+
+    mask = gp._mask()                           # (cap,)
+    chol_abs = jnp.abs(gp.chol_inv)             # (cap, cap)
+    alpha_abs = jnp.abs(gp.alpha)               # (cap, S)
+    c_rows = chol_abs @ mask                    # masked row abs-sums
+    s_b = jnp.sum(alpha_abs * c_rows[:, None], axis=0)   # (S,)
+
+    g_dot = _gamma(n_cap + 2, u)                # dot-chain gamma
+    g_kern = _gamma(3 * nd + 2, u)              # kernel-entry arithmetic
+    # Global RBF-entry bounds: |delta k| and |dk/dq_dim| peak at the
+    # scale-free maxima of t e^{-t/2} / sqrt(t) e^{-t/2}.
+    dk_abs = sigf2 * (0.5 * _MAX_TE * g_kern + 8.0 * u)
+    dkdq = sigf2 * _MAX_STE / ls                # (nd,) per input dim
+    g_quad = _gamma(2 * d + 2, u)
+    g_mean = 0.0 if mean_mat is None else _gamma(nd + 1, u)
+    scale = float(gp.scale)
+
+    def batch_bound(pts):
+        """Per-state bound on |margin_f32 - margin_f64| (N,)."""
+        n_pts = pts.shape[0]
+        # -- policy + its rounding ------------------------------------
+        if pol_mat is None:
+            acts = lyapunov.policy(pts)
+            du = jnp.zeros_like(acts)
+        else:
+            acts = lyapunov.policy(pts)
+            du = pol_gamma * (jnp.abs(pts) @ jnp.abs(pol_mat).T)
+        q = jnp.concatenate([pts, acts], axis=1)
+
+        # -- GP pipeline magnitudes (mirrors predict's XLA chain) -----
+        kx = s2 * gp.kernel(gp.X_buf, q) * mask[:, None]   # (cap, N)
+        kx_abs = jnp.abs(kx)
+        a_hat = gp.chol_inv @ kx                            # (cap, N)
+        a_abs = jnp.abs(a_hat)
+        r = chol_abs @ kx_abs                               # (cap, N)
+        da = c_rows[:, None] * dk_abs + (g_dot + u) * r     # (cap, N)
+        a_tot = a_abs + da
+
+        # posterior-mean rounding per output: (N, S)
+        e_mn = (da.T @ alpha_abs
+                + (g_dot + 2.0 * u) * (a_tot.T @ alpha_abs))
+        mean_num = (a_hat.T @ gp.alpha) / scale
+        prior = 0.0 if gp.mean_function is None \
+            else gp.mean_function(q)
+        mu_hat = mean_num + prior
+        e_prior = (0.0 if mean_mat is None
+                   else g_mean * (jnp.abs(q) @ jnp.abs(mean_mat).T))
+        e_mu_eval = e_mn / scale + u * jnp.abs(mean_num) \
+            + e_prior + 2.0 * u * jnp.abs(mu_hat)
+
+        # action-perturbation propagation through mean and variance
+        act_dims = slice(d, nd)
+        # (N, S): sum over action dims of L_mu_{s,dim} * du_dim
+        l_mu_sd = (sigf2 * _MAX_STE / (scale * ls[act_dims]))  # (m,)
+        pert_core = du @ l_mu_sd[:, None]                     # (N, 1)
+        d_mu_pert = pert_core * s_b[None, :]                  # (N, S)
+        if mean_mat is not None:
+            d_mu_pert = d_mu_pert + du @ jnp.abs(
+                mean_mat[:, act_dims]).T
+        d_mu = e_mu_eval + d_mu_pert                          # (N, S)
+
+        # -- variance / std rounding ----------------------------------
+        sum_a2 = jnp.sum(a_hat * a_hat, axis=0)               # (N,)
+        var_hat = jnp.maximum(gp.kernel.diag(q) - sum_a2 / s2, 1e-12)
+        d_sum_a2 = jnp.sum(2.0 * a_tot * da + g_dot * a_tot ** 2,
+                           axis=0)
+        d_var = (d_sum_a2 + u * sum_a2) / s2 + u * sigf2_raw \
+            + u * jnp.abs(var_hat)
+        # action perturbation of sigma^2
+        dvar_pert = (du @ dkdq[act_dims, None])[:, 0] \
+            * (2.0 / s2) * jnp.sum(a_tot * c_rows[:, None], axis=0)
+        d_var_tot = d_var + dvar_pert
+        sig_hat = jnp.sqrt(var_hat)
+        sig_lo = jnp.sqrt(jnp.maximum(var_hat - d_var_tot, 0.0))
+        d_sig = jnp.where(sig_lo > 0.0,
+                          d_var_tot / (sig_hat + sig_lo),
+                          jnp.sqrt(d_var_tot))
+        err_hat = beta * sig_hat
+        d_err = beta * d_sig + u * err_hat                    # (N,)
+
+        # -- Lyapunov value terms -------------------------------------
+        mu_abs = jnp.abs(mu_hat)
+        d_mu_l1 = jnp.sum(d_mu, axis=1)                       # (N,)
+        e_v_next = (jnp.sum((d_mu @ p_sym) * mu_abs, axis=1)
+                    + jnp.sum((d_mu @ p_abs) * d_mu, axis=1)
+                    + g_quad * jnp.sum((mu_abs @ p_abs) * mu_abs,
+                                       axis=1))
+        e_v_x = g_quad * jnp.sum((jnp.abs(pts) @ p_abs) * jnp.abs(pts),
+                                 axis=1)
+
+        # -- L_v * err decrease term ----------------------------------
+        lv_next = jnp.atleast_2d(jnp.asarray(
+            lyapunov._lipschitz_lyapunov(mu_hat)
+            if callable(lyapunov._lipschitz_lyapunov)
+            else lyapunov._lipschitz_lyapunov))
+        if lv_next.shape[0] == 1 and n_pts > 1:
+            lv_next = jnp.broadcast_to(lv_next, (n_pts, lv_next.shape[1]))
+        lv_abs = jnp.abs(lv_next)                             # (N, dv)
+        e_lv_next = jnp.atleast_2d(lvm.eval_bound(mu_hat))
+        if e_lv_next.shape[0] == 1 and n_pts > 1:
+            e_lv_next = jnp.broadcast_to(e_lv_next,
+                                         (n_pts, e_lv_next.shape[1]))
+        d_lv = e_lv_next + lv_lip * d_mu_l1[:, None]          # (N, dv)
+        errterm_hat = jnp.sum(lv_abs * err_hat[:, None], axis=1)
+        d_errterm = (jnp.sum((lv_abs + d_lv) * d_err[:, None]
+                             + d_lv * err_hat[:, None], axis=1)
+                     + _gamma(lv_abs.shape[1] + 1, u) * errterm_hat)
+
+        # -- threshold ------------------------------------------------
+        lv_x = jnp.atleast_2d(jnp.asarray(
+            lyapunov._lipschitz_lyapunov(pts)
+            if callable(lyapunov._lipschitz_lyapunov)
+            else lyapunov._lipschitz_lyapunov))
+        e_lv_x = jnp.atleast_2d(lvm.eval_bound(pts))
+        if e_lv_x.shape[0] == 1 and n_pts > 1:
+            e_lv_x = jnp.broadcast_to(e_lv_x, (n_pts, e_lv_x.shape[1]))
+        thr_mag = jnp.sum(jnp.abs(lv_x), axis=1) * (1.0 + lf) * tau
+        d_thr = (jnp.sum(e_lv_x, axis=1) * (1.0 + lf) * tau
+                 + _gamma(lv_x.shape[1] + 3, u) * thr_mag)
+
+        # -- assemble -------------------------------------------------
+        v_next_mag = jnp.sum((mu_abs @ p_abs) * mu_abs, axis=1)
+        v_x_mag = jnp.sum((jnp.abs(pts) @ p_abs) * jnp.abs(pts), axis=1)
+        final_sums = _gamma(4, u) * (v_next_mag + v_x_mag + errterm_hat)
+        return (e_v_next + e_v_x + d_errterm + d_thr + final_sums,
+                e_v_x)
+
+    bound_jit = jax.jit(batch_bound)
+    worst = 0.0
+    worst_v = 0.0
+    v_scale = 0.0
+    pts_all = grid.all_points
+    for start in range(0, grid.nindex, batch_size):
+        pts = jnp.asarray(pts_all[start:start + batch_size],
+                          dtype=config.dtype)
+        eps_b, ev_b = bound_jit(pts)
+        eps_b, ev_b = jax.device_get((eps_b, ev_b))
+        worst = max(worst, float(np.max(eps_b)))
+        worst_v = max(worst_v, float(np.max(ev_b)))
+        vals = np.abs(np.asarray(lyapunov.lyapunov_function(pts)))
+        v_scale = max(v_scale, float(np.max(vals)))
+
+    margin = float(safety) * worst
+    eps_dtype = float(np.finfo(config.np_dtype).eps)
+    level_margin = max(2.0 * float(safety) * worst_v,
+                       4.0 * eps_dtype * (v_scale or 1.0))
+    if set_margin:
+        lyapunov.certificate_margin = margin
+        lyapunov.level_margin = level_margin
+    return margin
