@@ -33,12 +33,13 @@ the model honest on real hardware:
   (as it voids the empirical calibration).
 
 Supported instance shape (the flagship / property-test pipeline):
-``LinearSystem``-family policy, plain :class:`GaussianProcess` dynamics
-with an RBF kernel and an optional ``LinearSystem`` prior mean,
-:class:`QuadraticFunction` Lyapunov candidate, scalar ``L_f``, and
-``L_v`` given as a constant or an explicit :class:`ErrorModel`. Anything
-else raises ``NotImplementedError`` — fall back to the empirical
-calibrator, which handles arbitrary compositions by measurement.
+``LinearSystem``-family policy, :class:`GaussianProcess` or
+:class:`StackedGaussianProcess` dynamics with RBF kernels and optional
+``LinearSystem`` prior means, :class:`QuadraticFunction` Lyapunov
+candidate, scalar ``L_f``, and ``L_v`` given as a constant or an
+explicit :class:`ErrorModel`. Anything else raises
+``NotImplementedError`` — fall back to the empirical calibrator, which
+handles arbitrary compositions by measurement.
 
 Reference context: the reference runs float64 end to end
 (``/root/reference/safe_learning/configuration.py:16``) so its
@@ -56,7 +57,7 @@ import numpy as np
 
 from .config import config
 from .functions.base import ConstantFunction, Saturation
-from .functions.gp import RBF, GaussianProcess
+from .functions.gp import RBF, GaussianProcess, StackedGaussianProcess
 from .functions.linear import LinearSystem, QuadraticFunction
 
 __all__ = ["ErrorModel", "analytic_certificate_margin"]
@@ -89,7 +90,7 @@ def _gamma(n, u):
 
 
 def _linear_core(fn):
-    """Unwrap a LinearSystem-family policy to its matrix, or None."""
+    """Unwrap a LinearSystem-family function to its matrix, or None."""
     if isinstance(fn, Saturation):
         fn = fn.fun
     if isinstance(fn, LinearSystem):
@@ -124,6 +125,115 @@ def _lv_model(lipschitz_lyapunov, lipschitz_model, u):
         .format(type(lipschitz_lyapunov).__name__))
 
 
+def _gp_statics(gp, u, d):
+    """Precompute the per-GP constants of the error analysis.
+
+    ``gp`` must be a (possibly multi-output) :class:`GaussianProcess`
+    with an RBF kernel and a ``LinearSystem``/``None`` prior mean.
+    """
+    if not isinstance(gp.kernel, RBF):
+        raise NotImplementedError(
+            "analytic margin currently supports RBF kernels; got {}"
+            .format(type(gp.kernel).__name__))
+    mean_mat = None
+    if gp.mean_function is not None:
+        mean_mat = _linear_core(gp.mean_function)
+        if mean_mat is None:
+            raise NotImplementedError(
+                "analytic margin supports LinearSystem prior means; "
+                "got {}".format(type(gp.mean_function).__name__))
+
+    nd = gp.input_dim
+    s2 = float(gp.scale) ** 2
+    sigf2_raw = float(np.asarray(gp.kernel.variance))
+    sigf2 = sigf2_raw * s2
+    ls = jnp.broadcast_to(
+        jnp.atleast_1d(jnp.asarray(gp.kernel.lengthscales,
+                                   dtype=config.dtype)), (nd,))
+    mask = gp._mask()
+    chol_abs = jnp.abs(gp.chol_inv)
+    alpha_abs = jnp.abs(gp.alpha)
+    c_rows = chol_abs @ mask                      # masked row abs-sums
+    s_b = jnp.sum(alpha_abs * c_rows[:, None], axis=0)   # (S,)
+    g_dot = _gamma(gp.capacity + 2, u)
+    g_kern = _gamma(3 * nd + 2, u)
+    return {
+        "gp": gp, "mean_mat": mean_mat, "nd": nd, "s2": s2,
+        "scale": float(gp.scale), "sigf2_raw": sigf2_raw,
+        "sigf2": sigf2, "ls": ls, "beta": float(gp.beta),
+        "mask": mask, "chol_abs": chol_abs, "alpha_abs": alpha_abs,
+        "c_rows": c_rows, "s_b": s_b, "g_dot": g_dot,
+        # Global RBF-entry bounds: |delta k| and |dk/dq_dim| peak at
+        # the scale-free maxima of t e^{-t/2} / sqrt(t) e^{-t/2}.
+        "dk_abs": sigf2 * (0.5 * _MAX_TE * g_kern + 8.0 * u),
+        "dkdq": sigf2 * _MAX_STE / ls,
+        "g_mean": 0.0 if mean_mat is None else _gamma(nd + 1, u),
+    }
+
+
+def _gp_terms(st, q, du, d, u):
+    """Per-point GP posterior magnitudes and error bounds.
+
+    Returns ``(mu_hat, d_mu, err_hat, d_err)``, each ``(N, S)``:
+    the f32 posterior mean / its total error bound (evaluation rounding
+    plus the action-perturbation ``du`` propagated through the RBF
+    Lipschitz bounds), and the f32 confidence term ``beta * std`` /
+    its error bound (via the exact identity
+    ``|sqrt(a) - sqrt(b)| = |a - b| / (sqrt(a) + sqrt(b))``).
+    """
+    gp = st["gp"]
+    nd, s2, scale = st["nd"], st["s2"], st["scale"]
+    act_dims = slice(d, nd)
+    g_dot = st["g_dot"]
+
+    # -- pipeline magnitudes (mirrors predict's XLA chain) ------------
+    kx = s2 * gp.kernel(gp.X_buf, q) * st["mask"][:, None]   # (cap, N)
+    a_hat = gp.chol_inv @ kx
+    a_abs = jnp.abs(a_hat)
+    r = st["chol_abs"] @ jnp.abs(kx)
+    da = st["c_rows"][:, None] * st["dk_abs"] + (g_dot + u) * r
+    a_tot = a_abs + da
+
+    # posterior-mean rounding per output: (N, S)
+    e_mn = (da.T @ st["alpha_abs"]
+            + (g_dot + 2.0 * u) * (a_tot.T @ st["alpha_abs"]))
+    mean_num = (a_hat.T @ gp.alpha) / scale
+    prior = 0.0 if gp.mean_function is None else gp.mean_function(q)
+    mu_hat = mean_num + prior
+    mean_mat = st["mean_mat"]
+    e_prior = (0.0 if mean_mat is None
+               else st["g_mean"] * (jnp.abs(q) @ jnp.abs(mean_mat).T))
+    e_mu_eval = e_mn / scale + u * jnp.abs(mean_num) \
+        + e_prior + 2.0 * u * jnp.abs(mu_hat)
+
+    # action-perturbation propagation through the mean
+    l_mu_sd = (st["sigf2"] * _MAX_STE / (scale * st["ls"][act_dims]))
+    pert_core = du @ l_mu_sd[:, None]                     # (N, 1)
+    d_mu_pert = pert_core * st["s_b"][None, :]            # (N, S)
+    if mean_mat is not None:
+        d_mu_pert = d_mu_pert + du @ jnp.abs(mean_mat[:, act_dims]).T
+    d_mu = e_mu_eval + d_mu_pert
+
+    # -- variance / std rounding --------------------------------------
+    sum_a2 = jnp.sum(a_hat * a_hat, axis=0)               # (N,)
+    var_hat = jnp.maximum(gp.kernel.diag(q) - sum_a2 / s2, 1e-12)
+    d_sum_a2 = jnp.sum(2.0 * a_tot * da + g_dot * a_tot ** 2, axis=0)
+    d_var = (d_sum_a2 + u * sum_a2) / s2 + u * st["sigf2_raw"] \
+        + u * jnp.abs(var_hat)
+    dvar_pert = (du @ st["dkdq"][act_dims, None])[:, 0] \
+        * (2.0 / s2) * jnp.sum(a_tot * st["c_rows"][:, None], axis=0)
+    d_var_tot = d_var + dvar_pert
+    sig_hat = jnp.sqrt(var_hat)
+    sig_lo = jnp.sqrt(jnp.maximum(var_hat - d_var_tot, 0.0))
+    d_sig = jnp.where(sig_lo > 0.0, d_var_tot / (sig_hat + sig_lo),
+                      jnp.sqrt(d_var_tot))
+    n_out = mu_hat.shape[1]
+    err_hat = jnp.broadcast_to((st["beta"] * sig_hat)[:, None],
+                               (q.shape[0], n_out))
+    d_err = st["beta"] * d_sig[:, None] + u * err_hat
+    return mu_hat, d_mu, err_hat, d_err
+
+
 def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
                                 lipschitz_model=None, set_margin=True):
     """Derived (non-sampled) conservative margin for the f32 sweep.
@@ -138,10 +248,10 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
 
     Unlike the calibrator this needs no float64 oracle pass and covers
     every grid point, at the price of supporting only the analyzed
-    function types and overshooting the true error by the usual
-    worst-case-analysis factor (measured ~5-60x on the property-test
-    instances; the certified-fraction cost stays small because the
-    certificate's own threshold dwarfs the margin — see
+    function types and overshooting the true error by the worst-case-
+    analysis factor (the abs-value matvec bound scales with the cached
+    factor's condition number: ~1000x on the ill-conditioned property
+    instances, harmless in the well-conditioned regime — see
     ``docs/performance.md``).
 
     Parameters
@@ -164,129 +274,67 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
         The installed (or would-be) decrease-comparison margin.
     """
     u = _unit_roundoff()
-    gp = lyapunov.dynamics
-    if not isinstance(gp, GaussianProcess):
+    dyn = lyapunov.dynamics
+    grid = lyapunov.discretization
+    d = grid.ndim
+    if isinstance(dyn, StackedGaussianProcess):
+        gp_list = dyn.unstack()
+    elif isinstance(dyn, GaussianProcess):
+        gp_list = [dyn]
+    else:
         raise NotImplementedError(
-            "analytic margin currently supports plain GaussianProcess "
-            "dynamics; got {} — use calibrate_certificate_margin"
-            .format(type(gp).__name__))
-    if not isinstance(gp.kernel, RBF):
-        raise NotImplementedError(
-            "analytic margin currently supports RBF kernels; got {}"
-            .format(type(gp.kernel).__name__))
+            "analytic margin currently supports GaussianProcess / "
+            "StackedGaussianProcess dynamics; got {} — use "
+            "calibrate_certificate_margin".format(type(dyn).__name__))
     v_fun = lyapunov.lyapunov_function
     if not isinstance(v_fun, QuadraticFunction):
         raise NotImplementedError(
             "analytic margin currently supports QuadraticFunction "
             "candidates; got {}".format(type(v_fun).__name__))
-    mean_mat = None
-    if gp.mean_function is not None:
-        mean_mat = _linear_core(gp.mean_function)
-        if mean_mat is None:
-            raise NotImplementedError(
-                "analytic margin supports LinearSystem prior means; "
-                "got {}".format(type(gp.mean_function).__name__))
     if not isinstance(lyapunov._lipschitz_dynamics, (int, float)):
         raise NotImplementedError("analytic margin needs a scalar L_f")
 
     pol_mat, pol_gamma = _policy_terms(lyapunov.policy, u)
     lvm = _lv_model(lyapunov._lipschitz_lyapunov, lipschitz_model, u)
     lv_lip = jnp.asarray(lvm.input_lipschitz, dtype=config.dtype)
+    statics = [_gp_statics(gp, u, d) for gp in gp_list]
 
-    grid = lyapunov.discretization
-    d = grid.ndim
-    nd = gp.input_dim            # state + action dims
-    n_cap = gp.capacity
-    s2 = float(gp.scale) ** 2
-    sigf2_raw = float(np.asarray(gp.kernel.variance))
-    sigf2 = sigf2_raw * s2
-    ls = jnp.asarray(gp.kernel.lengthscales, dtype=config.dtype)
-    ls = jnp.broadcast_to(jnp.atleast_1d(ls), (nd,))
-    beta = float(gp.beta)
     lf = float(lyapunov._lipschitz_dynamics)
     tau = float(lyapunov.tau)
-    p_mat = jnp.asarray(v_fun.matrix, dtype=config.dtype)
-    p_abs = jnp.abs(p_mat)
+    p_abs = jnp.abs(jnp.asarray(v_fun.matrix, dtype=config.dtype))
     p_sym = p_abs + p_abs.T
-
-    mask = gp._mask()                           # (cap,)
-    chol_abs = jnp.abs(gp.chol_inv)             # (cap, cap)
-    alpha_abs = jnp.abs(gp.alpha)               # (cap, S)
-    c_rows = chol_abs @ mask                    # masked row abs-sums
-    s_b = jnp.sum(alpha_abs * c_rows[:, None], axis=0)   # (S,)
-
-    g_dot = _gamma(n_cap + 2, u)                # dot-chain gamma
-    g_kern = _gamma(3 * nd + 2, u)              # kernel-entry arithmetic
-    # Global RBF-entry bounds: |delta k| and |dk/dq_dim| peak at the
-    # scale-free maxima of t e^{-t/2} / sqrt(t) e^{-t/2}.
-    dk_abs = sigf2 * (0.5 * _MAX_TE * g_kern + 8.0 * u)
-    dkdq = sigf2 * _MAX_STE / ls                # (nd,) per input dim
     g_quad = _gamma(2 * d + 2, u)
-    g_mean = 0.0 if mean_mat is None else _gamma(nd + 1, u)
-    scale = float(gp.scale)
+
+    def _lv_at(x, n_pts):
+        lv = jnp.atleast_2d(jnp.asarray(
+            lyapunov._lipschitz_lyapunov(x)
+            if callable(lyapunov._lipschitz_lyapunov)
+            else lyapunov._lipschitz_lyapunov))
+        if lv.shape[0] == 1 and n_pts > 1:
+            lv = jnp.broadcast_to(lv, (n_pts, lv.shape[1]))
+        return lv
+
+    def _lv_err_at(x, n_pts):
+        e = jnp.atleast_2d(lvm.eval_bound(x))
+        if e.shape[0] == 1 and n_pts > 1:
+            e = jnp.broadcast_to(e, (n_pts, e.shape[1]))
+        return e
 
     def batch_bound(pts):
         """Per-state bound on |margin_f32 - margin_f64| (N,)."""
         n_pts = pts.shape[0]
         # -- policy + its rounding ------------------------------------
-        if pol_mat is None:
-            acts = lyapunov.policy(pts)
-            du = jnp.zeros_like(acts)
-        else:
-            acts = lyapunov.policy(pts)
-            du = pol_gamma * (jnp.abs(pts) @ jnp.abs(pol_mat).T)
+        acts = lyapunov.policy(pts)
+        du = (jnp.zeros_like(acts) if pol_mat is None
+              else pol_gamma * (jnp.abs(pts) @ jnp.abs(pol_mat).T))
         q = jnp.concatenate([pts, acts], axis=1)
 
-        # -- GP pipeline magnitudes (mirrors predict's XLA chain) -----
-        kx = s2 * gp.kernel(gp.X_buf, q) * mask[:, None]   # (cap, N)
-        kx_abs = jnp.abs(kx)
-        a_hat = gp.chol_inv @ kx                            # (cap, N)
-        a_abs = jnp.abs(a_hat)
-        r = chol_abs @ kx_abs                               # (cap, N)
-        da = c_rows[:, None] * dk_abs + (g_dot + u) * r     # (cap, N)
-        a_tot = a_abs + da
-
-        # posterior-mean rounding per output: (N, S)
-        e_mn = (da.T @ alpha_abs
-                + (g_dot + 2.0 * u) * (a_tot.T @ alpha_abs))
-        mean_num = (a_hat.T @ gp.alpha) / scale
-        prior = 0.0 if gp.mean_function is None \
-            else gp.mean_function(q)
-        mu_hat = mean_num + prior
-        e_prior = (0.0 if mean_mat is None
-                   else g_mean * (jnp.abs(q) @ jnp.abs(mean_mat).T))
-        e_mu_eval = e_mn / scale + u * jnp.abs(mean_num) \
-            + e_prior + 2.0 * u * jnp.abs(mu_hat)
-
-        # action-perturbation propagation through mean and variance
-        act_dims = slice(d, nd)
-        # (N, S): sum over action dims of L_mu_{s,dim} * du_dim
-        l_mu_sd = (sigf2 * _MAX_STE / (scale * ls[act_dims]))  # (m,)
-        pert_core = du @ l_mu_sd[:, None]                     # (N, 1)
-        d_mu_pert = pert_core * s_b[None, :]                  # (N, S)
-        if mean_mat is not None:
-            d_mu_pert = d_mu_pert + du @ jnp.abs(
-                mean_mat[:, act_dims]).T
-        d_mu = e_mu_eval + d_mu_pert                          # (N, S)
-
-        # -- variance / std rounding ----------------------------------
-        sum_a2 = jnp.sum(a_hat * a_hat, axis=0)               # (N,)
-        var_hat = jnp.maximum(gp.kernel.diag(q) - sum_a2 / s2, 1e-12)
-        d_sum_a2 = jnp.sum(2.0 * a_tot * da + g_dot * a_tot ** 2,
-                           axis=0)
-        d_var = (d_sum_a2 + u * sum_a2) / s2 + u * sigf2_raw \
-            + u * jnp.abs(var_hat)
-        # action perturbation of sigma^2
-        dvar_pert = (du @ dkdq[act_dims, None])[:, 0] \
-            * (2.0 / s2) * jnp.sum(a_tot * c_rows[:, None], axis=0)
-        d_var_tot = d_var + dvar_pert
-        sig_hat = jnp.sqrt(var_hat)
-        sig_lo = jnp.sqrt(jnp.maximum(var_hat - d_var_tot, 0.0))
-        d_sig = jnp.where(sig_lo > 0.0,
-                          d_var_tot / (sig_hat + sig_lo),
-                          jnp.sqrt(d_var_tot))
-        err_hat = beta * sig_hat
-        d_err = beta * d_sig + u * err_hat                    # (N,)
+        # -- GP outputs (one multi-output GP, or stacked views) -------
+        parts = [_gp_terms(st, q, du, d, u) for st in statics]
+        mu_hat = jnp.concatenate([p[0] for p in parts], axis=1)
+        d_mu = jnp.concatenate([p[1] for p in parts], axis=1)
+        err_hat = jnp.concatenate([p[2] for p in parts], axis=1)
+        d_err = jnp.concatenate([p[3] for p in parts], axis=1)
 
         # -- Lyapunov value terms -------------------------------------
         mu_abs = jnp.abs(mu_hat)
@@ -299,33 +347,21 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
                                  axis=1)
 
         # -- L_v * err decrease term ----------------------------------
-        lv_next = jnp.atleast_2d(jnp.asarray(
-            lyapunov._lipschitz_lyapunov(mu_hat)
-            if callable(lyapunov._lipschitz_lyapunov)
-            else lyapunov._lipschitz_lyapunov))
-        if lv_next.shape[0] == 1 and n_pts > 1:
-            lv_next = jnp.broadcast_to(lv_next, (n_pts, lv_next.shape[1]))
-        lv_abs = jnp.abs(lv_next)                             # (N, dv)
-        e_lv_next = jnp.atleast_2d(lvm.eval_bound(mu_hat))
-        if e_lv_next.shape[0] == 1 and n_pts > 1:
-            e_lv_next = jnp.broadcast_to(e_lv_next,
-                                         (n_pts, e_lv_next.shape[1]))
-        d_lv = e_lv_next + lv_lip * d_mu_l1[:, None]          # (N, dv)
-        errterm_hat = jnp.sum(lv_abs * err_hat[:, None], axis=1)
-        d_errterm = (jnp.sum((lv_abs + d_lv) * d_err[:, None]
-                             + d_lv * err_hat[:, None], axis=1)
+        lv_abs = jnp.abs(_lv_at(mu_hat, n_pts))               # (N, dv)
+        if lv_abs.shape[1] == 1 and err_hat.shape[1] > 1:
+            lv_abs = jnp.broadcast_to(
+                lv_abs, (n_pts, err_hat.shape[1]))
+        d_lv = _lv_err_at(mu_hat, n_pts) + lv_lip * d_mu_l1[:, None]
+        errterm_hat = jnp.sum(lv_abs * err_hat, axis=1)
+        d_errterm = (jnp.sum((lv_abs + d_lv) * d_err
+                             + d_lv * err_hat, axis=1)
                      + _gamma(lv_abs.shape[1] + 1, u) * errterm_hat)
 
         # -- threshold ------------------------------------------------
-        lv_x = jnp.atleast_2d(jnp.asarray(
-            lyapunov._lipschitz_lyapunov(pts)
-            if callable(lyapunov._lipschitz_lyapunov)
-            else lyapunov._lipschitz_lyapunov))
-        e_lv_x = jnp.atleast_2d(lvm.eval_bound(pts))
-        if e_lv_x.shape[0] == 1 and n_pts > 1:
-            e_lv_x = jnp.broadcast_to(e_lv_x, (n_pts, e_lv_x.shape[1]))
+        lv_x = _lv_at(pts, n_pts)
         thr_mag = jnp.sum(jnp.abs(lv_x), axis=1) * (1.0 + lf) * tau
-        d_thr = (jnp.sum(e_lv_x, axis=1) * (1.0 + lf) * tau
+        d_thr = (jnp.sum(_lv_err_at(pts, n_pts), axis=1)
+                 * (1.0 + lf) * tau
                  + _gamma(lv_x.shape[1] + 3, u) * thr_mag)
 
         # -- assemble -------------------------------------------------
@@ -343,8 +379,7 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
     for start in range(0, grid.nindex, batch_size):
         pts = jnp.asarray(pts_all[start:start + batch_size],
                           dtype=config.dtype)
-        eps_b, ev_b = bound_jit(pts)
-        eps_b, ev_b = jax.device_get((eps_b, ev_b))
+        eps_b, ev_b = jax.device_get(bound_jit(pts))
         worst = max(worst, float(np.max(eps_b)))
         worst_v = max(worst_v, float(np.max(ev_b)))
         vals = np.abs(np.asarray(lyapunov.lyapunov_function(pts)))
