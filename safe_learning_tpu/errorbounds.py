@@ -6,8 +6,9 @@ subsample and installing a safety multiple of the worst deviation. This
 module supplies the complementary *derived* bound: a per-instance
 Higham-style rounding-error analysis of the decrease-condition pipeline
 (policy -> GP posterior -> Lyapunov values -> threshold), evaluated over
-the FULL grid, so the installed margin dominates the f32 error at every
-point by construction rather than by sampling.
+the FULL grid (optionally including the adaptive sweep's refined
+sub-grid points), so the installed margin dominates the f32 error at
+every checked point by construction rather than by sampling.
 
 The analysis follows the standard model of floating-point arithmetic
 (Higham, *Accuracy and Stability of Numerical Algorithms*, ch. 3):
@@ -15,15 +16,26 @@ every scalar operation is exact up to relative error ``u``, an inner
 product of length ``n`` accumulates at most ``gamma_n = n u / (1 - n u)``
 relative to the sum of absolute products — a bound that holds for ANY
 summation order, so it covers both the XLA dot and the fused Pallas
-kernel's tiled accumulation. Two deliberate conservative choices keep
-the model honest on real hardware:
+kernel's tiled accumulation. The kernel-entry error is modeled per
+(data, query) pair on the ``xx - 2 cross + zz`` squared-distance form
+(``functions/gp.py:_sqdist``): its rounding scales with the CANCELLING
+magnitudes ``xx + 2|cross| + zz``, not with the small distance itself —
+the per-dim-difference form the Pallas kernel uses
+(``ops/gp_kernel.py``) is strictly better conditioned, so the same
+bound covers both paths. Further conservative choices keeping the model
+honest on real hardware:
 
 - ``u = config.fp_error_factor * 2^-24``: the factor (default 4) covers
   non-IEEE dot implementations (the TPU MXU's 6-pass bfloat16
   ``HIGHEST`` decomposition) and transcendental-function slack. The
-  recorded kernel-accuracy measurements (``scripts/TPU_SMOKE_OUTPUT.txt``:
-  fused-vs-XLA mean deviation 3.3e-6 on unit-scale data) sit well inside
-  one ulp-factor of this model.
+  bound REQUIRES ``config.pallas_precision == "highest"`` (the 3-pass
+  ``high`` mode rounds at ~2^-17 per op and voids the model; a
+  ``RuntimeError`` enforces this).
+- the bound sweep's own matmuls run through
+  :func:`~safe_learning_tpu.functions.base.mxu_dot` (HIGHEST), and
+  every magnitude anchor carries the two-sided slack ``|real| <=
+  |anchor| + 2 * error`` (the bound sweep's f32 value and the real
+  sweep's f32 value can sit on opposite sides of the exact value).
 - the cached GP factors are treated as the CORRECT ROUNDING of the exact
   float64 factorization (``|C_32 - C_64| <= u |C_64|``); this is the
   framework's own invariant in float32 mode — ``chol``/``chol_inv``/
@@ -49,6 +61,7 @@ here the margin additionally absorbs a *derived* bound on dtype error.
 
 from __future__ import annotations
 
+import itertools
 from collections import namedtuple
 
 import jax
@@ -56,7 +69,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import config
-from .functions.base import ConstantFunction, Saturation
+from .functions.base import ConstantFunction, Saturation, mxu_dot
 from .functions.gp import RBF, GaussianProcess, StackedGaussianProcess
 from .functions.linear import LinearSystem, QuadraticFunction
 
@@ -68,10 +81,9 @@ __all__ = ["ErrorModel", "analytic_certificate_margin"]
 #: bound on the function's own Lipschitz constant over the domain.
 ErrorModel = namedtuple("ErrorModel", ["eval_bound", "input_lipschitz"])
 
-# max_t t e^{-t/2} (at t=2) and max_t sqrt(t) e^{-t/2} (at t=1): the
-# scale-free peaks of the RBF entry/derivative magnitudes used to turn
-# per-pair bounds into global constants.
-_MAX_TE = 2.0 / np.e
+# max_t sqrt(t) e^{-t/2} (at t=1): the scale-free peak of the RBF
+# derivative magnitude, used for the input-perturbation Lipschitz
+# bounds (|dk/dq_d| = k |z_d| / ls_d <= k sqrt(t) / ls_d).
 _MAX_STE = float(np.exp(-0.5))
 
 
@@ -125,7 +137,24 @@ def _lv_model(lipschitz_lyapunov, lipschitz_model, u):
         .format(type(lipschitz_lyapunov).__name__))
 
 
-def _gp_statics(gp, u, d):
+def _column_batch(vals, n_pts):
+    """Normalize an L_v evaluation to ``(N, dv)``.
+
+    Mirrors ``lyapunov._as_column_batch``: a ``(N,)`` result is one
+    constant PER STATE and must become a column, not a row (an
+    ``atleast_2d`` row would broadcast to ``(N, N)`` and sum constants
+    across the batch)."""
+    vals = jnp.asarray(vals)
+    if vals.ndim == 0:
+        vals = vals.reshape(1, 1)
+    elif vals.ndim == 1:
+        vals = vals.reshape(-1, 1)
+    if vals.shape[0] == 1 and n_pts > 1:
+        vals = jnp.broadcast_to(vals, (n_pts, vals.shape[1]))
+    return vals
+
+
+def _gp_statics(gp, u):
     """Precompute the per-GP constants of the error analysis.
 
     ``gp`` must be a (possibly multi-output) :class:`GaussianProcess`
@@ -146,81 +175,96 @@ def _gp_statics(gp, u, d):
     nd = gp.input_dim
     s2 = float(gp.scale) ** 2
     sigf2_raw = float(np.asarray(gp.kernel.variance))
-    sigf2 = sigf2_raw * s2
     ls = jnp.broadcast_to(
         jnp.atleast_1d(jnp.asarray(gp.kernel.lengthscales,
                                    dtype=config.dtype)), (nd,))
     mask = gp._mask()
     chol_abs = jnp.abs(gp.chol_inv)
     alpha_abs = jnp.abs(gp.alpha)
-    c_rows = chol_abs @ mask                      # masked row abs-sums
+    c_rows = mxu_dot(chol_abs, mask[:, None])[:, 0]  # masked row abs-sums
     s_b = jnp.sum(alpha_abs * c_rows[:, None], axis=0)   # (S,)
-    g_dot = _gamma(gp.capacity + 2, u)
-    g_kern = _gamma(3 * nd + 2, u)
     return {
         "gp": gp, "mean_mat": mean_mat, "nd": nd, "s2": s2,
         "scale": float(gp.scale), "sigf2_raw": sigf2_raw,
-        "sigf2": sigf2, "ls": ls, "beta": float(gp.beta),
+        "sigf2": sigf2_raw * s2, "ls": ls, "beta": float(gp.beta),
         "mask": mask, "chol_abs": chol_abs, "alpha_abs": alpha_abs,
-        "c_rows": c_rows, "s_b": s_b, "g_dot": g_dot,
-        # Global RBF-entry bounds: |delta k| and |dk/dq_dim| peak at
-        # the scale-free maxima of t e^{-t/2} / sqrt(t) e^{-t/2}.
-        "dk_abs": sigf2 * (0.5 * _MAX_TE * g_kern + 8.0 * u),
-        "dkdq": sigf2 * _MAX_STE / ls,
+        "c_rows": c_rows, "s_b": s_b,
+        "g_dot": _gamma(gp.capacity + 2, u),
+        # squared-distance arithmetic: /ls scaling, xx/zz dots, the
+        # cross matmul, and the 3-term combination (both the XLA
+        # xx-2cross+zz form and the Pallas per-dim-diff form)
+        "g_sq": _gamma(3 * nd + 8, u),
+        "dkdq": sigf2_raw * s2 * _MAX_STE / ls,
         "g_mean": 0.0 if mean_mat is None else _gamma(nd + 1, u),
     }
 
 
-def _gp_terms(st, q, du, d, u):
+def _gp_terms(st, q, dq, u):
     """Per-point GP posterior magnitudes and error bounds.
 
-    Returns ``(mu_hat, d_mu, err_hat, d_err)``, each ``(N, S)``:
-    the f32 posterior mean / its total error bound (evaluation rounding
-    plus the action-perturbation ``du`` propagated through the RBF
-    Lipschitz bounds), and the f32 confidence term ``beta * std`` /
-    its error bound (via the exact identity
-    ``|sqrt(a) - sqrt(b)| = |a - b| / (sqrt(a) + sqrt(b))``).
+    ``dq`` is the ``(N, nd)`` input-coordinate uncertainty (policy
+    rounding on the action dims; refined-coordinate rounding on the
+    state dims when the refined sweep is covered). Returns
+    ``(mu_hat, d_mu, err_hat, d_err)``, each ``(N, S)``: the f32
+    posterior mean / its total error bound, and the f32 confidence term
+    ``beta * std`` / its error bound (via the exact identity
+    ``|sqrt(a) - sqrt(b)| = |a - b| / (sqrt(a) + sqrt(b))``). Every
+    magnitude anchor carries ``+2 error`` two-sided slack so it bounds
+    the REAL sweep's f32 intermediates, not just this sweep's.
     """
     gp = st["gp"]
-    nd, s2, scale = st["nd"], st["s2"], st["scale"]
-    act_dims = slice(d, nd)
+    s2, scale = st["s2"], st["scale"]
     g_dot = st["g_dot"]
 
-    # -- pipeline magnitudes (mirrors predict's XLA chain) ------------
-    kx = s2 * gp.kernel(gp.X_buf, q) * st["mask"][:, None]   # (cap, N)
-    a_hat = gp.chol_inv @ kx
+    # -- kernel entries: per-pair sqdist-form error -------------------
+    xs = gp.X_buf / st["ls"]                               # (cap, nd)
+    qs = q / st["ls"]                                      # (N, nd)
+    xx = jnp.sum(xs * xs, axis=1, keepdims=True)           # (cap, 1)
+    qq = jnp.sum(qs * qs, axis=1)[None, :]                 # (1, N)
+    cross_abs = mxu_dot(jnp.abs(xs), jnp.abs(qs).T)        # (cap, N)
+    s_mag = xx + 2.0 * cross_abs + qq                      # (cap, N)
+    dt = st["g_sq"] * s_mag
+    kx = s2 * gp.kernel(gp.X_buf, q) * st["mask"][:, None]  # (cap, N)
+    kx_abs = jnp.abs(kx)
+    # |delta k| <= k (e^{dt/2} - 1) + 4u k (exp + scale/mask multiplies)
+    dk = (kx_abs * jnp.expm1(0.5 * dt) + 4.0 * u * kx_abs) \
+        * st["mask"][:, None]
+
+    # -- solve chain --------------------------------------------------
+    a_hat = mxu_dot(gp.chol_inv, kx)
     a_abs = jnp.abs(a_hat)
-    r = st["chol_abs"] @ jnp.abs(kx)
-    da = st["c_rows"][:, None] * st["dk_abs"] + (g_dot + u) * r
-    a_tot = a_abs + da
+    r = mxu_dot(st["chol_abs"], kx_abs + 2.0 * dk)
+    da = mxu_dot(st["chol_abs"], dk) + (g_dot + u) * r
+    a_tot = a_abs + 2.0 * da
 
     # posterior-mean rounding per output: (N, S)
-    e_mn = (da.T @ st["alpha_abs"]
-            + (g_dot + 2.0 * u) * (a_tot.T @ st["alpha_abs"]))
-    mean_num = (a_hat.T @ gp.alpha) / scale
+    e_mn = (mxu_dot(da.T, st["alpha_abs"])
+            + (g_dot + 2.0 * u) * mxu_dot(a_tot.T, st["alpha_abs"]))
+    mean_num = mxu_dot(a_hat.T, gp.alpha) / scale
     prior = 0.0 if gp.mean_function is None else gp.mean_function(q)
     mu_hat = mean_num + prior
     mean_mat = st["mean_mat"]
     e_prior = (0.0 if mean_mat is None
-               else st["g_mean"] * (jnp.abs(q) @ jnp.abs(mean_mat).T))
+               else st["g_mean"] * mxu_dot(jnp.abs(q),
+                                           jnp.abs(mean_mat).T))
     e_mu_eval = e_mn / scale + u * jnp.abs(mean_num) \
         + e_prior + 2.0 * u * jnp.abs(mu_hat)
 
-    # action-perturbation propagation through the mean
-    l_mu_sd = (st["sigf2"] * _MAX_STE / (scale * st["ls"][act_dims]))
-    pert_core = du @ l_mu_sd[:, None]                     # (N, 1)
-    d_mu_pert = pert_core * st["s_b"][None, :]            # (N, S)
+    # input-perturbation propagation through the mean
+    l_mu_d = st["sigf2"] * _MAX_STE / (scale * st["ls"])   # (nd,)
+    pert_core = mxu_dot(dq, l_mu_d[:, None])               # (N, 1)
+    d_mu_pert = pert_core * st["s_b"][None, :]             # (N, S)
     if mean_mat is not None:
-        d_mu_pert = d_mu_pert + du @ jnp.abs(mean_mat[:, act_dims]).T
+        d_mu_pert = d_mu_pert + mxu_dot(dq, jnp.abs(mean_mat).T)
     d_mu = e_mu_eval + d_mu_pert
 
     # -- variance / std rounding --------------------------------------
-    sum_a2 = jnp.sum(a_hat * a_hat, axis=0)               # (N,)
+    sum_a2 = jnp.sum(a_hat * a_hat, axis=0)                # (N,)
     var_hat = jnp.maximum(gp.kernel.diag(q) - sum_a2 / s2, 1e-12)
     d_sum_a2 = jnp.sum(2.0 * a_tot * da + g_dot * a_tot ** 2, axis=0)
     d_var = (d_sum_a2 + u * sum_a2) / s2 + u * st["sigf2_raw"] \
         + u * jnp.abs(var_hat)
-    dvar_pert = (du @ st["dkdq"][act_dims, None])[:, 0] \
+    dvar_pert = mxu_dot(dq, st["dkdq"][:, None])[:, 0] \
         * (2.0 / s2) * jnp.sum(a_tot * st["c_rows"][:, None], axis=0)
     d_var_tot = d_var + dvar_pert
     sig_hat = jnp.sqrt(var_hat)
@@ -230,24 +274,34 @@ def _gp_terms(st, q, du, d, u):
     n_out = mu_hat.shape[1]
     err_hat = jnp.broadcast_to((st["beta"] * sig_hat)[:, None],
                                (q.shape[0], n_out))
-    d_err = st["beta"] * d_sig[:, None] + u * err_hat
+    d_err = st["beta"] * d_sig[:, None] + 2.0 * u * err_hat
     return mu_hat, d_mu, err_hat, d_err
 
 
 def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
-                                lipschitz_model=None, set_margin=True):
+                                lipschitz_model=None, refinement=1,
+                                set_margin=True):
     """Derived (non-sampled) conservative margin for the f32 sweep.
 
-    Runs one absolute-value sweep over the FULL grid computing, at every
+    Runs an absolute-value sweep over the FULL grid computing, at every
     state, a rigorous bound on ``|margin_f32(x) - margin_f64(x)|`` under
     the rounding model in the module docstring, and returns
-    ``safety * max_x bound(x)``. With ``set_margin=True`` also installs
+    ``safety * max_x bound(x)`` (inflated by ``1/(1-4u)`` for the
+    comparison's own rounding). With ``set_margin=True`` also installs
     the companion level margin (``2 * max |v_f32 - v_f64|`` bound plus
     an ulp floor), mirroring
     :func:`~safe_learning_tpu.oracle.calibrate_certificate_margin`.
 
+    ``refinement=R`` additionally evaluates the bound at the ``R^d``
+    refined sub-grid points of EVERY cell — required when the margin
+    will guard ``update_safe_set(..., max_refinement=R)``, whose
+    refined checks run at points the base-grid maximum does not
+    dominate (the sub-point coordinates' own f32 construction rounding
+    is propagated through the state dims). With the default
+    ``refinement=1`` the margin covers unrefined sweeps only.
+
     Unlike the calibrator this needs no float64 oracle pass and covers
-    every grid point, at the price of supporting only the analyzed
+    every checked point, at the price of supporting only the analyzed
     function types and overshooting the true error by the worst-case-
     analysis factor (the abs-value matvec bound scales with the cached
     factor's condition number: ~1000x on the ill-conditioned property
@@ -264,6 +318,8 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
         the stated model; keep >1 only for belt-and-braces).
     lipschitz_model : ErrorModel, optional
         Rounding model for a non-constant ``L_v`` function.
+    refinement : int, optional
+        Cover the refined sub-grid points up to this refinement level.
     set_margin : bool, optional
         Install ``certificate_margin`` / ``level_margin`` on the
         instance.
@@ -273,6 +329,11 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
     margin : float
         The installed (or would-be) decrease-comparison margin.
     """
+    if getattr(config, "pallas_precision", "highest") != "highest":
+        raise RuntimeError(
+            "analytic_certificate_margin's rounding model requires "
+            "config.pallas_precision == 'highest' (the 3-pass 'high' "
+            "mode rounds at ~2^-17 per op and voids the bound)")
     u = _unit_roundoff()
     dyn = lyapunov.dynamics
     grid = lyapunov.discretization
@@ -297,7 +358,7 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
     pol_mat, pol_gamma = _policy_terms(lyapunov.policy, u)
     lvm = _lv_model(lyapunov._lipschitz_lyapunov, lipschitz_model, u)
     lv_lip = jnp.asarray(lvm.input_lipschitz, dtype=config.dtype)
-    statics = [_gp_statics(gp, u, d) for gp in gp_list]
+    statics = [_gp_statics(gp, u) for gp in gp_list]
 
     lf = float(lyapunov._lipschitz_dynamics)
     tau = float(lyapunov.tau)
@@ -306,31 +367,33 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
     g_quad = _gamma(2 * d + 2, u)
 
     def _lv_at(x, n_pts):
-        lv = jnp.atleast_2d(jnp.asarray(
+        return _column_batch(
             lyapunov._lipschitz_lyapunov(x)
             if callable(lyapunov._lipschitz_lyapunov)
-            else lyapunov._lipschitz_lyapunov))
-        if lv.shape[0] == 1 and n_pts > 1:
-            lv = jnp.broadcast_to(lv, (n_pts, lv.shape[1]))
-        return lv
+            else lyapunov._lipschitz_lyapunov, n_pts)
 
     def _lv_err_at(x, n_pts):
-        e = jnp.atleast_2d(lvm.eval_bound(x))
-        if e.shape[0] == 1 and n_pts > 1:
-            e = jnp.broadcast_to(e, (n_pts, e.shape[1]))
-        return e
+        return _column_batch(lvm.eval_bound(x), n_pts)
 
-    def batch_bound(pts):
-        """Per-state bound on |margin_f32 - margin_f64| (N,)."""
+    def batch_bound(pts, dx):
+        """Per-state bound on |margin_f32 - margin_f64| (N,).
+
+        ``dx`` is the state-coordinate uncertainty (zero on the base
+        grid; f32 construction rounding at refined sub-points)."""
         n_pts = pts.shape[0]
         # -- policy + its rounding ------------------------------------
         acts = lyapunov.policy(pts)
-        du = (jnp.zeros_like(acts) if pol_mat is None
-              else pol_gamma * (jnp.abs(pts) @ jnp.abs(pol_mat).T))
+        if pol_mat is None:
+            du = jnp.zeros_like(acts)
+        else:
+            pmat_abs = jnp.abs(pol_mat)
+            du = pol_gamma * mxu_dot(jnp.abs(pts), pmat_abs.T) \
+                + mxu_dot(dx, pmat_abs.T)
         q = jnp.concatenate([pts, acts], axis=1)
+        dq = jnp.concatenate([dx, du], axis=1)
 
         # -- GP outputs (one multi-output GP, or stacked views) -------
-        parts = [_gp_terms(st, q, du, d, u) for st in statics]
+        parts = [_gp_terms(st, q, dq, u) for st in statics]
         mu_hat = jnp.concatenate([p[0] for p in parts], axis=1)
         d_mu = jnp.concatenate([p[1] for p in parts], axis=1)
         err_hat = jnp.concatenate([p[2] for p in parts], axis=1)
@@ -338,36 +401,40 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
 
         # -- Lyapunov value terms -------------------------------------
         mu_abs = jnp.abs(mu_hat)
+        pts_abs = jnp.abs(pts)
         d_mu_l1 = jnp.sum(d_mu, axis=1)                       # (N,)
-        e_v_next = (jnp.sum((d_mu @ p_sym) * mu_abs, axis=1)
-                    + jnp.sum((d_mu @ p_abs) * d_mu, axis=1)
-                    + g_quad * jnp.sum((mu_abs @ p_abs) * mu_abs,
-                                       axis=1))
-        e_v_x = g_quad * jnp.sum((jnp.abs(pts) @ p_abs) * jnp.abs(pts),
-                                 axis=1)
+        v_next_mag = jnp.sum(mxu_dot(mu_abs, p_abs) * mu_abs, axis=1)
+        v_x_mag = jnp.sum(mxu_dot(pts_abs, p_abs) * pts_abs, axis=1)
+        e_v_next = (jnp.sum(mxu_dot(d_mu, p_sym) * (mu_abs + d_mu),
+                            axis=1)
+                    + g_quad * v_next_mag)
+        e_v_x = (jnp.sum(mxu_dot(dx, p_sym) * (pts_abs + dx), axis=1)
+                 + g_quad * v_x_mag)
 
         # -- L_v * err decrease term ----------------------------------
         lv_abs = jnp.abs(_lv_at(mu_hat, n_pts))               # (N, dv)
         if lv_abs.shape[1] == 1 and err_hat.shape[1] > 1:
-            lv_abs = jnp.broadcast_to(
-                lv_abs, (n_pts, err_hat.shape[1]))
-        d_lv = _lv_err_at(mu_hat, n_pts) + lv_lip * d_mu_l1[:, None]
-        errterm_hat = jnp.sum(lv_abs * err_hat, axis=1)
+            lv_abs = jnp.broadcast_to(lv_abs, (n_pts, err_hat.shape[1]))
+        d_lv = _lv_err_at(mu_hat, n_pts) \
+            + 2.0 * lv_lip * d_mu_l1[:, None]
+        errterm_anchor = jnp.sum((lv_abs + d_lv) * (err_hat + d_err),
+                                 axis=1)
         d_errterm = (jnp.sum((lv_abs + d_lv) * d_err
-                             + d_lv * err_hat, axis=1)
-                     + _gamma(lv_abs.shape[1] + 1, u) * errterm_hat)
+                             + d_lv * (err_hat + d_err), axis=1)
+                     + _gamma(lv_abs.shape[1] + 1, u) * errterm_anchor)
 
         # -- threshold ------------------------------------------------
         lv_x = _lv_at(pts, n_pts)
-        thr_mag = jnp.sum(jnp.abs(lv_x), axis=1) * (1.0 + lf) * tau
-        d_thr = (jnp.sum(_lv_err_at(pts, n_pts), axis=1)
-                 * (1.0 + lf) * tau
+        dx_l1 = jnp.sum(dx, axis=1)
+        d_lv_x = _lv_err_at(pts, n_pts) + 2.0 * lv_lip * dx_l1[:, None]
+        thr_mag = jnp.sum(jnp.abs(lv_x) + d_lv_x, axis=1) \
+            * (1.0 + lf) * tau
+        d_thr = (jnp.sum(d_lv_x, axis=1) * (1.0 + lf) * tau
                  + _gamma(lv_x.shape[1] + 3, u) * thr_mag)
 
         # -- assemble -------------------------------------------------
-        v_next_mag = jnp.sum((mu_abs @ p_abs) * mu_abs, axis=1)
-        v_x_mag = jnp.sum((jnp.abs(pts) @ p_abs) * jnp.abs(pts), axis=1)
-        final_sums = _gamma(4, u) * (v_next_mag + v_x_mag + errterm_hat)
+        final_sums = _gamma(4, u) * (v_next_mag + v_x_mag
+                                     + errterm_anchor)
         return (e_v_next + e_v_x + d_errterm + d_thr + final_sums,
                 e_v_x)
 
@@ -376,16 +443,39 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
     worst_v = 0.0
     v_scale = 0.0
     pts_all = grid.all_points
-    for start in range(0, grid.nindex, batch_size):
-        pts = jnp.asarray(pts_all[start:start + batch_size],
-                          dtype=config.dtype)
-        eps_b, ev_b = jax.device_get(bound_jit(pts))
-        worst = max(worst, float(np.max(eps_b)))
-        worst_v = max(worst_v, float(np.max(ev_b)))
-        vals = np.abs(np.asarray(lyapunov.lyapunov_function(pts)))
-        v_scale = max(v_scale, float(np.max(vals)))
+    refinement = int(refinement)
+    if refinement < 1:
+        raise ValueError("refinement must be >= 1")
+    unit = np.asarray(grid.unit_maxes, dtype=np.float64)
+    if refinement == 1:
+        offset_list = [np.zeros(d)]
+    else:
+        # The refined sweep checks the R^d sub-grid covering each cell
+        # (lyapunov._refined_negative_batch): offsets span the cell.
+        steps = (np.arange(refinement) + 0.5) / refinement - 0.5
+        offset_list = [np.array(c) * unit for c in
+                       itertools.product(steps, repeat=d)]
+        offset_list.append(np.zeros(d))
 
-    margin = float(safety) * worst
+    for offset in offset_list:
+        off_dev = jnp.asarray(offset, dtype=config.dtype)
+        coord_rounding = float(np.any(offset != 0.0))
+        for start in range(0, grid.nindex, batch_size):
+            pts = jnp.asarray(pts_all[start:start + batch_size],
+                              dtype=config.dtype) + off_dev
+            # f32 construction rounding of refined coordinates
+            # (states + offset): one add -> u |result| per dim.
+            dx = coord_rounding * 2.0 * _unit_roundoff() * jnp.abs(pts)
+            eps_b, ev_b = jax.device_get(bound_jit(pts, dx))
+            worst = max(worst, float(np.max(eps_b)))
+            worst_v = max(worst_v, float(np.max(ev_b)))
+            vals = np.abs(np.asarray(lyapunov.lyapunov_function(pts)))
+            v_scale = max(v_scale, float(np.max(vals)))
+
+    # 1/(1-4u): the f32 `threshold - margin` subtraction and the final
+    # comparison round at u * (|thr| + margin); solving for a margin
+    # that still dominates after its own rounding.
+    margin = float(safety) * worst / (1.0 - 4.0 * u)
     eps_dtype = float(np.finfo(config.np_dtype).eps)
     level_margin = max(2.0 * float(safety) * worst_v,
                        4.0 * eps_dtype * (v_scale or 1.0))

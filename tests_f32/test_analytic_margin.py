@@ -179,3 +179,85 @@ def test_analytic_margin_supports_stacked_gps():
     safe64, _ = oracle_safe_set(lyap)
     assert not (lyap.safe_set & ~safe64).any()
     assert 0.02 < lyap.safe_set.mean() < 0.98
+
+
+def _offset_domain_instance():
+    """Domain far from the origin in lengthscale units: the XLA
+    squared-distance form xx - 2 cross + zz cancels catastrophically
+    (magnitudes ~ |x/ls|^2 >> t), the regime where a bound modeled on
+    the small distance itself would under-cover by orders."""
+    rng = np.random.default_rng(31)
+    grid = sl.GridWorld([[2.0, 4.0], [2.0, 4.0]], 31)
+    a = np.array([[0.3, 0.0], [0.0, 0.25]])
+    b = np.zeros((2, 1))
+    policy = sl.LinearSystem(np.zeros((1, 2)))
+    v = sl.QuadraticFunction(np.eye(2))
+    n_train = 30
+    x_train = np.column_stack([
+        rng.uniform(2.0, 4.0, n_train), rng.uniform(2.0, 4.0, n_train),
+        np.zeros(n_train)])
+    y_train = x_train[:, :2] @ a.T
+    gp = sl.GaussianProcess(
+        sl.RBF(0.4, [0.15, 0.15, 1.0], input_dim=3), x_train, y_train,
+        noise_variance=5e-3, beta=2.0,
+        mean_function=sl.LinearSystem([a, b]))
+    lv = sl.LambdaFunction(lambda x: 2.0 * jnp.abs(x))
+    lf = 0.3
+    tau = float(np.min(grid.unit_maxes))
+    return sl.Lyapunov(grid, v, gp, lf, lv, tau, policy,
+                       initial_set=[0])
+
+
+def test_domination_in_the_cancellation_regime():
+    """Per-pair sqdist-form error modeling: the bound must dominate the
+    measured error even when xx + 2|cross| + zz >> t (points ~20
+    lengthscales from the origin)."""
+    lyap = _offset_domain_instance()
+    margin = analytic_certificate_margin(lyap, safety=1.0,
+                                         lipschitz_model=_LV_MODEL,
+                                         set_margin=False)
+    err = _measured_worst_error(lyap)
+    assert margin >= err, (margin, err)
+
+
+def test_row_shaped_lipschitz_callable():
+    """An L_v callable returning (N,) — one constant per state — must
+    become a column, not broadcast to (N, N) (the lyapunov
+    _as_column_batch hazard)."""
+    lyap = _well_conditioned_instance()
+    lyap._lipschitz_lyapunov = sl.LambdaFunction(
+        lambda x: 2.0 * jnp.linalg.norm(x, axis=1))
+    model = ErrorModel(
+        lambda x: 4.0 * np.finfo(np.float32).eps / 2 * 4.0
+        * jnp.linalg.norm(x, axis=1), 2.0)
+    margin = analytic_certificate_margin(lyap, lipschitz_model=model,
+                                         set_margin=False)
+    assert np.isfinite(margin) and 0.0 < margin < 1.0
+
+
+def test_refinement_coverage_and_containment():
+    """refinement=R covers the adaptive sweep's sub-grid points; the
+    refined margin is at least the base margin, and containment holds
+    through an adaptive update_safe_set."""
+    lyap = _well_conditioned_instance()
+    base = analytic_certificate_margin(lyap, lipschitz_model=_LV_MODEL,
+                                       set_margin=False)
+    refined = analytic_certificate_margin(lyap, lipschitz_model=_LV_MODEL,
+                                          refinement=3)
+    assert refined >= base
+    lyap.update_safe_set(max_refinement=3)
+    safe64, _ = oracle_safe_set(lyap)
+    assert not (lyap.safe_set & ~safe64).any()
+
+
+def test_precision_guard():
+    """A non-'highest' Pallas precision voids the rounding model and
+    must be rejected loudly."""
+    lyap = _well_conditioned_instance()
+    old = config.pallas_precision
+    try:
+        config.pallas_precision = "high"
+        with pytest.raises(RuntimeError, match="highest"):
+            analytic_certificate_margin(lyap, lipschitz_model=_LV_MODEL)
+    finally:
+        config.pallas_precision = old
