@@ -161,7 +161,7 @@ def oracle_safe_set(lyapunov):
 
 
 def calibrate_certificate_margin(lyapunov, num_samples=4096, safety=2.0,
-                                 rng=None, set_margin=True):
+                                 rng=None, set_margin=True, refinement=1):
     """Measure the f32 pipeline error and install a dominating margin.
 
     Compares the device (working-dtype) decrease margins against the
@@ -184,6 +184,14 @@ def calibrate_certificate_margin(lyapunov, num_samples=4096, safety=2.0,
     set_margin : bool, optional
         Install the results as ``lyapunov.certificate_margin`` and
         ``lyapunov.level_margin``.
+    refinement : int, optional
+        When the margin will guard adaptive sweeps
+        (``update_safe_set(..., max_refinement=R)``), pass ``R``:
+        half the subsample is displaced onto random points of the
+        ``R``-refined sub-grid (the exact construction
+        ``_refined_negative_batch`` checks), so the measured error also
+        covers the refined comparisons a base-grid sample would miss
+        (e.g. a training input strictly inside a cell).
     """
     from .lyapunov import _negative_batch, _values_batch
 
@@ -194,6 +202,18 @@ def calibrate_certificate_margin(lyapunov, num_samples=4096, safety=2.0,
         pts = grid.all_points[np.sort(idx)]
     else:
         pts = grid.all_points
+    refinement = int(refinement)
+    if refinement > 1:
+        # Mirror _refined_negative_batch's sub-grid: offsets span
+        # +-0.5*(1 - 1/R)*unit_maxes with R points per dim (inclusive).
+        pts = np.array(pts, dtype=config.np_dtype)
+        half = pts.shape[0] // 2
+        j = rng.integers(0, refinement, size=(half, pts.shape[1]))
+        unit = -1.0 + 2.0 * j / (refinement - 1.0)
+        half_width = (0.5 * (1.0 - 1.0 / refinement)
+                      * np.asarray(lyapunov.discretization.unit_maxes))
+        pts[:half] = pts[:half] + (half_width * unit).astype(
+            config.np_dtype)
 
     _, dec, thr = _negative_batch(
         lyapunov.policy, lyapunov.dynamics, lyapunov.lyapunov_function,

@@ -129,3 +129,40 @@ def test_calibrated_margin_dominates_subsample_error():
     # A fresh subsample's error stays under the installed margin (the
     # safety factor covers the unseen tail).
     assert np.max(np.abs(dev - exact)) <= margin
+
+
+def test_calibration_with_refined_sample_covers_adaptive_sweep():
+    """refinement=R displaces half the calibration sample onto the
+    R-refined sub-grid (the exact construction the adaptive sweep
+    checks); the resulting margin must dominate the TRUE worst f32
+    error measured exhaustively over the full R-refined point set —
+    the coverage a base-grid-only sample cannot promise."""
+    import itertools
+
+    import jax.numpy as jnp
+
+    from safe_learning_tpu.config import config
+    from safe_learning_tpu.lyapunov import _negative_batch
+    from safe_learning_tpu.oracle import oracle_margins
+
+    lyap = _random_instance(3)
+    R = 4
+    grid = lyap.discretization
+    unit = np.asarray(grid.unit_maxes)
+    base = np.array(grid.all_points, dtype=config.np_dtype)
+    worst = 0.0
+    for combo in itertools.product(range(R), repeat=grid.ndim):
+        off = (0.5 * (1 - 1 / R)) * unit * (
+            -1.0 + 2.0 * np.array(combo) / (R - 1.0))
+        pts = base + off.astype(config.np_dtype)
+        _, dec, thr = _negative_batch(
+            lyap.policy, lyap.dynamics, lyap.lyapunov_function,
+            lyap._lipschitz_lyapunov, lyap._lipschitz_dynamics,
+            lyap.tau, jnp.asarray(pts))
+        md = np.asarray(dec, np.float64) - np.asarray(thr, np.float64)
+        worst = max(worst, float(np.max(np.abs(
+            md - oracle_margins(lyap, pts)))))
+
+    m_ref = calibrate_certificate_margin(lyap, num_samples=2048,
+                                         refinement=R, set_margin=False)
+    assert m_ref >= worst, (m_ref, worst)
