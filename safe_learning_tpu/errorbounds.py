@@ -138,17 +138,14 @@ def _lv_model(lipschitz_lyapunov, lipschitz_model, u):
 
 
 def _column_batch(vals, n_pts):
-    """Normalize an L_v evaluation to ``(N, dv)``.
+    """Normalize an L_v evaluation to ``(N, dv)``, broadcasting rows.
 
-    Mirrors ``lyapunov._as_column_batch``: a ``(N,)`` result is one
-    constant PER STATE and must become a column, not a row (an
-    ``atleast_2d`` row would broadcast to ``(N, N)`` and sum constants
-    across the batch)."""
-    vals = jnp.asarray(vals)
-    if vals.ndim == 0:
-        vals = vals.reshape(1, 1)
-    elif vals.ndim == 1:
-        vals = vals.reshape(-1, 1)
+    Delegates the ``(N,)``-to-column hazard to the sweep's own
+    ``lyapunov._as_column_batch`` (single source of the shape rule) and
+    adds only the batch broadcast."""
+    from .lyapunov import _as_column_batch
+
+    vals = _as_column_batch(jnp.asarray(vals))
     if vals.shape[0] == 1 and n_pts > 1:
         vals = jnp.broadcast_to(vals, (n_pts, vals.shape[1]))
     return vals
@@ -455,17 +452,26 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
         steps = (np.arange(refinement) + 0.5) / refinement - 0.5
         offset_list = [np.array(c) * unit for c in
                        itertools.product(steps, repeat=d)]
-        offset_list.append(np.zeros(d))
+        if refinement % 2 == 0:
+            # Odd R's lattice already contains the zero offset.
+            offset_list.append(np.zeros(d))
 
     for offset in offset_list:
         off_dev = jnp.asarray(offset, dtype=config.dtype)
         coord_rounding = float(np.any(offset != 0.0))
+        # f32 construction rounding of refined coordinates: the unit
+        # cast, two half_width multiplies, and the add each round
+        # proportionally to |offset| OR |result| (a near-cancelling
+        # state + offset rounds on |offset|, not the small result).
+        # 8 * u32 covers both constructions two-sided INDEPENDENT of
+        # fp_error_factor (this term must not shrink with the slack).
+        u32 = float(np.finfo(config.np_dtype).eps) / 2.0
+        off_abs = jnp.abs(off_dev)
         for start in range(0, grid.nindex, batch_size):
             pts = jnp.asarray(pts_all[start:start + batch_size],
                               dtype=config.dtype) + off_dev
-            # f32 construction rounding of refined coordinates
-            # (states + offset): one add -> u |result| per dim.
-            dx = coord_rounding * 2.0 * _unit_roundoff() * jnp.abs(pts)
+            dx = coord_rounding * 8.0 * u32 * (jnp.abs(pts)
+                                               + off_abs[None, :])
             eps_b, ev_b = jax.device_get(bound_jit(pts, dx))
             worst = max(worst, float(np.max(eps_b)))
             worst_v = max(worst_v, float(np.max(ev_b)))

@@ -106,15 +106,18 @@ def _has_cpu_backend():
         return False
 
 
-def oracle_margins(lyapunov, states):
+def oracle_margins(lyapunov, states, tau=None):
     """Exact-arithmetic margins ``decrease - threshold`` at ``states``.
 
     Evaluates the full decrease-condition pipeline — policy, dynamics
     (GP posterior re-factorized in float64), Lyapunov values, Lipschitz
     threshold — of the given :class:`~safe_learning_tpu.Lyapunov`
     instance in float64 on the CPU backend. Negative margin means the
-    point passes the exact check. Returns a float64 numpy array.
+    point passes the exact check. ``tau`` overrides the instance's
+    discretization constant (the refined check uses ``tau / R``).
+    Returns a float64 numpy array.
     """
+    tau = lyapunov.tau if tau is None else tau
     with _oracle_env():
         policy = lift64(lyapunov.policy)
         dynamics = lift64(lyapunov.dynamics)
@@ -125,7 +128,7 @@ def oracle_margins(lyapunov, states):
         actions = policy(points)
         next_states = dynamics(points, actions)
         decrease = _decrease_bound(v_fun, lip_v, points, next_states)
-        threshold = _threshold(lip_v, lip_f, points, lyapunov.tau)
+        threshold = _threshold(lip_v, lip_f, points, tau)
         margins = decrease - jnp.broadcast_to(threshold, decrease.shape)
         return np.asarray(margins, dtype=np.float64).ravel()
 
@@ -186,10 +189,11 @@ def calibrate_certificate_margin(lyapunov, num_samples=4096, safety=2.0,
         ``lyapunov.level_margin``.
     refinement : int, optional
         When the margin will guard adaptive sweeps
-        (``update_safe_set(..., max_refinement=R)``), pass ``R``:
-        half the subsample is displaced onto random points of the
-        ``R``-refined sub-grid (the exact construction
-        ``_refined_negative_batch`` checks), so the measured error also
+        (``update_safe_set(..., max_refinement=R)``), pass ``R``: a
+        random half of the subsample is displaced onto random points of
+        the ``R``-refined sub-grid AND measured against the refined
+        threshold ``tau / R`` (the exact comparison
+        ``_refined_negative_batch`` makes), so the measured error also
         covers the refined comparisons a base-grid sample would miss
         (e.g. a training input strictly inside a cell).
     """
@@ -203,26 +207,42 @@ def calibrate_certificate_margin(lyapunov, num_samples=4096, safety=2.0,
     else:
         pts = grid.all_points
     refinement = int(refinement)
+    pts = np.array(pts, dtype=config.np_dtype)
+    refined_mask = np.zeros(pts.shape[0], dtype=bool)
     if refinement > 1:
         # Mirror _refined_negative_batch's sub-grid: offsets span
         # +-0.5*(1 - 1/R)*unit_maxes with R points per dim (inclusive).
-        pts = np.array(pts, dtype=config.np_dtype)
-        half = pts.shape[0] // 2
-        j = rng.integers(0, refinement, size=(half, pts.shape[1]))
+        # A RANDOM half is displaced (the sample is grid-index sorted,
+        # so displacing a prefix would only ever probe low-index
+        # states).
+        refined_mask = rng.random(pts.shape[0]) < 0.5
+        n_ref = int(refined_mask.sum())
+        j = rng.integers(0, refinement, size=(n_ref, pts.shape[1]))
         unit = -1.0 + 2.0 * j / (refinement - 1.0)
         half_width = (0.5 * (1.0 - 1.0 / refinement)
                       * np.asarray(lyapunov.discretization.unit_maxes))
-        pts[:half] = pts[:half] + (half_width * unit).astype(
-            config.np_dtype)
+        pts[refined_mask] = pts[refined_mask] + (
+            half_width * unit).astype(config.np_dtype)
 
-    _, dec, thr = _negative_batch(
-        lyapunov.policy, lyapunov.dynamics, lyapunov.lyapunov_function,
-        lyapunov._lipschitz_lyapunov, lyapunov._lipschitz_dynamics,
-        lyapunov.tau, jnp.asarray(pts, dtype=config.dtype))
-    margins_dev = (np.asarray(dec, dtype=np.float64)
-                   - np.asarray(thr, dtype=np.float64))
-    margins_f64 = oracle_margins(lyapunov, pts)
-    err = float(np.max(np.abs(margins_dev - margins_f64)))
+    def _measure(points, tau):
+        if points.shape[0] == 0:
+            return 0.0
+        _, dec, thr = _negative_batch(
+            lyapunov.policy, lyapunov.dynamics,
+            lyapunov.lyapunov_function, lyapunov._lipschitz_lyapunov,
+            lyapunov._lipschitz_dynamics, tau,
+            jnp.asarray(points, dtype=config.dtype))
+        margins_dev = (np.asarray(dec, dtype=np.float64)
+                       - np.asarray(thr, dtype=np.float64))
+        return float(np.max(np.abs(
+            margins_dev - oracle_margins(lyapunov, points, tau=tau))))
+
+    # Refined points are measured against the threshold the refined
+    # check actually compares (tau / R): the decrease and threshold
+    # errors can partially cancel at tau and not at tau / R.
+    err = max(_measure(pts[~refined_mask], lyapunov.tau),
+              _measure(pts[refined_mask],
+                       lyapunov.tau / max(refinement, 1)))
     margin = float(safety) * err
 
     # Companion LEVEL margin: the certified-level cut compares f32

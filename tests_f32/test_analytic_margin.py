@@ -72,7 +72,7 @@ def test_analytic_bound_dominates_measured_error(seed):
     assert margin / err < 1e5, (margin, err)
 
 
-def _well_conditioned_instance():
+def _well_conditioned_instance(adaptive=False):
     """Strong contraction, moderate noise, smooth kernel: the regime
     where the derived margin is small enough to use end to end."""
     rng = np.random.default_rng(11)
@@ -99,7 +99,7 @@ def _well_conditioned_instance():
     vals = np.sum(grid.all_points ** 2, axis=1)
     initial = np.where(vals <= np.quantile(vals, 0.04))[0]
     return sl.Lyapunov(grid, v, gp, lf, lv, tau, policy,
-                       initial_set=initial)
+                       initial_set=initial, adaptive=adaptive)
 
 
 def test_analytic_margin_usable_when_well_conditioned():
@@ -237,17 +237,46 @@ def test_row_shaped_lipschitz_callable():
 
 def test_refinement_coverage_and_containment():
     """refinement=R covers the adaptive sweep's sub-grid points; the
-    refined margin is at least the base margin, and containment holds
-    through an adaptive update_safe_set."""
-    lyap = _well_conditioned_instance()
+    refined margin is at least the base margin, and the REFINED branch
+    (adaptive=True, so _refined_negative_batch actually runs) keeps the
+    certified set inside the refined f64 truth."""
+    lyap = _well_conditioned_instance(adaptive=True)
     base = analytic_certificate_margin(lyap, lipschitz_model=_LV_MODEL,
                                        set_margin=False)
     refined = analytic_certificate_margin(lyap, lipschitz_model=_LV_MODEL,
                                           refinement=3)
     assert refined >= base
     lyap.update_safe_set(max_refinement=3)
-    safe64, _ = oracle_safe_set(lyap)
-    assert not (lyap.safe_set & ~safe64).any()
+    # The refined sweep certifies more than the coarse oracle can
+    # confirm, so build the refined f64 truth: a state is truly safe if
+    # it passes the exact coarse check OR every refined sub-point
+    # passes the exact check at tau / R.
+    import itertools
+
+    from safe_learning_tpu.oracle import oracle_margins
+
+    grid = lyap.discretization
+    pts = grid.all_points
+    coarse_ok = oracle_margins(lyap, pts) < 0
+    R = 3
+    refined_ok = np.ones(grid.nindex, dtype=bool)
+    unit = np.asarray(grid.unit_maxes)
+    for combo in itertools.product(range(R), repeat=grid.ndim):
+        off = (0.5 * (1 - 1 / R)) * unit * (
+            -1.0 + 2.0 * np.array(combo) / (R - 1.0))
+        refined_ok &= oracle_margins(
+            lyap, pts + off.astype(pts.dtype), tau=lyap.tau / R) < 0
+    eligible = coarse_ok | refined_ok
+    exempt = np.zeros(grid.nindex, dtype=bool)
+    exempt[np.asarray([0])] = False
+    if lyap.initial_safe_set is not None:
+        eligible |= np.asarray(lyap.initial_safe_set, dtype=bool)
+    vals = np.asarray(lyap.lyapunov_function(pts)).ravel()
+    v_bad = np.inf if eligible.all() else vals[~eligible].min()
+    true_safe = vals < v_bad
+    if lyap.initial_safe_set is not None:
+        true_safe |= np.asarray(lyap.initial_safe_set, dtype=bool)
+    assert not (lyap.safe_set & ~true_safe).any()
 
 
 def test_precision_guard():

@@ -155,14 +155,15 @@ def test_calibration_with_refined_sample_covers_adaptive_sweep():
         off = (0.5 * (1 - 1 / R)) * unit * (
             -1.0 + 2.0 * np.array(combo) / (R - 1.0))
         pts = base + off.astype(config.np_dtype)
+        # Refined checks compare against tau / R — measure THAT error.
         _, dec, thr = _negative_batch(
             lyap.policy, lyap.dynamics, lyap.lyapunov_function,
             lyap._lipschitz_lyapunov, lyap._lipschitz_dynamics,
-            lyap.tau, jnp.asarray(pts))
+            lyap.tau / R, jnp.asarray(pts))
         md = np.asarray(dec, np.float64) - np.asarray(thr, np.float64)
         worst = max(worst, float(np.max(np.abs(
-            md - oracle_margins(lyap, pts)))))
+            md - oracle_margins(lyap, pts, tau=lyap.tau / R)))))
 
-    m_ref = calibrate_certificate_margin(lyap, num_samples=2048,
+    m_ref = calibrate_certificate_margin(lyap, num_samples=8192,
                                          refinement=R, set_margin=False)
     assert m_ref >= worst, (m_ref, worst)
