@@ -267,8 +267,6 @@ def test_refinement_coverage_and_containment():
         refined_ok &= oracle_margins(
             lyap, pts + off.astype(pts.dtype), tau=lyap.tau / R) < 0
     eligible = coarse_ok | refined_ok
-    exempt = np.zeros(grid.nindex, dtype=bool)
-    exempt[np.asarray([0])] = False
     if lyap.initial_safe_set is not None:
         eligible |= np.asarray(lyap.initial_safe_set, dtype=bool)
     vals = np.asarray(lyap.lyapunov_function(pts)).ravel()
