@@ -199,12 +199,21 @@ def main():
     # (sequential on device, pipelined dispatch), one final host sync.
     # A lax.scan over sweeps inside a single dispatch measures ~2.8x
     # slower on v5e: strict scan sequencing defeats the cross-dispatch
-    # pipelining of DMA and compute.
-    start = time.perf_counter()
-    for _ in range(iters):
-        carry, c_max, safe, any_safe = sweep_jit(points, carry)
-    float(c_max)  # single host sync
-    elapsed = time.perf_counter() - start
+    # pipelining of DMA and compute. Best of 3 blocks: the TPU relay's
+    # session latency varies ~+-30% and other processes draining their
+    # exit phase inflate it further — the fastest block measures the
+    # kernel, the slower ones measure interference.
+    # Relay interference only affects the TPU path; the CPU smoke run
+    # keeps a single block (3x its minutes-long sweep buys nothing).
+    blocks = 3 if jax.default_backend() == "tpu" else 1
+    best = float("inf")
+    for _ in range(blocks):
+        start = time.perf_counter()
+        for _ in range(iters):
+            carry, c_max, safe, any_safe = sweep_jit(points, carry)
+        float(c_max)  # single host sync
+        best = min(best, time.perf_counter() - start)
+    elapsed = best
 
     checks_per_sec = grid.nindex * iters / elapsed
     # The timed sweep is a SINGLE-device jit program (points committed to
