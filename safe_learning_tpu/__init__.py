@@ -40,7 +40,8 @@ __all__ = [
     "ConstantFunction", "DeterministicFunction", "Function", "FunctionStack",
     "LambdaFunction", "LinearSystem", "LyapunovNetwork", "MeanFunction",
     "MultipliedFunction", "NeuralNetwork", "PiecewiseConstant",
-    "GradientNorm", "QuadraticFunction", "RBFNetwork", "Saturation", "Triangulation",
+    "GradientNorm", "QuadraticFunction", "RBFNetwork", "Saturation",
+    "Triangulation",
     "UncertainFunction", "GaussianProcess", "StackedGaussianProcess",
     "GPSampledFunction", "StackedSampledFunction",
     "ActiveDims", "LinearKernel", "Matern12", "Matern32", "Matern52", "RBF",

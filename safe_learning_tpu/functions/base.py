@@ -360,7 +360,7 @@ class GradientNorm(DeterministicFunction):
 
 @register_pytree
 class Saturation(DeterministicFunction):
-    """Clip a wrapped function's output (reference ``functions.py:310-354``)."""
+    """Clip a wrapped function's output (ref ``functions.py:310-354``)."""
 
     _data_fields = ("fun", "lower", "upper")
 

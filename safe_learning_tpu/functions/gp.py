@@ -483,7 +483,7 @@ class GaussianProcess(UncertainFunction):
         return mean, var
 
     def evaluate(self, points):
-        """Return ``(mean, beta * std)`` (reference ``functions.py:507-515``)."""
+        """Return ``(mean, beta * std)`` (ref ``functions.py:507-515``)."""
         mean, var = self.predict(points)
         return mean, self.beta * jnp.sqrt(var)
 
@@ -1374,7 +1374,8 @@ class GPSampledFunction(DeterministicFunction):
     (``functions.py:1638-1662``), which is only consistent for data-free
     GPs. Here the sample is interpolated with the *posterior* covariance:
 
-        ``f(x) = m_post(x) + Cov_post(x, D) Cov_post(D, D)^{-1} (s - m_post(D))``
+        ``f(x) = m_post(x)
+        + Cov_post(x, D) Cov_post(D, D)^{-1} (s - m_post(D))``
 
     which exactly reproduces the sampled values on the discretization and
     respects the GP's observed data everywhere. Calling the function

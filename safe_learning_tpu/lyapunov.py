@@ -518,7 +518,7 @@ class Lyapunov:
         self.values = out
 
     def v_decrease_confidence(self, states, next_states):
-        """Mean decrease and error bound (reference ``lyapunov.py:324-354``)."""
+        """Mean decrease + error bound (reference ``lyapunov.py:324-354``)."""
         if isinstance(next_states, (tuple, list)):
             next_states, error = next_states
             lv = _as_column_batch(self.lipschitz_lyapunov(next_states))

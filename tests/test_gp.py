@@ -462,7 +462,8 @@ def test_stacked_gp_in_lyapunov_sweep():
 def test_stacked_gp_lml_and_fit():
     """Stacked log marginal likelihood equals the sum of the members';
     fit_gp_hyperparameters on a stack fits every output."""
-    from safe_learning_tpu import StackedGaussianProcess, fit_gp_hyperparameters
+    from safe_learning_tpu import (StackedGaussianProcess,
+                                   fit_gp_hyperparameters)
 
     rng = np.random.default_rng(9)
     x = rng.uniform(-2, 2, size=(30, 2))

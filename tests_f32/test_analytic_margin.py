@@ -36,7 +36,8 @@ from safe_learning_tpu.config import config  # noqa: E402
 from safe_learning_tpu.errorbounds import (ErrorModel,  # noqa: E402
                                            analytic_certificate_margin)
 from safe_learning_tpu.lyapunov import _negative_batch  # noqa: E402
-from safe_learning_tpu.oracle import oracle_margins, oracle_safe_set  # noqa: E402
+from safe_learning_tpu.oracle import (oracle_margins,  # noqa: E402
+                                      oracle_safe_set)
 from test_f32_certificate import _random_instance  # noqa: E402
 
 # Rounding model of the property instances' L_v = 2|x|: one multiply

@@ -21,8 +21,8 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import safe_learning_tpu as sl  # noqa: E402
-from safe_learning_tpu.oracle import (calibrate_certificate_margin,  # noqa: E402
-                                      oracle_margins, oracle_safe_set)
+from safe_learning_tpu.oracle import (  # noqa: E402
+    calibrate_certificate_margin, oracle_margins, oracle_safe_set)
 
 
 def _random_instance(seed):
