@@ -70,7 +70,8 @@ import numpy as np
 
 from .config import config
 from .functions.base import ConstantFunction, Saturation, mxu_dot
-from .functions.gp import RBF, GaussianProcess, StackedGaussianProcess
+from .functions.gp import (RBF, GaussianProcess, Matern12, Matern32,
+                           Matern52, StackedGaussianProcess)
 from .functions.linear import LinearSystem, QuadraticFunction
 
 __all__ = ["ErrorModel", "analytic_certificate_margin"]
@@ -85,6 +86,17 @@ ErrorModel = namedtuple("ErrorModel", ["eval_bound", "input_lipschitz"])
 # derivative magnitude, used for the input-perturbation Lipschitz
 # bounds (|dk/dq_d| = k |z_d| / ls_d <= k sqrt(t) / ls_d).
 _MAX_STE = float(np.exp(-0.5))
+
+# Stationary-family constants for the Matern kernels k = v g(r),
+# r = sqrt(c t): (c, max_r |g'(r)|). The entry error is
+# |delta k| <= v max|g'| sqrt(c delta_t) (|sqrt(a)-sqrt(b)| <=
+# sqrt(|a-b|)); the per-unit-lengthscale derivative bound is
+# sqrt(c) max|g'| (|z_d| <= r / sqrt(c)).
+_MATERN = {
+    Matern12: (1.0, 1.0),                      # g = e^{-r}
+    Matern32: (3.0, float(np.exp(-1.0))),      # g' = -r e^{-r}
+    Matern52: (5.0, 0.2801),                   # g' = -(r + r^2) e^{-r}/3
+}
 
 
 def _unit_roundoff():
@@ -155,12 +167,21 @@ def _gp_statics(gp, u):
     """Precompute the per-GP constants of the error analysis.
 
     ``gp`` must be a (possibly multi-output) :class:`GaussianProcess`
-    with an RBF kernel and a ``LinearSystem``/``None`` prior mean.
+    with a plain stationary (RBF/Matern) kernel and a
+    ``LinearSystem``/``None`` prior mean.
     """
-    if not isinstance(gp.kernel, RBF):
+    if isinstance(gp.kernel, RBF):
+        kind = "rbf"
+        mat_c = mat_gp = 0.0
+        deriv_const = _MAX_STE
+    elif type(gp.kernel) in _MATERN:
+        kind = "matern"
+        mat_c, mat_gp = _MATERN[type(gp.kernel)]
+        deriv_const = float(np.sqrt(mat_c)) * mat_gp
+    else:
         raise NotImplementedError(
-            "analytic margin currently supports RBF kernels; got {}"
-            .format(type(gp.kernel).__name__))
+            "analytic margin currently supports RBF/Matern kernels; "
+            "got {}".format(type(gp.kernel).__name__))
     mean_mat = None
     if gp.mean_function is not None:
         mean_mat = _linear_core(gp.mean_function)
@@ -191,7 +212,9 @@ def _gp_statics(gp, u):
         # cross matmul, and the 3-term combination (both the XLA
         # xx-2cross+zz form and the Pallas per-dim-diff form)
         "g_sq": _gamma(3 * nd + 8, u),
-        "dkdq": sigf2_raw * s2 * _MAX_STE / ls,
+        "kind": kind, "mat_c": mat_c, "mat_gp": mat_gp,
+        "deriv_const": deriv_const,
+        "dkdq": sigf2_raw * s2 * deriv_const / ls,
         "g_mean": 0.0 if mean_mat is None else _gamma(nd + 1, u),
     }
 
@@ -223,9 +246,16 @@ def _gp_terms(st, q, dq, u):
     dt = st["g_sq"] * s_mag
     kx = s2 * gp.kernel(gp.X_buf, q) * st["mask"][:, None]  # (cap, N)
     kx_abs = jnp.abs(kx)
-    # |delta k| <= k (e^{dt/2} - 1) + 4u k (exp + scale/mask multiplies)
-    dk = (kx_abs * jnp.expm1(0.5 * dt) + 4.0 * u * kx_abs) \
-        * st["mask"][:, None]
+    if st["kind"] == "rbf":
+        # |delta k| <= k (e^{dt/2} - 1) + 4u k (exp + scale/mask mults)
+        dk = kx_abs * jnp.expm1(0.5 * dt) + 4.0 * u * kx_abs
+    else:
+        # Matern k = v g(sqrt(c t)): |delta k| <= v max|g'| sqrt(c dt)
+        # (the sqrt's own |sqrt a - sqrt b| <= sqrt|a - b| absorbs the
+        # r ~ 0 blowup) + 8u k for the sqrt/exp/polynomial arithmetic.
+        dk = (st["sigf2"] * st["mat_gp"]
+              * jnp.sqrt(st["mat_c"] * dt) + 8.0 * u * kx_abs)
+    dk = dk * st["mask"][:, None]
 
     # -- solve chain --------------------------------------------------
     a_hat = mxu_dot(gp.chol_inv, kx)
@@ -248,7 +278,7 @@ def _gp_terms(st, q, dq, u):
         + e_prior + 2.0 * u * jnp.abs(mu_hat)
 
     # input-perturbation propagation through the mean
-    l_mu_d = st["sigf2"] * _MAX_STE / (scale * st["ls"])   # (nd,)
+    l_mu_d = st["sigf2"] * st["deriv_const"] / (scale * st["ls"])  # (nd,)
     pert_core = mxu_dot(dq, l_mu_d[:, None])               # (N, 1)
     d_mu_pert = pert_core * st["s_b"][None, :]             # (N, S)
     if mean_mat is not None:

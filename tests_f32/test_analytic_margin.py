@@ -289,3 +289,33 @@ def test_precision_guard():
             analytic_certificate_margin(lyap, lipschitz_model=_LV_MODEL)
     finally:
         config.pallas_precision = old
+
+
+@pytest.mark.parametrize("kernel_cls", ["Matern12", "Matern32", "Matern52"])
+def test_matern_family_domination(kernel_cls):
+    """The Matern entry-error model (v max|g'| sqrt(c dt)) must
+    dominate the measured full-grid error like the RBF model does."""
+    rng = np.random.default_rng(41)
+    grid = sl.GridWorld([[-1.0, 1.0], [-1.0, 1.0]], 31)
+    a = np.array([[0.25, 0.04], [-0.03, 0.2]])
+    b = np.zeros((2, 1))
+    policy = sl.LinearSystem(np.zeros((1, 2)))
+    v = sl.QuadraticFunction(np.eye(2))
+    n_train = 32
+    x_train = np.column_stack([
+        rng.uniform(-0.9, 0.9, n_train), rng.uniform(-0.9, 0.9, n_train),
+        np.zeros(n_train)])
+    y_train = x_train[:, :2] @ a.T + 0.01 * np.sin(2 * x_train[:, :2])
+    kernel = getattr(sl, kernel_cls)(0.4, [0.6, 0.6, 1.0], input_dim=3)
+    gp = sl.GaussianProcess(kernel, x_train, y_train,
+                            noise_variance=5e-3, beta=2.0,
+                            mean_function=sl.LinearSystem([a, b]))
+    lv = sl.LambdaFunction(lambda x: 2.0 * jnp.abs(x))
+    lyap = sl.Lyapunov(grid, v, gp, 0.3, lv,
+                       float(np.min(grid.unit_maxes)), policy,
+                       initial_set=[0])
+    margin = analytic_certificate_margin(lyap, safety=1.0,
+                                         lipschitz_model=_LV_MODEL,
+                                         set_margin=False)
+    err = _measured_worst_error(lyap)
+    assert margin >= err, (kernel_cls, margin, err)
