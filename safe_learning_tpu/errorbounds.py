@@ -70,8 +70,10 @@ import numpy as np
 
 from .config import config
 from .functions.base import ConstantFunction, Saturation, mxu_dot
-from .functions.gp import (RBF, GaussianProcess, Matern12, Matern32,
-                           Matern52, StackedGaussianProcess)
+from .functions.gp import (RBF, ActiveDims, GaussianProcess,
+                           LinearKernel, Matern12, Matern32, Matern52,
+                           ProductKernel, StackedGaussianProcess,
+                           SumKernel, _StationaryKernel)
 from .functions.linear import LinearSystem, QuadraticFunction
 
 __all__ = ["ErrorModel", "analytic_certificate_margin"]
@@ -163,25 +165,128 @@ def _column_batch(vals, n_pts):
     return vals
 
 
+def _kernel_program(kernel, dims, u):
+    """Recursively build the per-pair kernel error program.
+
+    Returns ``fn(X, q, dq) -> (val_abs, dk, diag_abs, ddiag)`` for the
+    kernel node restricted to the FULL-input columns ``dims``:
+
+    - ``val_abs (cap, N)``: upper bound on the entry magnitudes |k|;
+    - ``dk (cap, N)``: bound on ``|k_f32(q') - k_exact(q)|`` for any
+      ``|q' - q| <= dq`` elementwise — evaluation rounding PLUS input
+      perturbation, so the solve chain propagates both at once;
+    - ``diag_abs / ddiag (N,)``: the same pair for ``k.diag(q)``.
+
+    Composition rules (sum / product / ActiveDims) mirror the kernel
+    algebra the reference notebooks use (``Linear + Matern * Linear``).
+    Raises ``NotImplementedError`` on unsupported node types.
+    """
+    dims = np.asarray(dims, dtype=int)
+
+    if isinstance(kernel, ActiveDims):
+        return _kernel_program(kernel.kernel, dims[list(kernel.dims)], u)
+
+    if isinstance(kernel, SumKernel):
+        f1 = _kernel_program(kernel.k1, dims, u)
+        f2 = _kernel_program(kernel.k2, dims, u)
+
+        def fn_sum(x, q, dq):
+            v1, d1, g1, e1 = f1(x, q, dq)
+            v2, d2, g2, e2 = f2(x, q, dq)
+            return (v1 + v2, d1 + d2 + u * (v1 + v2),
+                    g1 + g2, e1 + e2 + u * (g1 + g2))
+        return fn_sum
+
+    if isinstance(kernel, ProductKernel):
+        f1 = _kernel_program(kernel.k1, dims, u)
+        f2 = _kernel_program(kernel.k2, dims, u)
+
+        def fn_prod(x, q, dq):
+            v1, d1, g1, e1 = f1(x, q, dq)
+            v2, d2, g2, e2 = f2(x, q, dq)
+            # |a'b' - ab| <= da (|b| + db) + |a| db (+ u|ab| rounding)
+            return (v1 * v2, d1 * (v2 + d2) + v1 * d2 + u * v1 * v2,
+                    g1 * g2, e1 * (g2 + e2) + g1 * e2 + u * g1 * g2)
+        return fn_prod
+
+    if isinstance(kernel, _StationaryKernel):
+        if isinstance(kernel, RBF):
+            mat_c = mat_gp = 0.0
+            deriv_const = _MAX_STE
+        elif type(kernel) in _MATERN:
+            mat_c, mat_gp = _MATERN[type(kernel)]
+            deriv_const = float(np.sqrt(mat_c)) * mat_gp
+        else:
+            raise NotImplementedError(
+                "analytic margin: unsupported stationary kernel {}"
+                .format(type(kernel).__name__))
+        m = len(dims)
+        var = float(np.asarray(kernel.variance))
+        ls = np.broadcast_to(np.atleast_1d(
+            np.asarray(kernel.lengthscales, dtype=np.float64)), (m,))
+        ls_dev = jnp.asarray(ls, dtype=config.dtype)
+        lip = jnp.asarray(var * deriv_const / ls, dtype=config.dtype)
+        g_sq = _gamma(3 * m + 8, u)
+        cols = list(dims)
+
+        def fn_stat(x, q, dq):
+            xs = x[:, cols] / ls_dev
+            qs = q[:, cols] / ls_dev
+            xx = jnp.sum(xs * xs, axis=1, keepdims=True)
+            qq = jnp.sum(qs * qs, axis=1)[None, :]
+            cross_abs = mxu_dot(jnp.abs(xs), jnp.abs(qs).T)
+            dt = g_sq * (xx + 2.0 * cross_abs + qq)
+            val_abs = jnp.abs(kernel(x[:, cols], q[:, cols]))
+            if isinstance(kernel, RBF):
+                dval = val_abs * jnp.expm1(0.5 * dt) + 4.0 * u * val_abs
+            else:
+                # |delta k| <= v max|g'| sqrt(c dt): the sqrt-difference
+                # inequality absorbs the r ~ 0 derivative blowup.
+                dval = (var * mat_gp * jnp.sqrt(mat_c * dt)
+                        + 8.0 * u * val_abs)
+            dpert = mxu_dot(dq[:, cols], lip[:, None])[None, :, 0]
+            n_q = q.shape[0]
+            return (val_abs, dval + dpert,
+                    jnp.full((n_q,), var, dtype=q.dtype),
+                    jnp.full((n_q,), u * var, dtype=q.dtype))
+        return fn_stat
+
+    if isinstance(kernel, LinearKernel):
+        m = len(dims)
+        cols = list(dims)
+        vv = jnp.asarray(np.broadcast_to(
+            np.atleast_1d(np.asarray(kernel.variances,
+                                     dtype=np.float64)), (m,)),
+            dtype=config.dtype)
+        g_lin = _gamma(m + 2, u)
+
+        def fn_lin(x, q, dq):
+            xa = jnp.abs(x[:, cols]) * vv           # (cap, m)
+            qa = jnp.abs(q[:, cols])
+            dqa = dq[:, cols]
+            abs_dot = mxu_dot(xa, qa.T)             # (cap, N)
+            val_abs = jnp.abs(kernel(x[:, cols], q[:, cols]))
+            dval = g_lin * abs_dot
+            dpert = mxu_dot(xa, dqa.T)              # per-pair
+            diag_abs = jnp.sum(qa * qa * vv, axis=1)
+            ddiag = (g_lin * diag_abs
+                     + jnp.sum((2.0 * qa + dqa) * vv * dqa, axis=1))
+            return val_abs, dval + dpert, diag_abs, ddiag
+        return fn_lin
+
+    raise NotImplementedError(
+        "analytic margin: unsupported kernel node {} — use "
+        "calibrate_certificate_margin".format(type(kernel).__name__))
+
+
 def _gp_statics(gp, u):
     """Precompute the per-GP constants of the error analysis.
 
     ``gp`` must be a (possibly multi-output) :class:`GaussianProcess`
-    with a plain stationary (RBF/Matern) kernel and a
-    ``LinearSystem``/``None`` prior mean.
+    whose kernel the recursive error program supports (stationary
+    RBF/Matern, Linear, and their sums/products/ActiveDims
+    restrictions) and a ``LinearSystem``/``None`` prior mean.
     """
-    if isinstance(gp.kernel, RBF):
-        kind = "rbf"
-        mat_c = mat_gp = 0.0
-        deriv_const = _MAX_STE
-    elif type(gp.kernel) in _MATERN:
-        kind = "matern"
-        mat_c, mat_gp = _MATERN[type(gp.kernel)]
-        deriv_const = float(np.sqrt(mat_c)) * mat_gp
-    else:
-        raise NotImplementedError(
-            "analytic margin currently supports RBF/Matern kernels; "
-            "got {}".format(type(gp.kernel).__name__))
     mean_mat = None
     if gp.mean_function is not None:
         mean_mat = _linear_core(gp.mean_function)
@@ -192,29 +297,16 @@ def _gp_statics(gp, u):
 
     nd = gp.input_dim
     s2 = float(gp.scale) ** 2
-    sigf2_raw = float(np.asarray(gp.kernel.variance))
-    ls = jnp.broadcast_to(
-        jnp.atleast_1d(jnp.asarray(gp.kernel.lengthscales,
-                                   dtype=config.dtype)), (nd,))
     mask = gp._mask()
     chol_abs = jnp.abs(gp.chol_inv)
     alpha_abs = jnp.abs(gp.alpha)
-    c_rows = mxu_dot(chol_abs, mask[:, None])[:, 0]  # masked row abs-sums
-    s_b = jnp.sum(alpha_abs * c_rows[:, None], axis=0)   # (S,)
     return {
         "gp": gp, "mean_mat": mean_mat, "nd": nd, "s2": s2,
-        "scale": float(gp.scale), "sigf2_raw": sigf2_raw,
-        "sigf2": sigf2_raw * s2, "ls": ls, "beta": float(gp.beta),
+        "scale": float(gp.scale), "beta": float(gp.beta),
         "mask": mask, "chol_abs": chol_abs, "alpha_abs": alpha_abs,
-        "c_rows": c_rows, "s_b": s_b,
+        "c_rows": mxu_dot(chol_abs, mask[:, None])[:, 0],
+        "entry": _kernel_program(gp.kernel, np.arange(nd), u),
         "g_dot": _gamma(gp.capacity + 2, u),
-        # squared-distance arithmetic: /ls scaling, xx/zz dots, the
-        # cross matmul, and the 3-term combination (both the XLA
-        # xx-2cross+zz form and the Pallas per-dim-diff form)
-        "g_sq": _gamma(3 * nd + 8, u),
-        "kind": kind, "mat_c": mat_c, "mat_gp": mat_gp,
-        "deriv_const": deriv_const,
-        "dkdq": sigf2_raw * s2 * deriv_const / ls,
         "g_mean": 0.0 if mean_mat is None else _gamma(nd + 1, u),
     }
 
@@ -236,26 +328,15 @@ def _gp_terms(st, q, dq, u):
     s2, scale = st["s2"], st["scale"]
     g_dot = st["g_dot"]
 
-    # -- kernel entries: per-pair sqdist-form error -------------------
-    xs = gp.X_buf / st["ls"]                               # (cap, nd)
-    qs = q / st["ls"]                                      # (N, nd)
-    xx = jnp.sum(xs * xs, axis=1, keepdims=True)           # (cap, 1)
-    qq = jnp.sum(qs * qs, axis=1)[None, :]                 # (1, N)
-    cross_abs = mxu_dot(jnp.abs(xs), jnp.abs(qs).T)        # (cap, N)
-    s_mag = xx + 2.0 * cross_abs + qq                      # (cap, N)
-    dt = st["g_sq"] * s_mag
+    # -- kernel entries: recursive per-pair program -------------------
+    # dk already contains the input-perturbation term (|k(q + dq) -
+    # k(q)| folded in), so the solve chain below propagates evaluation
+    # rounding AND coordinate uncertainty through mean and variance at
+    # once — no separate Lipschitz machinery.
+    _, dk_raw, diag_abs, ddiag = st["entry"](gp.X_buf, q, dq)
     kx = s2 * gp.kernel(gp.X_buf, q) * st["mask"][:, None]  # (cap, N)
     kx_abs = jnp.abs(kx)
-    if st["kind"] == "rbf":
-        # |delta k| <= k (e^{dt/2} - 1) + 4u k (exp + scale/mask mults)
-        dk = kx_abs * jnp.expm1(0.5 * dt) + 4.0 * u * kx_abs
-    else:
-        # Matern k = v g(sqrt(c t)): |delta k| <= v max|g'| sqrt(c dt)
-        # (the sqrt's own |sqrt a - sqrt b| <= sqrt|a - b| absorbs the
-        # r ~ 0 blowup) + 8u k for the sqrt/exp/polynomial arithmetic.
-        dk = (st["sigf2"] * st["mat_gp"]
-              * jnp.sqrt(st["mat_c"] * dt) + 8.0 * u * kx_abs)
-    dk = dk * st["mask"][:, None]
+    dk = (s2 * dk_raw + 4.0 * u * kx_abs) * st["mask"][:, None]
 
     # -- solve chain --------------------------------------------------
     a_hat = mxu_dot(gp.chol_inv, kx)
@@ -277,23 +358,20 @@ def _gp_terms(st, q, dq, u):
     e_mu_eval = e_mn / scale + u * jnp.abs(mean_num) \
         + e_prior + 2.0 * u * jnp.abs(mu_hat)
 
-    # input-perturbation propagation through the mean
-    l_mu_d = st["sigf2"] * st["deriv_const"] / (scale * st["ls"])  # (nd,)
-    pert_core = mxu_dot(dq, l_mu_d[:, None])               # (N, 1)
-    d_mu_pert = pert_core * st["s_b"][None, :]             # (N, S)
+    # The GP part of the input perturbation rode in through dk; only
+    # the prior mean's own Lipschitz term remains.
+    d_mu = e_mu_eval
     if mean_mat is not None:
-        d_mu_pert = d_mu_pert + mxu_dot(dq, jnp.abs(mean_mat).T)
-    d_mu = e_mu_eval + d_mu_pert
+        d_mu = d_mu + mxu_dot(dq, jnp.abs(mean_mat).T)
 
     # -- variance / std rounding --------------------------------------
     sum_a2 = jnp.sum(a_hat * a_hat, axis=0)                # (N,)
     var_hat = jnp.maximum(gp.kernel.diag(q) - sum_a2 / s2, 1e-12)
     d_sum_a2 = jnp.sum(2.0 * a_tot * da + g_dot * a_tot ** 2, axis=0)
-    d_var = (d_sum_a2 + u * sum_a2) / s2 + u * st["sigf2_raw"] \
+    # The coordinate uncertainty of the solve side rode in through dk
+    # (hence da / d_sum_a2); diag carries its own eval + pert bound.
+    d_var_tot = (d_sum_a2 + u * sum_a2) / s2 + u * diag_abs + ddiag \
         + u * jnp.abs(var_hat)
-    dvar_pert = mxu_dot(dq, st["dkdq"][:, None])[:, 0] \
-        * (2.0 / s2) * jnp.sum(a_tot * st["c_rows"][:, None], axis=0)
-    d_var_tot = d_var + dvar_pert
     sig_hat = jnp.sqrt(var_hat)
     sig_lo = jnp.sqrt(jnp.maximum(var_hat - d_var_tot, 0.0))
     d_sig = jnp.where(sig_lo > 0.0, d_var_tot / (sig_hat + sig_lo),

@@ -319,3 +319,44 @@ def test_matern_family_domination(kernel_cls):
                                          set_margin=False)
     err = _measured_worst_error(lyap)
     assert margin >= err, (kernel_cls, margin, err)
+
+
+def test_flagship_composite_kernel_domination():
+    """The flagship examples' kernel family — Linear + ActiveDims(
+    Matern32) * ActiveDims(Linear), stacked per output — goes through
+    the recursive entry-error program; the derived bound dominates the
+    measured full-grid error and the margins install end to end."""
+    rng = np.random.default_rng(51)
+    grid = sl.GridWorld([[-1.0, 1.0], [-1.0, 1.0]], 31)
+    a = np.array([[0.3, 0.05], [-0.04, 0.25]])
+    b = np.array([[0.1], [0.08]])
+    policy = sl.LinearSystem(np.zeros((1, 2)))
+    v = sl.QuadraticFunction(np.eye(2))
+    n_train = 30
+    x_train = np.column_stack([
+        rng.uniform(-0.9, 0.9, n_train), rng.uniform(-0.9, 0.9, n_train),
+        rng.uniform(-0.5, 0.5, n_train)])
+    y_train = (x_train[:, :2] @ a.T + x_train[:, 2:] @ b.T
+               + 0.01 * np.sin(2 * x_train[:, :2]))
+    gps = []
+    for dim in range(2):
+        kernel = (
+            sl.LinearKernel(variances=[0.02, 0.02, 0.05], input_dim=3)
+            + sl.ActiveDims(sl.Matern32(0.3, lengthscales=1.0,
+                                        input_dim=1), dims=[0])
+            * sl.ActiveDims(sl.LinearKernel(variances=0.05,
+                                            input_dim=1), dims=[1]))
+        gps.append(sl.GaussianProcess(
+            kernel, x_train, y_train[:, dim:dim + 1],
+            noise_variance=5e-3, beta=2.0,
+            mean_function=sl.LinearSystem([a[[dim]], b[[dim]]])))
+    stacked = sl.StackedGaussianProcess.from_gps(gps)
+    lv = sl.LambdaFunction(lambda x: 2.0 * jnp.abs(x))
+    lyap = sl.Lyapunov(grid, v, stacked, 0.35, lv,
+                       float(np.min(grid.unit_maxes)), policy,
+                       initial_set=[0])
+    margin = analytic_certificate_margin(lyap, safety=1.0,
+                                         lipschitz_model=_LV_MODEL,
+                                         set_margin=False)
+    err = _measured_worst_error(lyap)
+    assert margin >= err, (margin, err)
