@@ -168,13 +168,20 @@ def _column_batch(vals, n_pts):
 def _kernel_program(kernel, dims, u):
     """Recursively build the per-pair kernel error program.
 
-    Returns ``fn(X, q, dq) -> (val_abs, dk, diag_abs, ddiag)`` for the
+    Returns ``fn(X, q, dq) -> (val, dk, diag_abs, ddiag)`` for the
     kernel node restricted to the FULL-input columns ``dims``:
 
-    - ``val_abs (cap, N)``: upper bound on the entry magnitudes |k|;
-    - ``dk (cap, N)``: bound on ``|k_f32(q') - k_exact(q)|`` for any
-      ``|q' - q| <= dq`` elementwise — evaluation rounding PLUS input
-      perturbation, so the solve chain propagates both at once;
+    - ``val (cap, N)``: the node's SIGNED f32 value at ``q`` (the top
+      level reuses it as the kernel matrix, avoiding a second full
+      evaluation);
+    - ``dk (cap, N)``: bound on ``|k_any(q') - k_exact(q)|`` for ANY
+      f32 realization ``k_any`` (this sweep's or the real sweep's) at
+      any ``|q' - q| <= dq`` elementwise — evaluation rounding PLUS
+      input perturbation, so the solve chain propagates both at once.
+      The invariant every rule preserves: ``|k_any(q')| <= |val| + 2 dk``
+      (one ``dk`` to reach the exact value, one more to any other
+      realization), which is what the composition rules use as factor
+      anchors;
     - ``diag_abs / ddiag (N,)``: the same pair for ``k.diag(q)``.
 
     Composition rules (sum / product / ActiveDims) mirror the kernel
@@ -193,8 +200,11 @@ def _kernel_program(kernel, dims, u):
         def fn_sum(x, q, dq):
             v1, d1, g1, e1 = f1(x, q, dq)
             v2, d2, g2, e2 = f2(x, q, dq)
-            return (v1 + v2, d1 + d2 + u * (v1 + v2),
-                    g1 + g2, e1 + e2 + u * (g1 + g2))
+            # add rounding u |a + b| anchored on realization bounds
+            dk = d1 + d2 + u * (jnp.abs(v1) + 2.0 * d1
+                                + jnp.abs(v2) + 2.0 * d2)
+            ddiag = e1 + e2 + u * (g1 + 2.0 * e1 + g2 + 2.0 * e2)
+            return v1 + v2, dk, g1 + g2, ddiag
         return fn_sum
 
     if isinstance(kernel, ProductKernel):
@@ -204,9 +214,16 @@ def _kernel_program(kernel, dims, u):
         def fn_prod(x, q, dq):
             v1, d1, g1, e1 = f1(x, q, dq)
             v2, d2, g2, e2 = f2(x, q, dq)
-            # |a'b' - ab| <= da (|b| + db) + |a| db (+ u|ab| rounding)
-            return (v1 * v2, d1 * (v2 + d2) + v1 * d2 + u * v1 * v2,
-                    g1 * g2, e1 * (g2 + e2) + g1 * e2 + u * g1 * g2)
+            # |a' b' (1 + u) - a b| with |a'| <= |v1| + 2 d1 (any
+            # realization at any perturbed point), |b_exact| <= |v2| + d2:
+            # d1 |b'| + |a_exact| d2 + u |a'||b'|.
+            big1 = jnp.abs(v1) + 2.0 * d1
+            big2 = jnp.abs(v2) + 2.0 * d2
+            dk = d1 * big2 + (jnp.abs(v1) + d1) * d2 + u * big1 * big2
+            gb1 = g1 + 2.0 * e1
+            gb2 = g2 + 2.0 * e2
+            ddiag = e1 * gb2 + (g1 + e1) * e2 + u * gb1 * gb2
+            return v1 * v2, dk, g1 * g2, ddiag
         return fn_prod
 
     if isinstance(kernel, _StationaryKernel):
@@ -232,21 +249,33 @@ def _kernel_program(kernel, dims, u):
         def fn_stat(x, q, dq):
             xs = x[:, cols] / ls_dev
             qs = q[:, cols] / ls_dev
+            dqs = dq[:, cols] / ls_dev
             xx = jnp.sum(xs * xs, axis=1, keepdims=True)
             qq = jnp.sum(qs * qs, axis=1)[None, :]
             cross_abs = mxu_dot(jnp.abs(xs), jnp.abs(qs).T)
-            dt = g_sq * (xx + 2.0 * cross_abs + qq)
-            val_abs = jnp.abs(kernel(x[:, cols], q[:, cols]))
+            s_mag = xx + 2.0 * cross_abs + qq
+            # Perturbed-point inflation: s_mag(q') <= s_mag(q) +
+            # 2 |xs| dqs + (2 |qs| + dqs) dqs — the real sweep rounds
+            # its squared distance AT q', not q.
+            ds = (2.0 * mxu_dot(jnp.abs(xs), dqs.T)
+                  + jnp.sum((2.0 * jnp.abs(qs) + dqs) * dqs,
+                            axis=1)[None, :])
+            dt = g_sq * (s_mag + ds)
+            val = kernel(x[:, cols], q[:, cols])
+            val_abs = jnp.abs(val)
+            dpert = mxu_dot(dq[:, cols], lip[:, None])[None, :, 0]
+            # |k_exact(q')| <= |val| e^{dt/2} (1 + 4u) + dpert
+            val_infl = val_abs * (1.0 + jnp.expm1(0.5 * dt)) \
+                * (1.0 + 4.0 * u) + dpert
             if isinstance(kernel, RBF):
-                dval = val_abs * jnp.expm1(0.5 * dt) + 4.0 * u * val_abs
+                dval = val_infl * jnp.expm1(0.5 * dt) + 4.0 * u * val_infl
             else:
                 # |delta k| <= v max|g'| sqrt(c dt): the sqrt-difference
                 # inequality absorbs the r ~ 0 derivative blowup.
                 dval = (var * mat_gp * jnp.sqrt(mat_c * dt)
-                        + 8.0 * u * val_abs)
-            dpert = mxu_dot(dq[:, cols], lip[:, None])[None, :, 0]
+                        + 8.0 * u * val_infl)
             n_q = q.shape[0]
-            return (val_abs, dval + dpert,
+            return (val, dval + dpert,
                     jnp.full((n_q,), var, dtype=q.dtype),
                     jnp.full((n_q,), u * var, dtype=q.dtype))
         return fn_stat
@@ -264,14 +293,15 @@ def _kernel_program(kernel, dims, u):
             xa = jnp.abs(x[:, cols]) * vv           # (cap, m)
             qa = jnp.abs(q[:, cols])
             dqa = dq[:, cols]
-            abs_dot = mxu_dot(xa, qa.T)             # (cap, N)
-            val_abs = jnp.abs(kernel(x[:, cols], q[:, cols]))
-            dval = g_lin * abs_dot
+            # anchors at the PERTURBED point: |q'| <= |q| + dq
+            abs_dot = mxu_dot(xa, (qa + dqa).T)     # (cap, N)
+            val = kernel(x[:, cols], q[:, cols])
             dpert = mxu_dot(xa, dqa.T)              # per-pair
+            dval = g_lin * abs_dot
             diag_abs = jnp.sum(qa * qa * vv, axis=1)
-            ddiag = (g_lin * diag_abs
+            ddiag = (g_lin * jnp.sum((qa + dqa) ** 2 * vv, axis=1)
                      + jnp.sum((2.0 * qa + dqa) * vv * dqa, axis=1))
-            return val_abs, dval + dpert, diag_abs, ddiag
+            return val, dval + dpert, diag_abs, ddiag
         return fn_lin
 
     raise NotImplementedError(
@@ -304,7 +334,6 @@ def _gp_statics(gp, u):
         "gp": gp, "mean_mat": mean_mat, "nd": nd, "s2": s2,
         "scale": float(gp.scale), "beta": float(gp.beta),
         "mask": mask, "chol_abs": chol_abs, "alpha_abs": alpha_abs,
-        "c_rows": mxu_dot(chol_abs, mask[:, None])[:, 0],
         "entry": _kernel_program(gp.kernel, np.arange(nd), u),
         "g_dot": _gamma(gp.capacity + 2, u),
         "g_mean": 0.0 if mean_mat is None else _gamma(nd + 1, u),
@@ -333,8 +362,8 @@ def _gp_terms(st, q, dq, u):
     # k(q)| folded in), so the solve chain below propagates evaluation
     # rounding AND coordinate uncertainty through mean and variance at
     # once — no separate Lipschitz machinery.
-    _, dk_raw, diag_abs, ddiag = st["entry"](gp.X_buf, q, dq)
-    kx = s2 * gp.kernel(gp.X_buf, q) * st["mask"][:, None]  # (cap, N)
+    val, dk_raw, diag_abs, ddiag = st["entry"](gp.X_buf, q, dq)
+    kx = s2 * val * st["mask"][:, None]                     # (cap, N)
     kx_abs = jnp.abs(kx)
     dk = (s2 * dk_raw + 4.0 * u * kx_abs) * st["mask"][:, None]
 

@@ -360,3 +360,68 @@ def test_flagship_composite_kernel_domination():
                                          set_margin=False)
     err = _measured_worst_error(lyap)
     assert margin >= err, (margin, err)
+
+
+def test_composite_kernel_domination_with_nonzero_perturbation():
+    """Exercise the perturbation terms the zero-policy flagship test
+    leaves at zero: a nonzero linear policy feeds du into every node's
+    dpert/ddiag path, and refinement=2 feeds dx through the state dims;
+    the derived bound must still dominate the measured refined error."""
+    import itertools
+
+    rng = np.random.default_rng(61)
+    grid = sl.GridWorld([[-1.0, 1.0], [-1.0, 1.0]], 21)
+    a = np.array([[0.3, 0.05], [-0.04, 0.25]])
+    b = np.array([[0.1], [0.08]])
+    k_pol = np.array([[0.2, -0.1]])
+    policy = sl.Saturation(sl.LinearSystem(-k_pol), -1.0, 1.0)
+    v = sl.QuadraticFunction(np.eye(2))
+    n_train = 26
+    x_train = np.column_stack([
+        rng.uniform(-0.9, 0.9, n_train), rng.uniform(-0.9, 0.9, n_train),
+        rng.uniform(-0.4, 0.4, n_train)])
+    y_train = (x_train[:, :2] @ a.T + x_train[:, 2:] @ b.T
+               + 0.01 * np.sin(2 * x_train[:, :2]))
+    kernel = (
+        sl.LinearKernel(variances=[0.02, 0.02, 0.05], input_dim=3)
+        + sl.ActiveDims(sl.Matern32(0.3, lengthscales=1.0,
+                                    input_dim=1), dims=[0])
+        * sl.ActiveDims(sl.LinearKernel(variances=0.05, input_dim=1),
+                        dims=[2]))
+    gps = [sl.GaussianProcess(kernel, x_train, y_train[:, s:s + 1],
+                              noise_variance=5e-3, beta=2.0,
+                              mean_function=sl.LinearSystem(
+                                  [a[[s]], b[[s]]]))
+           for s in range(2)]
+    stacked = sl.StackedGaussianProcess.from_gps(gps)
+    lv = sl.LambdaFunction(lambda x: 2.0 * jnp.abs(x))
+    lyap = sl.Lyapunov(grid, v, stacked, 0.35, lv,
+                       float(np.min(grid.unit_maxes)), policy,
+                       initial_set=[0], adaptive=True)
+
+    margin = analytic_certificate_margin(lyap, safety=1.0,
+                                         lipschitz_model=_LV_MODEL,
+                                         refinement=2, set_margin=False)
+
+    # Exhaustive truth over the 2-refined point set at tau / 2.
+    from safe_learning_tpu.lyapunov import _negative_batch
+    from safe_learning_tpu.oracle import oracle_margins
+
+    R = 2
+    unit = np.asarray(grid.unit_maxes)
+    base = np.array(grid.all_points, dtype=config.np_dtype)
+    worst = 0.0
+    offsets = [np.zeros(2)] + [
+        (0.5 * (1 - 1 / R)) * unit * (-1.0 + 2.0 * np.array(c) / (R - 1.0))
+        for c in itertools.product(range(R), repeat=2)]
+    for off in offsets:
+        pts = base + off.astype(config.np_dtype)
+        tau = lyap.tau if not off.any() else lyap.tau / R
+        _, dec, thr = _negative_batch(
+            lyap.policy, lyap.dynamics, lyap.lyapunov_function,
+            lyap._lipschitz_lyapunov, lyap._lipschitz_dynamics,
+            tau, jnp.asarray(pts))
+        md = np.asarray(dec, np.float64) - np.asarray(thr, np.float64)
+        worst = max(worst, float(np.max(np.abs(
+            md - oracle_margins(lyap, pts, tau=tau)))))
+    assert margin >= worst, (margin, worst)
