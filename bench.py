@@ -134,7 +134,45 @@ def _oracle_c_max(grid, a, x_train, y_train, params, lf, tau, initial_set,
     return float(c_max), float(safe.mean())
 
 
+def _ensure_backend():
+    """Probe the TPU tunnel; fall back to the CPU backend if it is down.
+
+    This machine's TPU sits behind a relay that, when unreachable, makes
+    backend init either fail (UNAVAILABLE) or block indefinitely — both
+    inside ``jax.devices()``. Probing in a killable subprocess bounds the
+    wait; after three failed probes the bench drops the tunnel's PJRT
+    plugin and runs on CPU so it still prints its one JSON line (the
+    ``vs_baseline`` field then reflects the CPU rate, and stderr says so).
+    """
+    import os
+    import subprocess
+
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        return  # explicit CPU smoke run
+    probe = "import jax; jax.devices()"
+    for attempt in range(3):
+        try:
+            result = subprocess.run(
+                [sys.executable, "-c", probe], timeout=90,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            if result.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print("bench: TPU backend unreachable (probe {}/3)".format(
+            attempt + 1), file=sys.stderr)
+        time.sleep(30)
+    print("bench: TPU backend down — falling back to CPU",
+          file=sys.stderr)
+    import jax
+    import jax._src.xla_bridge as _xb
+    _xb._backend_factories.pop("axon", None)
+    jax.config.update("jax_platforms", "cpu")
+
+
 def main():
+    _ensure_backend()
+
     import jax
     import jax.numpy as jnp
 
