@@ -264,6 +264,10 @@ def main():
         "value": float(checks_per_sec),
         "unit": "grid-point checks/s (full GP-dynamics decrease check)",
         "vs_baseline": float(checks_per_sec / target_for_ndev),
+        # Which backend actually ran: "cpu" here means the TPU relay was
+        # unreachable and _ensure_backend fell back (the value is then a
+        # CPU rate, not the chip's — see BENCH history for TPU numbers).
+        "backend": jax.devices()[0].platform,
     }))
 
 
