@@ -414,7 +414,7 @@ def _gp_terms(st, q, dq, u):
 
 def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
                                 lipschitz_model=None, refinement=1,
-                                set_margin=True):
+                                set_margin=True, unit_roundoff=None):
     """Derived (non-sampled) conservative margin for the f32 sweep.
 
     Runs an absolute-value sweep over the FULL grid computing, at every
@@ -457,18 +457,33 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
     set_margin : bool, optional
         Install ``certificate_margin`` / ``level_margin`` on the
         instance.
+    unit_roundoff : float, optional
+        Override the per-op rounding unit the analysis assumes. The
+        default (``None``) models the f32 device sweep
+        (``eps32/2 * config.fp_error_factor``); the extended-precision
+        sweep (``ops/extended_verify``) passes its double-word unit
+        ``2^-40`` — every magnitude anchor and gamma in the analysis is
+        parametric in ``u``, so the same per-point bound sweep covers
+        any pipeline whose ops round at ``u`` relative. Refined
+        sub-point COORDINATE construction always rounds in f32
+        regardless (the ``8 u32`` term below is deliberately
+        independent of this parameter).
 
     Returns
     -------
     margin : float
         The installed (or would-be) decrease-comparison margin.
     """
-    if getattr(config, "pallas_precision", "highest") != "highest":
-        raise RuntimeError(
-            "analytic_certificate_margin's rounding model requires "
-            "config.pallas_precision == 'highest' (the 3-pass 'high' "
-            "mode rounds at ~2^-17 per op and voids the bound)")
-    u = _unit_roundoff()
+    if unit_roundoff is None:
+        if getattr(config, "pallas_precision", "highest") != "highest":
+            raise RuntimeError(
+                "analytic_certificate_margin's rounding model requires "
+                "config.pallas_precision == 'highest' (the 3-pass "
+                "'high' mode rounds at ~2^-17 per op and voids the "
+                "bound)")
+        u = _unit_roundoff()
+    else:
+        u = float(unit_roundoff)
     dyn = lyapunov.dynamics
     grid = lyapunov.discretization
     d = grid.ndim
@@ -618,7 +633,23 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
     # 1/(1-4u): the f32 `threshold - margin` subtraction and the final
     # comparison round at u * (|thr| + margin); solving for a margin
     # that still dominates after its own rounding.
-    margin = float(safety) * worst / (1.0 - 4.0 * u)
+    #
+    # (1 + own): the bound sweep ITSELF runs in the working dtype, so
+    # the computed bound understates the exact-arithmetic bound by at
+    # most its own relative rounding. The per-point bound is a
+    # positive-sum circuit (no cancellation) whose longest sequential
+    # chains are the abs-value matvecs (length ~capacity) compounded
+    # through ~6 multiplicative stages; 64 * (sum of capacities + d +
+    # 16) over-counts that op count by an order of magnitude, and the
+    # MXU slack factor rides in via fp_error_factor. Second-order when
+    # u is the f32 unit (bound ~ u, own rounding ~ u * bound); first-
+    # order — and required for rigor — when modeling a finer pipeline
+    # (unit_roundoff << eps32).
+    cap_total = sum(st["gp"].capacity for st in statics)
+    u32_slack = (float(np.finfo(np.float32).eps) / 2.0
+                 * float(getattr(config, "fp_error_factor", 4.0)))
+    own = _gamma(64 * (cap_total + d + 16), u32_slack)
+    margin = float(safety) * worst * (1.0 + own) / (1.0 - 4.0 * u)
     eps_dtype = float(np.finfo(config.np_dtype).eps)
     level_margin = max(2.0 * float(safety) * worst_v,
                        4.0 * eps_dtype * (v_scale or 1.0))

@@ -270,26 +270,43 @@ def _round_capacity(n):
     return max(8, int(2 ** np.ceil(np.log2(max(n, 1)))))
 
 
-@functools.partial(jax.jit, static_argnames=("m",))
-def _kernel_columns(kernel, x_buf, n, m):
-    """Covariance columns ``K(X_buf, X_buf[n:n+m])`` in one dispatch."""
-    x_new = jax.lax.dynamic_slice(
-        x_buf, (n, jnp.zeros_like(n)), (m, x_buf.shape[1]))
-    return kernel(x_buf, x_new)
+def _assemble64(kernel, x_rows, z_rows=None):
+    """Oracle-consistent float64 kernel assembly (CPU backend, host).
+
+    Evaluates the float64-lifted kernel at float64-lifted rows — the
+    SAME matrix the float64 oracle's rebuilt GP factorizes
+    (``oracle.lift64``) — so the host island's factors are the exact
+    model's factors up to f64 roundoff, with no f32 assembly noise.
+    Runs eagerly on the CPU backend: no device dispatch, no relay
+    latency. Returns a float64 numpy array.
+    """
+    from ..oracle import _oracle_env, lift64
+
+    with _oracle_env():
+        x = jnp.asarray(np.asarray(x_rows), dtype=jnp.float64)
+        z = (x if z_rows is None
+             else jnp.asarray(np.asarray(z_rows), dtype=jnp.float64))
+        return np.asarray(lift64(kernel)(x, z), dtype=np.float64)
 
 
-@functools.partial(jax.jit, static_argnames=("m",))
-def _stacked_append_parts(gp, n, m):
-    """Everything a stacked bordered append needs, in ONE dispatch.
+def _prior64(mean_function, x_rows, width):
+    """Oracle-consistent float64 prior mean at rows, shape ``(n, width)``.
 
-    Returns per-output covariance columns against the buffer
-    (stacked ``(S, cap, m)``) and the stacked prior means at the new
-    points ``(m, S)``."""
-    x_buf = gp.X_buf
-    x_new = jax.lax.dynamic_slice(
-        x_buf, (n, jnp.zeros_like(n)), (m, x_buf.shape[1]))
-    k_cols = jnp.stack([kern(x_buf, x_new) for kern in gp.kernels])
-    return k_cols, gp._prior_means(x_new)
+    ``None`` means a zero prior. Like :func:`_assemble64`, evaluates the
+    float64-lifted function on the CPU backend so the host island's
+    residual targets match the float64 oracle's bit-for-bit (an f32
+    prior evaluation would shift ``alpha`` at ``u32 * |m(X)|`` scale).
+    """
+    x_rows = np.asarray(x_rows)
+    n = x_rows.shape[0]
+    if mean_function is None or n == 0:
+        return np.zeros((n, width))
+    from ..oracle import _oracle_env, lift64
+
+    with _oracle_env():
+        x = jnp.asarray(x_rows, dtype=jnp.float64)
+        out = np.asarray(lift64(mean_function)(x), dtype=np.float64)
+    return np.broadcast_to(out.reshape(n, -1), (n, width))
 
 
 @jax.jit
@@ -543,12 +560,9 @@ class GaussianProcess(UncertainFunction):
         host_new = None
         if (host is not None and host.count == n
                 and getattr(config, "incremental_gp_updates", True)):
-            prior_new = (np.zeros_like(y) if self.mean_function is None
-                         else np.asarray(self.mean_function(
-                             jnp.asarray(x)), dtype=np.float64))
             host_new = _bordered_append(
-                host, self.kernel, new.X_buf, y, prior_new,
-                self.noise_variance, self.scale)
+                host, self.kernel, x, y, self.mean_function,
+                float(self.noise_variance), self.scale, self.capacity)
         if host_new is not None:
             chol, chol_inv, alpha = _host_cache_to_device(host_new)
         else:
@@ -558,30 +572,6 @@ class GaussianProcess(UncertainFunction):
         new = new.replace(chol=chol, chol_inv=chol_inv, alpha=alpha)
         object.__setattr__(new, "_host_cache", host_new)
         return new
-
-
-@jax.jit
-def _cache_device(kernel, x_buf, target, count, noise_variance, s2):
-    """Masked, scaled Cholesky factorization of ``K(X, X) + noise I``.
-
-    Inactive buffer rows are replaced by identity rows so the factor of the
-    fixed-capacity matrix agrees with the factor of the active block.
-    ``target`` is the pre-scaled residual ``scale * (Y - m(X))``. Returns
-    ``(L, L^{-1}, alpha)`` with ``alpha = L^{-1} target``
-    (reference ``functions.py:395-411``).
-    """
-    cap = x_buf.shape[0]
-    dtype = x_buf.dtype
-    mask = (jnp.arange(cap) < count).astype(dtype)
-    outer = mask[:, None] * mask[None, :]
-    eye = jnp.eye(cap, dtype=dtype)
-    k = kernel(x_buf, x_buf)
-    a = s2 * (k + noise_variance * eye)
-    a = jnp.where(outer > 0, a, eye)
-    chol = jnp.linalg.cholesky(a)
-    chol_inv = jax.scipy.linalg.solve_triangular(chol, eye, lower=True)
-    alpha = mxu_dot(chol_inv, target * mask[:, None])
-    return chol, chol_inv, alpha
 
 
 @jax.jit
@@ -623,27 +613,42 @@ class _HostCache:
     path that loses the mirror silently falls back to refactorization.
     """
 
-    __slots__ = ("chol", "chol_inv", "alpha", "count", "jitter")
+    __slots__ = ("chol", "chol_inv", "alpha", "count", "jitter",
+                 "x_rows", "fresh")
 
-    def __init__(self, chol, chol_inv, alpha, count, jitter):
+    def __init__(self, chol, chol_inv, alpha, count, jitter, x_rows,
+                 fresh=True):
         self.chol = chol
         self.chol_inv = chol_inv
         self.alpha = alpha
         self.count = int(count)
         self.jitter = float(jitter)
+        #: Active training inputs (host copy of the working-dtype rows),
+        #: kept so appends never need a device fetch of the buffer.
+        self.x_rows = x_rows
+        #: True when produced by a from-scratch factorization — then the
+        #: factors are BITWISE the float64 oracle's (same code path,
+        #: same inputs). Bordered appends set False: their f64 rounding
+        #: differs from a fresh factorization at condition-number scale,
+        #: which the f32 margins absorb but the extended sweep must not
+        #: (it refactorizes fresh instead).
+        self.fresh = bool(fresh)
 
 
-def _host_factorize(kernel, x_buf, y_buf, prior, count, noise_variance,
-                    scale):
+def _host_factorize(kernel, x_buf, y_buf, mean_function, count,
+                    noise_variance, scale):
     """Float64 host factorization of the masked, scaled kernel matrix.
 
-    Returns a :class:`_HostCache`. The kernel matrix is assembled on
-    device in the working dtype and lifted; its entries carry
-    O(eps32 * variance) rounding noise in f32 mode, so when the noise
-    variance is below that the lifted matrix can be (slightly)
-    indefinite — retried with growing jitter starting at the f32
-    assembly-error scale (regularization below the matrix's own
-    accuracy, not a model change).
+    Returns a :class:`_HostCache`. The kernel matrix AND the prior-mean
+    residual are assembled in float64 on the CPU backend from the
+    float64-lifted model (:func:`_assemble64` / :func:`_prior64`) — the
+    same matrix and target the float64 oracle factorizes — so the host
+    island's factors match the exact model to f64 roundoff with no f32
+    assembly noise. A genuinely indefinite matrix (duplicate inputs at
+    tiny noise) is retried with growing jitter starting at the f64
+    roundoff scale of the diagonal; a nonzero jitter changes the model
+    and voids any derived certificate margin (the empirical calibrator
+    re-measures whatever model actually runs).
     """
     import scipy.linalg
 
@@ -651,20 +656,20 @@ def _host_factorize(kernel, x_buf, y_buf, prior, count, noise_variance,
     n = int(count)
     s2 = float(scale) ** 2
     host_dtype = np.dtype(config.solve_dtype or np.float64)
-    k = np.asarray(kernel(x_buf, x_buf), dtype=host_dtype)
-    a = s2 * (k + float(noise_variance) * np.eye(cap))
+    x_rows = np.asarray(x_buf)[:n].copy()
+    k = _assemble64(kernel, x_rows).astype(host_dtype, copy=False)
+    a = np.eye(cap, dtype=host_dtype)
+    a[:n, :n] = s2 * (k + float(noise_variance) * np.eye(n))
     mask = np.zeros(cap, dtype=np.float64)
     mask[:n] = 1.0
-    outer = mask[:, None] * mask[None, :]
-    a = np.where(outer > 0, a, np.eye(cap))
     jitter = 0.0
     diag_scale = float(np.max(np.diagonal(a))) if cap else 1.0
-    for _ in range(12):
+    for _ in range(16):
         try:
             chol = np.linalg.cholesky(a + (jitter * s2) * np.diag(mask))
             break
         except np.linalg.LinAlgError:
-            jitter = max(np.finfo(np.float32).eps * diag_scale / s2,
+            jitter = max(64.0 * np.finfo(np.float64).eps * diag_scale / s2,
                          10.0 * jitter)
     else:
         raise np.linalg.LinAlgError(
@@ -672,12 +677,12 @@ def _host_factorize(kernel, x_buf, y_buf, prior, count, noise_variance,
             "jitter {:.2e}".format(jitter))
     chol_inv = scipy.linalg.solve_triangular(
         chol, np.eye(cap), lower=True, check_finite=False)
-    prior = np.asarray(prior, dtype=np.float64)
-    target = (float(scale)
-              * (np.asarray(y_buf, dtype=np.float64) - prior)
-              * mask[:, None])
+    target = np.zeros((cap, y_buf.shape[1]), dtype=np.float64)
+    y_host = np.asarray(y_buf, dtype=np.float64)[:n]
+    prior = _prior64(mean_function, x_rows, y_buf.shape[1])
+    target[:n] = float(scale) * (y_host - prior)
     alpha = chol_inv @ target
-    return _HostCache(chol, chol_inv, alpha, n, jitter)
+    return _HostCache(chol, chol_inv, alpha, n, jitter, x_rows)
 
 
 def _host_cache_to_device(host):
@@ -687,57 +692,53 @@ def _host_cache_to_device(host):
             jnp.asarray(host.alpha, dtype=dtype))
 
 
-def _bordered_append(host, kernel, x_buf_new, y_new, prior_new,
-                     noise_variance, scale, k_cols=None):
+def _bordered_append(host, kernel, x_new, y_new, mean_function,
+                     noise_variance, scale, capacity):
     """O(n^2) bordered Cholesky append of ``m`` new observations.
 
     Mathematically the same recurrence a fresh factorization runs for the
     new rows (the leading block's factor is untouched by construction),
-    executed in the same float64 host island — so the result matches
-    refactorization up to the f32 device kernel-assembly rounding both
-    paths share (measured ~1e-5 on the factor, ~2e-4 on predictions: the
-    same scale as the f32-vs-f64-oracle gap, i.e. no precision is traded
-    for the O(n^2)-instead-of-O(n^3) cost). Returns the updated
-    :class:`_HostCache`, or ``None`` when the pivot is not safely
-    positive (ill-conditioned addition — caller refactorizes with the
-    jitter retry loop instead).
+    executed in the same float64 host island with the same
+    oracle-consistent f64 assembly (:func:`_assemble64`), so the result
+    matches refactorization to f64 roundoff — no precision is traded for
+    the O(n^2)-instead-of-O(n^3) cost, and no device dispatch is needed
+    (the host mirror carries the active training rows). Returns the
+    updated :class:`_HostCache`, or ``None`` when the pivot is not
+    safely positive (ill-conditioned addition — caller refactorizes with
+    the jitter retry loop instead).
 
     Parameters
     ----------
     host : _HostCache with ``count = n`` rows already factorized
-    x_buf_new : device buffer ALREADY containing the appended rows
+    x_new : (m, d) new inputs (working-dtype host rows, as stored)
     y_new : (m, p) new targets
-    prior_new : (m, p) prior mean at the new inputs
+    mean_function : prior mean Function or None
+    capacity : int buffer capacity (append fails past it)
     """
     import scipy.linalg
 
     n = host.count
     m = len(y_new)
-    cap = x_buf_new.shape[0]
-    if n + m > cap:
+    if n + m > int(capacity):
         return None
     s = float(scale)
     s2 = s * s
     host_dtype = np.dtype(config.solve_dtype or np.float64)
 
-    # Kernel columns for the new points (device assembly, like the full
-    # factorization) against every buffer row — rows above n + m are
-    # masked out by construction below. One jitted dispatch: a composite
-    # kernel evaluated eagerly is dozens of op dispatches, which through
-    # a high-latency link dominates the whole O(n^2) append. Callers
-    # with several outputs pass precomputed columns (one dispatch for
-    # the whole stack).
-    if k_cols is None:
-        k_cols = _kernel_columns(kernel, x_buf_new,
-                                 jnp.asarray(n, dtype=jnp.int32), m=m)
-    k_cols = np.asarray(k_cols, dtype=host_dtype) * s2
+    x_new = np.asarray(x_new, dtype=host.x_rows.dtype).reshape(m, -1)
+    rows = (np.vstack([host.x_rows, x_new]) if n else x_new)
+    # Kernel columns K(rows, x_new) in oracle-consistent f64 on the CPU
+    # backend — zero device dispatches through the (high-latency) link.
+    k_cols = _assemble64(kernel, rows, x_new).astype(
+        host_dtype, copy=False) * s2
+    prior_new = _prior64(mean_function, x_new, y_new.shape[1])
     noise = float(noise_variance)
 
     chol = host.chol.copy()
     chol_inv = host.chol_inv.copy()
     alpha = host.alpha.copy()
     target_new = (s * (np.asarray(y_new, dtype=host_dtype)
-                       - np.asarray(prior_new, dtype=host_dtype)))
+                       - prior_new.astype(host_dtype, copy=False)))
 
     for j in range(m):
         i = n + j
@@ -757,7 +758,8 @@ def _bordered_append(host, kernel, x_buf_new, y_new, prior_new,
         chol_inv[i, i] = 1.0 / d
         alpha[i, :] = (target_new[j] - lj @ alpha[:i, :]) / d
 
-    return _HostCache(chol, chol_inv, alpha, n + m, host.jitter)
+    return _HostCache(chol, chol_inv, alpha, n + m, host.jitter,
+                      rows, fresh=False)
 
 
 def _device_border_append(gp, x_new, y_new):
@@ -832,24 +834,26 @@ def _device_border_append(gp, x_new, y_new):
                       chol_inv=ci2, alpha=a2)
 
 
-def _cache_parts(kernel, x_buf, y_buf, prior, count, noise_variance, scale,
-                 host_out=None):
+def _cache_parts(kernel, x_buf, y_buf, mean_function, count,
+                 noise_variance, scale, host_out=None):
     """Refresh one output's Cholesky cache from its parts.
 
-    In float64 mode everything runs on device. In float32 mode (the TPU
-    default) the factorization runs on the host in float64: ``K + noise I``
-    at the small noise levels the reference uses (1e-6 .. 1e-8 variances)
-    is too ill-conditioned for a single-precision Cholesky. Only the
-    kernel assembly stays on device. When ``host_out`` is a list, the
-    float64 :class:`_HostCache` mirror is appended to it so subsequent
+    The kernel assembly and factorization ALWAYS run on the host in
+    float64 (:func:`_host_factorize`) — in float32 mode (the TPU
+    default) because ``K + noise I`` at the small noise levels the
+    reference uses (1e-6 .. 1e-8 variances) is too ill-conditioned for
+    a single-precision Cholesky, and in BOTH modes so that a float32
+    GP's factors and the float64 oracle's (``oracle.lift64`` rebuilds
+    the GP under x64, landing in this same numpy code path) are the
+    SAME numpy arrays bit for bit. That bitwise identity is what lets
+    the extended-precision sweep's derived margin
+    (``ops/extended_verify``) be ~2^-40-scale: any implementation
+    difference between two f64 factorizations of an ill-conditioned
+    matrix would exceed it. When ``host_out`` is a list, the float64
+    :class:`_HostCache` mirror is appended to it so subsequent
     ``add_data_point`` calls can run the O(n^2) bordered update.
     """
-    if np.dtype(config.np_dtype) == np.float64:
-        target = scale * (y_buf - prior)
-        return _cache_device(kernel, x_buf, target, count, noise_variance,
-                             scale ** 2)
-
-    host = _host_factorize(kernel, x_buf, y_buf, prior, count,
+    host = _host_factorize(kernel, x_buf, y_buf, mean_function, count,
                            noise_variance, scale)
     if host_out is not None:
         host_out.append(host)
@@ -858,11 +862,9 @@ def _cache_parts(kernel, x_buf, y_buf, prior, count, noise_variance, scale,
 
 def _gp_cache(gp, host_out=None):
     """Refresh a :class:`GaussianProcess`'s Cholesky cache."""
-    prior = gp._prior_mean(gp.X_buf)
-    if isinstance(prior, (int, float)):
-        prior = jnp.zeros((), dtype=gp.Y_buf.dtype)
-    return _cache_parts(gp.kernel, gp.X_buf, gp.Y_buf, prior, gp.count,
-                        gp.noise_variance, gp.scale, host_out=host_out)
+    return _cache_parts(gp.kernel, gp.X_buf, gp.Y_buf, gp.mean_function,
+                        gp.count, gp.noise_variance, gp.scale,
+                        host_out=host_out)
 
 
 # ---------------------------------------------------------------------------
@@ -1177,20 +1179,17 @@ class StackedGaussianProcess(UncertainFunction):
                 and all(h.count == n for h in hosts)
                 and getattr(config, "incremental_gp_updates", True)):
             hosts_new = []
-            # One dispatch + one sync for all outputs' kernel columns
-            # and prior means.
-            k_all, priors = jax.device_get(_stacked_append_parts(
-                new, jnp.asarray(n, dtype=jnp.int32), m=n_new))
-            priors = np.asarray(priors, dtype=np.float64)
             # One host fetch for ALL outputs' noise levels: passing
             # device-array elements into _bordered_append would force a
-            # host-device sync per output (float(...) inside).
+            # host-device sync per output (float(...) inside). Kernel
+            # columns and priors are assembled on the host CPU in f64
+            # (oracle-consistent) — zero device dispatches.
             noises = np.asarray(self.noise_variances, dtype=np.float64)
             for s in range(self.num_fun):
                 updated = _bordered_append(
-                    hosts[s], self.kernels[s], new.X_buf, y[:, s:s + 1],
-                    priors[:, s:s + 1], float(noises[s]),
-                    self.scale, k_cols=k_all[s])
+                    hosts[s], self.kernels[s], x, y[:, s:s + 1],
+                    self.mean_functions[s], float(noises[s]),
+                    self.scale, self.capacity)
                 if updated is None:
                     hosts_new = None
                     break
@@ -1225,14 +1224,11 @@ def _stacked_cache(gp, host_out=None):
     chols, chol_invs, alphas = [], [], []
     hosts = [] if host_out is not None else None
     for s in range(gp.num_fun):
-        fun = gp.mean_functions[s]
-        prior = (jnp.zeros((), dtype=gp.Y_buf.dtype) if fun is None
-                 else fun(gp.X_buf).reshape(-1, 1))
         per_host = [] if hosts is not None else None
         chol, chol_inv, alpha = _cache_parts(
-            gp.kernels[s], gp.X_buf, gp.Y_buf[:, s:s + 1], prior,
-            gp.count, gp.noise_variances[s], gp.scale,
-            host_out=per_host)
+            gp.kernels[s], gp.X_buf, gp.Y_buf[:, s:s + 1],
+            gp.mean_functions[s], gp.count, gp.noise_variances[s],
+            gp.scale, host_out=per_host)
         if hosts is not None:
             hosts.append(per_host[0] if per_host else None)
         chols.append(chol)

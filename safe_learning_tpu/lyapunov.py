@@ -343,6 +343,15 @@ class Lyapunov:
         if self.initial_safe_set is not None:
             self._refinement[self.initial_safe_set] = 1
 
+        #: Model of a callable ``lipschitz_lyapunov`` as the row-wise
+        #: absolute linear form ``L_v(x) = |x G^T|`` — required by the
+        #: extended-precision sweep (``update_safe_set(extended=True)``)
+        #: for non-constant L_v; installed by
+        #: ``ops.extended_verify.extended_certificate_margin``.
+        self.extended_lv_matrix = None
+        self._ext_sweep = None
+        self._ext_sweep_key = None
+
         self.update_values()
 
     # ------------------------------------------------------------------
@@ -549,9 +558,28 @@ class Lyapunov:
         return negative
 
     # ------------------------------------------------------------------
+    def _get_extended_sweep(self):
+        """Build (or reuse) the double-word sweep for the current model.
+
+        Keyed on the model objects' identities and the GP data count, so
+        online learning (``dynamics`` replaced by ``add_data_point``)
+        rebuilds the parameter snapshot while the compiled pipeline is
+        reused across instances with the same structure.
+        """
+        from .ops.extended_verify import ExtendedSweep
+
+        key = (id(self.dynamics), int(getattr(self.dynamics, "count", -1)),
+               id(self.policy), id(self.lyapunov_function),
+               id(self._lipschitz_lyapunov), self.tau)
+        if self._ext_sweep is None or self._ext_sweep_key != key:
+            self._ext_sweep = ExtendedSweep(
+                self, lv_matrix=self.extended_lv_matrix)
+            self._ext_sweep_key = key
+        return self._ext_sweep
+
     def update_safe_set(self, can_shrink=True, max_refinement=1,
                         safety_factor=1.0, parallel_iterations=None,
-                        batch_size=None):
+                        batch_size=None, extended=False):
         """Compute the largest certified level set and update ``safe_set``.
 
         TPU formulation of reference ``lyapunov.py:407-606``: grid points
@@ -568,6 +596,14 @@ class Lyapunov:
         formula, which the sound full-R check supersedes). Passing a
         non-default value raises a one-time ``RuntimeWarning`` so ported
         reference code is not silently reinterpreted.
+
+        ``extended=True`` runs the decrease checks in double-word
+        float32 arithmetic (``ops/extended_verify``, ~2^-45 effective
+        precision) so the instance's ``certificate_margin`` can be the
+        tiny derived ``extended_certificate_margin`` instead of an
+        f32-scale one — the rigorous option on ill-conditioned
+        instances. The level comparison still uses the f32-stored
+        values, so ``level_margin`` stays at f32 scale.
         """
         if safety_factor != 1.0 or parallel_iterations is not None:
             import warnings
@@ -585,9 +621,11 @@ class Lyapunov:
         nindex = grid.nindex
         batch = batch_size or max(int(config.gp_batch_size), 1)
 
+        ext_sweep = self._get_extended_sweep() if extended else None
+
         fused_limit = max(batch,
                           int(getattr(config, "fused_sweep_limit", 0)))
-        if not self.adaptive and nindex <= fused_limit:
+        if not self.adaptive and nindex <= fused_limit and not extended:
             return self._update_safe_set_fused(can_shrink)
         if self.adaptive and batch_size is None:
             # One device pass for the main decrease check when the grid
@@ -659,10 +697,14 @@ class Lyapunov:
             # decrease/threshold outputs exist for diagnostics callers;
             # transferring them here would add two f32 grid-sized D2H
             # copies per batch).
-            negative = np.asarray(_negative_batch(
-                self.policy, self.dynamics, self.lyapunov_function,
-                self._lipschitz_lyapunov, self._lipschitz_dynamics, tau,
-                states_dev, margin)[0])
+            if ext_sweep is not None:
+                negative = np.asarray(ext_sweep.negative_batch(
+                    states_dev, tau=tau, margin=margin))
+            else:
+                negative = np.asarray(_negative_batch(
+                    self.policy, self.dynamics, self.lyapunov_function,
+                    self._lipschitz_lyapunov, self._lipschitz_dynamics,
+                    tau, states_dev, margin)[0])
             negative = negative[:n_valid]
             safe_b = negative | exempt_sorted[i:i + n_valid]
             refinement_sorted[i:i + n_valid][safe_b] = 1
@@ -700,14 +742,21 @@ class Lyapunov:
                                 check_states,
                                 np.broadcast_to(check_states[-1:],
                                                 (pad, grid.ndim))])
-                        refined = np.asarray(_refined_negative_batch(
-                            self.policy, self.dynamics,
-                            self.lyapunov_function,
-                            self._lipschitz_lyapunov,
-                            self._lipschitz_dynamics,
-                            tau, _shard(jnp.asarray(check_states)),
-                            unit_maxes, int(max_refinement),
-                            grid.ndim, margin=margin))[:hi - j]
+                        if ext_sweep is not None:
+                            refined = np.asarray(
+                                ext_sweep.refined_negative_batch(
+                                    _shard(jnp.asarray(check_states)),
+                                    int(max_refinement),
+                                    margin=margin))[:hi - j]
+                        else:
+                            refined = np.asarray(_refined_negative_batch(
+                                self.policy, self.dynamics,
+                                self.lyapunov_function,
+                                self._lipschitz_lyapunov,
+                                self._lipschitz_dynamics,
+                                tau, _shard(jnp.asarray(check_states)),
+                                unit_maxes, int(max_refinement),
+                                grid.ndim, margin=margin))[:hi - j]
                         # A state passes if its COARSE check passed (the
                         # suffix beyond the first failure contains such
                         # states — their tau-level certificate stands;

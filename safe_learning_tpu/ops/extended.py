@@ -58,7 +58,7 @@ __all__ = [
     "two_sum", "fast_two_sum", "two_prod", "df_from_f64", "df_from_f32",
     "df_add", "df_sub", "df_neg", "df_mul", "df_mul_f32", "df_div",
     "df_sqrt", "df_exp", "df_to_f32", "df_less", "df_matmul", "df_dot",
-    "eft_selfcheck",
+    "df_pow2_scale", "df_select", "df_add_f32", "eft_selfcheck",
 ]
 
 _F32 = jnp.float32
@@ -244,6 +244,24 @@ def df_sqrt(x):
     return jnp.where(zero, 0.0, hi), jnp.where(zero, 0.0, lo)
 
 
+def df_pow2_scale(x, s):
+    """Scale by an exact power of two (exact; hardened outputs).
+
+    ``s`` must be a (possibly negative) power of two — the word-wise
+    products are then exact. Outputs are hardened: they are raw
+    products whose consumers' two_sums would otherwise be FMA-fodder.
+    """
+    s = np.float32(s)
+    if s == 0 or np.log2(abs(float(s))) % 1 != 0:
+        raise ValueError("df_pow2_scale needs a power of two")
+    return _hard(x[0] * s), _hard(x[1] * s)
+
+
+def df_select(pred, x, y):
+    """Elementwise ``where`` on double-word pairs (exact)."""
+    return jnp.where(pred, x[0], y[0]), jnp.where(pred, x[1], y[1])
+
+
 def df_less(x, y):
     """Strict ``x < y`` on double-word pairs (sign of the difference)."""
     d_hi, d_lo = df_sub(x, y)
@@ -328,6 +346,7 @@ def df_dot(x, y, axis=-1):
     yl = jnp.moveaxis(y[1], axis, 0)
 
     def body(acc, term):
+        """Accumulate one product term into the df carry."""
         txh, txl, tyh, tyl = term
         prod = df_mul((txh, txl), (tyh, tyl))
         return df_add(acc, prod), None
@@ -349,6 +368,7 @@ def df_matmul(a, b):
     bh, bl = b
 
     def body(acc, term):
+        """Accumulate one rank-1 outer product into the df carry."""
         cah, cal, rbh, rbl = term
         prod = df_mul((cah[:, None], cal[:, None]),
                       (rbh[None, :], rbl[None, :]))

@@ -1,0 +1,779 @@
+"""Extended-precision (double-word float32) verification sweep.
+
+The float32 device sweep certifies ``decrease < threshold - margin``
+with a margin absorbing the f32 pipeline error. The *derived* margin
+(:func:`~safe_learning_tpu.errorbounds.analytic_certificate_margin`) is
+rigorous but scales with the cached GP factor's condition number — on
+ill-conditioned instances it can exceed the threshold itself (measured
+0.27 on the ill-conditioned property instance, ``docs/performance.md``),
+leaving only the empirically calibrated margin usable there.
+
+This module runs the ENTIRE decrease pipeline — policy, GP posterior
+(mean and confidence), Lyapunov values, Lipschitz threshold, comparison
+— in double-word float32 arithmetic (:mod:`~safe_learning_tpu.ops
+.extended`): every value is an unevaluated ``(hi, lo)`` pair and every
+operation rounds at ~2^-45 relative, on any IEEE f32 backend (TPU VPU
+included; no MXU, no hardware transcendentals). The same Higham-style
+analysis then yields a margin at unit roundoff ``U_EFF = 2^-40`` —
+about ``2^18`` tighter than the f32 bound on the same instance — making
+the DERIVED certificate usable in exactly the conditioning regime that
+defeats it in plain f32.
+
+Soundness chain (each link checked by tests):
+
+1. ``eft_selfcheck()`` proves the error-free transformations hold on
+   the live backend before any sweep runs.
+2. The GP factors are EXACT double-word splits of the float64 host
+   island's factors (``functions/gp.py:_host_factorize``) — which are
+   bitwise the arrays the float64 oracle uses (``_cache_parts`` routes
+   BOTH dtype modes through the same numpy factorization), so there is
+   no cross-implementation f64 discrepancy for the margin to absorb.
+3. Every pipeline stage mirrors the float64 oracle's formula
+   (``oracle.oracle_margins``) term by term; the derived margin bounds
+   ``|margin_dw - margin_oracle|`` because both realizations round at
+   <= U_EFF per operation under the parametric analysis
+   (``errorbounds.analytic_certificate_margin(unit_roundoff=U_EFF)``).
+
+Supported instance shape (same family as the analytic margin):
+LinearSystem / Saturation / Constant policies, (Stacked)GaussianProcess
+dynamics over RBF / Matern / Linear kernels and their
+sums/products/ActiveDims with LinearSystem-or-None prior means,
+QuadraticFunction candidates, scalar ``L_f``, and ``L_v`` either a
+scalar or the row-wise absolute linear form ``L_v(x) = |x G^T|``
+(``lv_matrix``), which covers the reference notebooks' ``2 |P x|``-style
+local constants. Anything else raises ``NotImplementedError``.
+
+No reference counterpart: the reference runs float64 end to end
+(``/root/reference/safe_learning/configuration.py:16``); this is the
+TPU-native answer to certifying in a 32-bit-native dtype without giving
+up rigor.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import config
+from ..functions.base import ConstantFunction, Saturation
+from ..functions.gp import (RBF, ActiveDims, GaussianProcess,
+                            LinearKernel, Matern12, Matern32, Matern52,
+                            ProductKernel, StackedGaussianProcess,
+                            SumKernel, _StationaryKernel)
+from ..functions.linear import LinearSystem, QuadraticFunction
+from .extended import (df_add, df_add_f32, df_dot, df_exp, df_less,
+                       df_matmul, df_mul, df_mul_f32, df_neg,
+                       df_pow2_scale, df_select, df_sqrt, df_sub,
+                       eft_selfcheck)
+
+__all__ = ["U_EFF", "ExtendedSweep", "extended_gp_evaluate",
+           "extended_certificate_margin"]
+
+#: Unit roundoff the extended pipeline is certified at. Double-word ops
+#: round at a few 2^-48 relative (Joldes et al. 2017) and the scan
+#: accumulations at ~n * 2^-46; ``df_exp`` at ~2^-41; 2^-40 dominates
+#: all of them AND the float64 oracle's own 2^-53-per-op rounding, so
+#: one parametric analysis covers the deviation between the two
+#: realizations.
+U_EFF = 2.0 ** -40
+
+_F32 = jnp.float32
+
+#: The stationary kernels' sqrt guard (gp.py `_from_sqdist`: 1e-36) and
+#: Matern-5/2's 1/3, as exact double-word constants of the f64 values
+#: the oracle uses.
+_TINY = None  # initialized lazily (needs a live backend)
+_THIRD = None
+_CLAMP = None  # predict's variance floor 1e-12
+
+
+def _consts():
+    global _TINY, _THIRD, _CLAMP
+    if _TINY is None:
+        _TINY = _split_np(1e-36)
+        _THIRD = _split_np(1.0 / 3.0)
+        _CLAMP = _split_np(1e-12)
+    return _TINY, _THIRD, _CLAMP
+
+
+def _split_np(value):
+    """Exact double-word split of float64 data into a jnp (hi, lo) pair."""
+    v = np.asarray(value, dtype=np.float64)
+    hi = v.astype(np.float32)
+    lo = (v - hi.astype(np.float64)).astype(np.float32)
+    return jnp.asarray(hi), jnp.asarray(lo)
+
+
+def _df_abs(x):
+    """|x| on double-word pairs (exact: sign flip only)."""
+    neg = (x[0] < 0) | ((x[0] == 0) & (x[1] < 0))
+    return df_select(neg, df_neg(x), x)
+
+
+def _df_maximum(x, c):
+    """Elementwise max of a pair with a (broadcast) pair ``c``."""
+    lt = df_less(x, c)
+    ch = jnp.broadcast_to(c[0], x[0].shape)
+    cl = jnp.broadcast_to(c[1], x[1].shape)
+    return df_select(lt, (ch, cl), x)
+
+
+def _sum_cols(x):
+    """Row sum of a double-word (N, k) pair -> (N,)."""
+    acc = (x[0][:, 0], x[1][:, 0])
+    for j in range(1, x[0].shape[1]):
+        acc = df_add(acc, (x[0][:, j], x[1][:, j]))
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Kernel compiler: structure -> double-word covariance program
+# ---------------------------------------------------------------------------
+def _compile_kernel(kernel, dims, params):
+    """Compile a kernel tree to double-word entry/diag closures.
+
+    Returns ``(entry, diag, sig)`` where ``entry(kp, x, qh, ql)`` maps
+    the exact f32 training rows ``x (cap, nd)`` and the double-word
+    query rows ``(qh, ql) (N, nd)`` to the df covariance ``(cap, N)``,
+    and ``diag(kp, qh, ql)`` to the df prior variance ``(N,)``. All
+    hyperparameters are exact double-word splits appended to ``params``
+    and consumed positionally from the ``kp`` tuple, so compiled
+    closures are reusable across instances with the same structure
+    ``sig`` (the jit cache key). Mirrors the recursive error program in
+    ``errorbounds._kernel_program``; formulas mirror the float64
+    oracle's (``functions/gp.py`` kernel classes) term by term.
+    """
+    dims = np.asarray(dims, dtype=int)
+
+    if isinstance(kernel, ActiveDims):
+        entry, diag, sig = _compile_kernel(
+            kernel.kernel, dims[list(kernel.dims)], params)
+        return entry, diag, ("active", tuple(int(d) for d in kernel.dims),
+                             sig)
+
+    if isinstance(kernel, (SumKernel, ProductKernel)):
+        e1, g1, s1 = _compile_kernel(kernel.k1, dims, params)
+        e2, g2, s2 = _compile_kernel(kernel.k2, dims, params)
+        if isinstance(kernel, SumKernel):
+            def entry(kp, x, qh, ql):
+                return df_add(e1(kp, x, qh, ql), e2(kp, x, qh, ql))
+
+            def diag(kp, qh, ql):
+                return df_add(g1(kp, qh, ql), g2(kp, qh, ql))
+            return entry, diag, ("sum", s1, s2)
+
+        def entry(kp, x, qh, ql):
+            return df_mul(e1(kp, x, qh, ql), e2(kp, x, qh, ql))
+
+        def diag(kp, qh, ql):
+            return df_mul(g1(kp, qh, ql), g2(kp, qh, ql))
+        return entry, diag, ("prod", s1, s2)
+
+    cols = [int(c) for c in dims]
+
+    if isinstance(kernel, _StationaryKernel):
+        fam = type(kernel)
+        if fam not in (RBF, Matern12, Matern32, Matern52):
+            raise NotImplementedError(
+                "extended sweep: unsupported stationary kernel {}"
+                .format(fam.__name__))
+        m = len(cols)
+        ls64 = np.broadcast_to(np.atleast_1d(
+            np.asarray(kernel.lengthscales, dtype=np.float64)), (m,))
+        idx = len(params)
+        params.append((_split_np(1.0 / ls64),
+                       _split_np(np.asarray(kernel.variance, np.float64))))
+        tiny, third, _ = _consts()
+
+        def entry(kp, x, qh, ql):
+            (ih, il), var = kp[idx]
+            cap = x.shape[0]
+            n = qh.shape[0]
+            t = (jnp.zeros((cap, n), _F32), jnp.zeros((cap, n), _F32))
+            for j, c in enumerate(cols):
+                diff = df_sub((x[:, c:c + 1], jnp.zeros((cap, 1), _F32)),
+                              (qh[:, c][None, :], ql[:, c][None, :]))
+                z = df_mul(diff, (ih[j], il[j]))
+                t = df_add(t, df_mul(z, z))
+            if fam is RBF:
+                e = df_exp(df_pow2_scale(t, -0.5))
+            elif fam is Matern12:
+                r = df_sqrt(df_add(t, tiny))
+                e = df_exp(df_neg(r))
+            elif fam is Matern32:
+                r = df_sqrt(df_add(df_mul_f32(t, np.float32(3.0)), tiny))
+                e = df_mul(df_add_f32(r, np.float32(1.0)),
+                           df_exp(df_neg(r)))
+            else:  # Matern52
+                r = df_sqrt(df_add(df_mul_f32(t, np.float32(5.0)), tiny))
+                rr = df_mul(r, r)
+                poly = df_add_f32(df_add(r, df_mul(rr, third)),
+                                  np.float32(1.0))
+                e = df_mul(poly, df_exp(df_neg(r)))
+            return df_mul(e, var)
+
+        def diag(kp, qh, ql):
+            var = kp[idx][1]
+            n = qh.shape[0]
+            return (jnp.broadcast_to(var[0], (n,)),
+                    jnp.broadcast_to(var[1], (n,)))
+        return entry, diag, (fam.__name__.lower(), m,
+                             tuple(cols))
+
+    if isinstance(kernel, LinearKernel):
+        m = len(cols)
+        vv64 = np.broadcast_to(np.atleast_1d(
+            np.asarray(kernel.variances, dtype=np.float64)), (m,))
+        idx = len(params)
+        params.append((_split_np(vv64),))
+
+        def entry(kp, x, qh, ql):
+            (vh, vl), = kp[idx]
+            cap = x.shape[0]
+            n = qh.shape[0]
+            acc = (jnp.zeros((cap, n), _F32), jnp.zeros((cap, n), _F32))
+            for j, c in enumerate(cols):
+                xv = df_mul((x[:, c:c + 1], jnp.zeros((cap, 1), _F32)),
+                            (vh[j], vl[j]))
+                acc = df_add(acc, df_mul(
+                    xv, (qh[:, c][None, :], ql[:, c][None, :])))
+            return acc
+
+        def diag(kp, qh, ql):
+            (vh, vl), = kp[idx]
+            n = qh.shape[0]
+            acc = (jnp.zeros((n,), _F32), jnp.zeros((n,), _F32))
+            for j, c in enumerate(cols):
+                qc = (qh[:, c], ql[:, c])
+                acc = df_add(acc, df_mul(df_mul(qc, qc), (vh[j], vl[j])))
+            return acc
+        return entry, diag, ("linear", m, tuple(cols))
+
+    raise NotImplementedError(
+        "extended sweep: unsupported kernel node {}"
+        .format(type(kernel).__name__))
+
+
+# ---------------------------------------------------------------------------
+# Policy / candidate compilers
+# ---------------------------------------------------------------------------
+def _compile_policy(policy, params):
+    """Compile a policy to ``fn(pp, xh, xl) -> df (N, m)`` + signature."""
+    if isinstance(policy, Saturation):
+        inner, sig = _compile_policy(policy.fun, params)
+        idx = len(params)
+        params.append((_split_np(np.asarray(policy.lower, np.float64)),
+                       _split_np(np.asarray(policy.upper, np.float64))))
+
+        def fn(pp, xh, xl):
+            v = inner(pp, xh, xl)
+            lo, hi = pp[idx]
+            # jnp.clip = min(max(v, lo), hi), mirrored exactly.
+            v = _df_maximum(v, lo)
+            gt = df_less((jnp.broadcast_to(hi[0], v[0].shape),
+                          jnp.broadcast_to(hi[1], v[1].shape)), v)
+            return df_select(gt,
+                             (jnp.broadcast_to(hi[0], v[0].shape),
+                              jnp.broadcast_to(hi[1], v[1].shape)), v)
+        return fn, ("sat", sig)
+
+    if isinstance(policy, LinearSystem):
+        idx = len(params)
+        params.append(
+            (_split_np(np.asarray(policy.matrix, np.float64).T),))
+
+        def fn(pp, xh, xl):
+            return df_matmul((xh, xl), pp[idx][0])
+        return fn, ("linear", tuple(np.asarray(policy.matrix).shape))
+
+    if isinstance(policy, ConstantFunction):
+        c = np.atleast_2d(np.asarray(policy.constant, np.float64))
+        idx = len(params)
+        params.append((_split_np(c),))
+        width = c.shape[-1]
+
+        def fn(pp, xh, xl):
+            ch, cl = pp[idx][0]
+            n = xh.shape[0]
+            return (jnp.broadcast_to(ch, (n, width)),
+                    jnp.broadcast_to(cl, (n, width)))
+        return fn, ("const", int(width))
+
+    raise NotImplementedError(
+        "extended sweep supports LinearSystem/Saturation/Constant "
+        "policies; got {}".format(type(policy).__name__))
+
+
+def _compile_quadratic(v_fun, params):
+    """``v(x) = x^T P x`` in double words (mirrors QuadraticFunction)."""
+    if not isinstance(v_fun, QuadraticFunction):
+        raise NotImplementedError(
+            "extended sweep supports QuadraticFunction candidates; "
+            "got {}".format(type(v_fun).__name__))
+    idx = len(params)
+    params.append((_split_np(np.asarray(v_fun.matrix, np.float64)),))
+
+    def fn(vp, x):
+        xp = df_matmul(x, vp[idx][0])
+        return df_dot(xp, x, axis=1)
+    return fn, ("quad", int(np.asarray(v_fun.matrix).shape[0]))
+
+
+def _compile_lv(lipschitz_lyapunov, lv_matrix, d, params):
+    """L_v evaluator: ``fn(lp, x) -> df (N, dv)`` + (sig, dv).
+
+    A scalar/constant L_v becomes an exact df constant; a callable
+    REQUIRES the explicit row-wise absolute linear model ``lv_matrix``
+    (``L_v(x) = |x G^T|``) — the caller spot-checks it against the
+    callable (see :class:`ExtendedSweep`).
+    """
+    if isinstance(lipschitz_lyapunov, ConstantFunction):
+        lipschitz_lyapunov = np.asarray(lipschitz_lyapunov.constant)
+    if isinstance(lipschitz_lyapunov, (int, float)) or (
+            isinstance(lipschitz_lyapunov, np.ndarray)
+            and lipschitz_lyapunov.size == 1):
+        idx = len(params)
+        params.append((_split_np(float(lipschitz_lyapunov)),))
+
+        def fn(lp, x):
+            c = lp[idx][0]
+            n = x[0].shape[0]
+            return (jnp.broadcast_to(c[0], (n, 1)),
+                    jnp.broadcast_to(c[1], (n, 1)))
+        return fn, ("scalar",), 1
+
+    if lv_matrix is None:
+        raise NotImplementedError(
+            "extended sweep needs lv_matrix (the G of L_v(x) = |x G^T|) "
+            "for a non-constant L_v; got {} with no model".format(
+                type(lipschitz_lyapunov).__name__))
+    g = np.atleast_2d(np.asarray(lv_matrix, dtype=np.float64))
+    if g.shape[1] != d:
+        raise ValueError("lv_matrix must have one column per state dim")
+    idx = len(params)
+    params.append((_split_np(g.T),))
+
+    def fn(lp, x):
+        return _df_abs(df_matmul(x, lp[idx][0]))
+    return fn, ("linabs", g.shape), int(g.shape[0])
+
+
+# ---------------------------------------------------------------------------
+# GP blocks
+# ---------------------------------------------------------------------------
+def _gp_blocks(dynamics):
+    """Normalize dynamics into per-factor blocks with float64 mirrors."""
+    if isinstance(dynamics, StackedGaussianProcess):
+        gps = dynamics.unstack()
+    elif isinstance(dynamics, GaussianProcess):
+        gps = [dynamics]
+    else:
+        raise NotImplementedError(
+            "extended sweep supports GaussianProcess / "
+            "StackedGaussianProcess dynamics; got {}"
+            .format(type(dynamics).__name__))
+    blocks = []
+    for gp in gps:
+        host = getattr(gp, "_host_cache", None)
+        if host is None or host.count != int(gp.count):
+            raise RuntimeError(
+                "extended sweep needs the float64 host mirror of the GP "
+                "factors (lost when the instance crossed a pytree "
+                "boundary) — rebuild the GP or add a data point to "
+                "refresh it")
+        if not host.fresh:
+            # Bordered-append factors differ from a fresh factorization
+            # at f64-roundoff-times-condition scale — absorbed by the
+            # f32 margins, NOT by the 2^-40 one. Refactorize from
+            # scratch (the same code path the oracle's rebuilt GP runs,
+            # hence bitwise its factors) for this sweep only.
+            from ..functions.gp import _host_factorize
+
+            host = _host_factorize(gp.kernel, gp.X_buf, gp.Y_buf,
+                                   gp.mean_function, gp.count,
+                                   float(gp.noise_variance), gp.scale)
+        if host.jitter != 0.0:
+            raise RuntimeError(
+                "the GP factorization needed jitter {:.2e}; the jittered "
+                "factor is a different model than the oracle's and the "
+                "derived margin does not cover it".format(host.jitter))
+        mean = gp.mean_function
+        if mean is not None and not isinstance(mean, LinearSystem):
+            raise NotImplementedError(
+                "extended sweep supports LinearSystem prior means; "
+                "got {}".format(type(mean).__name__))
+        blocks.append({"gp": gp, "host": host, "mean": mean})
+    return blocks
+
+
+def _block_params(blk):
+    """Per-block df parameter pytree (factors split EXACTLY from f64)."""
+    gp = blk["gp"]
+    host = blk["host"]
+    p = {
+        "chol_inv": _split_np(host.chol_inv),
+        "alpha": _split_np(host.alpha),
+        "mask": jnp.asarray(
+            (np.arange(gp.capacity) < host.count).astype(np.float32)),
+        "beta": _split_np(np.float64(gp.beta)),
+    }
+    if blk["mean"] is not None:
+        p["mean_t"] = _split_np(
+            np.asarray(blk["mean"].matrix, np.float64).T)
+    s = float(gp.scale)
+    if s != 1.0:
+        p["s2"] = _split_np(np.float64(s) ** 2)
+        p["inv_scale"] = _split_np(1.0 / np.float64(s))
+        p["inv_s2"] = _split_np(1.0 / np.float64(s) ** 2)
+    return p
+
+
+def _build_block_predict(blk, dims, params_kernel):
+    """Compile one block's df posterior: (predict, sig).
+
+    ``predict(bp, kp, x_rows, qh, ql) -> (mean df (N, p), err df (N, p))``
+    mirrors ``GaussianProcess.predict`` + ``evaluate``'s XLA path in
+    float64 (the oracle's realization): ``kx = s2 K(X, q) * mask``,
+    ``a = L^-1 kx``, ``mean = a^T alpha / s + m(q)``,
+    ``var = max(diag - sum a^2 / s2, 1e-12)``, ``err = beta sqrt(var)``.
+    """
+    gp = blk["gp"]
+    entry, diag, ksig = _compile_kernel(gp.kernel, dims, params_kernel)
+    has_mean = blk["mean"] is not None
+    scaled = float(gp.scale) != 1.0
+    width = int(gp.output_dim)
+    _, _, clamp = _consts()
+
+    def predict(bp, kp, x_rows, qh, ql):
+        k = entry(kp, x_rows, qh, ql)
+        mask = bp["mask"]
+        k = (k[0] * mask[:, None], k[1] * mask[:, None])
+        if scaled:
+            k = df_mul(k, bp["s2"])
+        a = df_matmul(bp["chol_inv"], k)                    # (cap, N)
+        mean = df_matmul((a[0].T, a[1].T), bp["alpha"])     # (N, p)
+        if scaled:
+            mean = df_mul(mean, bp["inv_scale"])
+        if has_mean:
+            mean = df_add(mean, df_matmul((qh, ql), bp["mean_t"]))
+        a2 = df_dot(a, a, axis=0)                           # (N,)
+        if scaled:
+            a2 = df_mul(a2, bp["inv_s2"])
+        var = df_sub(diag(kp, qh, ql), a2)
+        var = _df_maximum(var, clamp)
+        err = df_mul(bp["beta"], df_sqrt(var))              # (N,)
+        err = (jnp.broadcast_to(err[0][:, None], (err[0].shape[0], width)),
+               jnp.broadcast_to(err[1][:, None], (err[1].shape[0], width)))
+        return mean, err
+
+    sig = (ksig, has_mean, scaled, width, gp.capacity)
+    return predict, sig
+
+
+# ---------------------------------------------------------------------------
+# The sweep
+# ---------------------------------------------------------------------------
+_PIPELINES = {}
+
+
+def _concat_pairs(pairs, axis=1):
+    return (jnp.concatenate([p[0] for p in pairs], axis=axis),
+            jnp.concatenate([p[1] for p in pairs], axis=axis))
+
+
+class ExtendedSweep:
+    """Double-word decrease-condition sweep for one Lyapunov instance.
+
+    Construction compiles (or reuses, keyed on structure) the jitted
+    pipeline and snapshots the instance's parameters as exact df splits;
+    rebuild after any model change (``Lyapunov._get_extended_sweep``
+    does this automatically, keyed on the model object identities).
+
+    Parameters
+    ----------
+    lyapunov : Lyapunov
+    lv_matrix : array (dv, d), optional
+        Model of a callable ``L_v`` as the row-wise absolute linear
+        form ``L_v(x) = |x G^T|``. Spot-checked against the callable on
+        a grid sample at construction (1e-4 relative) — a mismatched
+        model fails loudly instead of certifying the wrong condition.
+    """
+
+    def __init__(self, lyapunov, lv_matrix=None):
+        eft_selfcheck()
+        if not isinstance(lyapunov._lipschitz_dynamics, (int, float)):
+            raise NotImplementedError(
+                "extended sweep needs a scalar L_f")
+        blocks = _gp_blocks(lyapunov.dynamics)
+        d = lyapunov.discretization.ndim
+        nd = blocks[0]["gp"].input_dim
+        for blk in blocks:
+            if blk["gp"].input_dim != nd:
+                raise ValueError("stacked GP members disagree on "
+                                 "input_dim")
+
+        kparams, pparams, vparams, lparams = [], [], [], []
+        policy_fn, psig = _compile_policy(lyapunov.policy, pparams)
+        v_fn, vsig = _compile_quadratic(lyapunov.lyapunov_function,
+                                        vparams)
+        lv_fn, lsig, dv = _compile_lv(lyapunov._lipschitz_lyapunov,
+                                      lv_matrix, d, lparams)
+        self._spotcheck_lv(lyapunov, lv_matrix, dv)
+
+        dims = np.arange(nd)
+        predicts = []
+        bsigs = []
+        for blk in blocks:
+            predict, bsig = _build_block_predict(blk, dims, kparams)
+            predicts.append(predict)
+            bsigs.append(bsig)
+        widths = [int(blk["gp"].output_dim) for blk in blocks]
+        n_out = sum(widths)
+        if dv not in (1, n_out):
+            raise ValueError(
+                "lv_matrix rows ({}) must be 1 or the number of GP "
+                "outputs ({})".format(dv, n_out))
+
+        sig = (psig, vsig, lsig, tuple(bsigs), d, nd, dv)
+        self._sig = sig
+        self._d = d
+        self._params = {
+            "kernels": tuple(kparams),
+            "policy": tuple(pparams),
+            "v": tuple(vparams),
+            "lv": tuple(lparams),
+            "blocks": tuple(_block_params(blk) for blk in blocks),
+            "x_rows": blocks[0]["gp"].X_buf.astype(_F32),
+            "one_plus_lf": _split_np(
+                1.0 + np.float64(lyapunov._lipschitz_dynamics)),
+        }
+        self._tau = float(lyapunov.tau)
+        self._unit_maxes = np.asarray(lyapunov.discretization.unit_maxes,
+                                      dtype=np.float64)
+
+        if sig not in _PIPELINES:
+            def core(params, points, tau):
+                """(decrease, threshold) as df pairs at ``points``."""
+                xh = points.astype(_F32)
+                xl = jnp.zeros_like(xh)
+                u = policy_fn(params["policy"], xh, xl)
+                qh = jnp.concatenate([xh, u[0]], axis=1)
+                ql = jnp.concatenate([xl, u[1]], axis=1)
+                outs = [pred(bp, params["kernels"], params["x_rows"],
+                             qh, ql)
+                        for pred, bp in zip(predicts, params["blocks"])]
+                mean = _concat_pairs([o[0] for o in outs])
+                err = _concat_pairs([o[1] for o in outs])
+
+                vx = v_fn(params["v"], (xh, xl))
+                vn = v_fn(params["v"], mean)
+                lvn = lv_fn(params["lv"], mean)          # (N, dv)
+                if dv == 1:
+                    serr = (_sum_cols(err) if err[0].shape[1] > 1
+                            else (err[0][:, 0], err[1][:, 0]))
+                    bound = df_mul((lvn[0][:, 0], lvn[1][:, 0]), serr)
+                else:
+                    bound = _sum_cols(df_mul(lvn, err))
+                dec = df_add(df_sub(vn, vx), bound)
+
+                lvx = lv_fn(params["lv"], (xh, xl))
+                lt = (_sum_cols(_df_abs(lvx)) if dv > 1
+                      else (lvx[0][:, 0], lvx[1][:, 0]))
+                thr = df_neg(df_mul(df_mul(lt, params["one_plus_lf"]),
+                                    tau))
+                n = dec[0].shape[0]
+                thr = (jnp.broadcast_to(thr[0], (n,)),
+                       jnp.broadcast_to(thr[1], (n,)))
+                return dec, thr
+
+            def body(params, points, tau, margin):
+                dec, thr = core(params, points, tau)
+                return df_less(dec, df_sub(thr, margin))
+
+            def refined_body(params, states, half_unit, tau, margin,
+                             r, nd_):
+                # Mirror _refined_negative_batch's f32 sub-point
+                # construction EXACTLY (same expression, same dtype),
+                # then check the df condition at those points.
+                combos = np.stack(
+                    np.meshgrid(*[np.arange(r)] * nd_, indexing="ij"),
+                    axis=-1).reshape(-1, nd_).astype(np.float64)
+                if r > 1:
+                    unit = -1.0 + 2.0 * combos / (r - 1.0)
+                else:
+                    unit = np.zeros_like(combos)
+                unit = jnp.asarray(unit, dtype=states.dtype)
+                points = states[:, None, :] + half_unit * unit[None, :, :]
+                flat = points.reshape(-1, nd_)
+                ok = body(params, flat, tau, margin)
+                return jnp.all(ok.reshape(states.shape[0], -1), axis=1)
+
+            _PIPELINES[sig] = (
+                jax.jit(body),
+                jax.jit(refined_body, static_argnames=("r", "nd_")),
+                jax.jit(core))
+        (self._jit_body, self._jit_refined,
+         self._jit_core) = _PIPELINES[sig]
+
+    @staticmethod
+    def _spotcheck_lv(lyapunov, lv_matrix, dv):
+        """Fail loudly if lv_matrix disagrees with the callable L_v."""
+        lv = lyapunov._lipschitz_lyapunov
+        if lv_matrix is None or not callable(lv):
+            return
+        grid = lyapunov.discretization
+        rng = np.random.default_rng(0)
+        idx = rng.choice(grid.nindex, size=min(grid.nindex, 256),
+                         replace=False)
+        pts = np.asarray(grid.all_points[idx], dtype=config.np_dtype)
+        got = np.asarray(lv(jnp.asarray(pts)), dtype=np.float64)
+        want = np.abs(pts.astype(np.float64)
+                      @ np.asarray(lv_matrix, np.float64).T)
+        got = got.reshape(len(pts), -1)
+        scale = np.maximum(np.abs(want), 1e-6)
+        if got.shape != want.shape or np.max(
+                np.abs(got - want) / scale) > 1e-4:
+            raise ValueError(
+                "lv_matrix does not reproduce the callable "
+                "lipschitz_lyapunov on a grid sample — the extended "
+                "sweep would certify a different condition")
+
+    # -- public API -------------------------------------------------------
+    def negative_batch(self, states, tau=None, margin=0.0):
+        """Double-word decrease check; returns a device bool (N,)."""
+        tau = self._tau if tau is None else float(tau)
+        return self._jit_body(self._params,
+                              jnp.asarray(states, dtype=_F32),
+                              _split_np(tau), _split_np(float(margin)))
+
+    def margins(self, states, tau=None):
+        """Double-word ``decrease - threshold`` at ``states``, as float64.
+
+        Diagnostics / test hook: the returned values carry the full
+        double-word precision (rounding ``hi + lo`` into f64 is exact up
+        to one f64 ulp), so comparing them against
+        ``oracle.oracle_margins`` measures the extended pipeline's true
+        deviation."""
+        tau = self._tau if tau is None else float(tau)
+        dec, thr = self._jit_core(self._params,
+                                  jnp.asarray(states, dtype=_F32),
+                                  _split_np(tau))
+        dec64 = (np.asarray(dec[0], np.float64)
+                 + np.asarray(dec[1], np.float64))
+        thr64 = (np.asarray(thr[0], np.float64)
+                 + np.asarray(thr[1], np.float64))
+        return dec64 - thr64
+
+    def refined_negative_batch(self, states, max_refinement, margin=0.0):
+        """Sound df check on the R^d sub-grids at ``tau / R``."""
+        r = int(max_refinement)
+        half = jnp.asarray(
+            ((0.5 * (1.0 - 1.0 / r)) * self._unit_maxes)
+            .astype(config.np_dtype))
+        return self._jit_refined(self._params,
+                                 jnp.asarray(states, dtype=_F32),
+                                 half, _split_np(self._tau / r),
+                                 _split_np(float(margin)),
+                                 r=r, nd_=self._d)
+
+
+# ---------------------------------------------------------------------------
+# Standalone df GP evaluation (testing / diagnostics)
+# ---------------------------------------------------------------------------
+def extended_gp_evaluate(gp, points):
+    """Double-word ``(mean, beta * std)`` of a GP, as float64 arrays.
+
+    Runs the same df posterior the sweep uses, standalone; the returned
+    float64 values carry the full ~2^-45 double-word precision (rounding
+    hi + lo into one f64 is exact). Useful for validating the df
+    pipeline against the float64 oracle without a Lyapunov instance.
+    """
+    eft_selfcheck()
+    blocks = _gp_blocks(gp)
+    kparams = []
+    dims = np.arange(blocks[0]["gp"].input_dim)
+    outs = []
+    pts = jnp.asarray(np.asarray(points), dtype=_F32)
+    qh, ql = pts, jnp.zeros_like(pts)
+    for blk in blocks:
+        predict, _ = _build_block_predict(blk, dims, kparams)
+        bp = _block_params(blk)
+        mean, err = jax.jit(predict)(bp, tuple(kparams),
+                                     blk["gp"].X_buf.astype(_F32),
+                                     qh, ql)
+        outs.append((mean, err))
+        kparams = []
+    mean = _concat_pairs([o[0] for o in outs])
+    err = _concat_pairs([o[1] for o in outs])
+    to64 = lambda p: (np.asarray(p[0], np.float64)  # noqa: E731
+                      + np.asarray(p[1], np.float64))
+    return to64(mean), to64(err)
+
+
+# ---------------------------------------------------------------------------
+# The derived margin at U_EFF
+# ---------------------------------------------------------------------------
+def extended_certificate_margin(lyapunov, lv_matrix=None, refinement=1,
+                                safety=1.0, set_margin=True):
+    """Derived conservative margin for the EXTENDED sweep.
+
+    Runs the parametric Higham analysis
+    (:func:`~safe_learning_tpu.errorbounds.analytic_certificate_margin`)
+    at ``unit_roundoff = U_EFF`` — rigorous for the double-word pipeline
+    by the bounds quoted in :data:`U_EFF` — and installs it together
+    with an f32-scale LEVEL margin (the certified-level cut compares
+    the f32-stored Lyapunov values regardless of how the decrease was
+    checked, so that guard must stay at f32 scale; closed form below
+    since the candidate is quadratic).
+
+    Returns the decrease margin. Typical values sit ~2^18 below the f32
+    derived margin on the same instance, making the derived (full-
+    coverage, non-sampled) certificate usable on ill-conditioned
+    instances where the f32 bound exceeds the threshold itself.
+    """
+    from ..errorbounds import ErrorModel, analytic_certificate_margin
+
+    lvm = None
+    if lv_matrix is not None:
+        g = np.atleast_2d(np.asarray(lv_matrix, dtype=np.float64))
+        g_abs_t = jnp.asarray(np.abs(g).T, dtype=config.dtype)
+        d = lyapunov.discretization.ndim
+        gam = (d + 2) * U_EFF / (1.0 - (d + 2) * U_EFF)
+
+        def eval_bound(x):
+            return gam * jnp.abs(x) @ g_abs_t
+
+        lvm = ErrorModel(eval_bound, float(np.max(np.sum(np.abs(g),
+                                                         axis=1))))
+
+    margin = analytic_certificate_margin(
+        lyapunov, safety=safety, lipschitz_model=lvm,
+        refinement=refinement, set_margin=False, unit_roundoff=U_EFF)
+
+    # f32-scale level margin (closed form for x^T P x over the box):
+    # the f32 evaluation chain has <= 2d + 2 sequential roundings per
+    # point at the MXU-slack unit, against the positive-anchor
+    # magnitude |x|^T |P| |x|, maximized at the per-dim |corner|.
+    v_fun = lyapunov.lyapunov_function
+    if not isinstance(v_fun, QuadraticFunction):
+        raise NotImplementedError(
+            "extended margin supports QuadraticFunction candidates")
+    grid = lyapunov.discretization
+    corner = np.max(np.abs(np.asarray(grid.limits, np.float64)), axis=1)
+    p_abs = np.abs(np.asarray(v_fun.matrix, np.float64))
+    v_mag = float(corner @ p_abs @ corner)
+    eps32 = float(np.finfo(np.float32).eps)
+    u32s = eps32 / 2.0 * float(getattr(config, "fp_error_factor", 4.0))
+    d = grid.ndim
+    n_ops = 2 * d + 2
+    gam32 = n_ops * u32s / (1.0 - n_ops * u32s)
+    level_margin = max(2.0 * float(safety) * gam32 * v_mag,
+                       4.0 * eps32 * v_mag)
+
+    if set_margin:
+        lyapunov.certificate_margin = margin
+        lyapunov.level_margin = level_margin
+        if lv_matrix is not None:
+            lyapunov.extended_lv_matrix = lv_matrix
+    return margin
