@@ -612,9 +612,9 @@ class ExtendedSweep:
             _PIPELINES[sig] = (
                 jax.jit(body),
                 jax.jit(refined_body, static_argnames=("r", "nd_")),
-                jax.jit(core))
+                jax.jit(core), body)
         (self._jit_body, self._jit_refined,
-         self._jit_core) = _PIPELINES[sig]
+         self._jit_core, self._body_raw) = _PIPELINES[sig]
 
     @staticmethod
     def _spotcheck_lv(lyapunov, lv_matrix, dv):
