@@ -575,6 +575,13 @@ class Lyapunov:
             self._ext_sweep = ExtendedSweep(
                 self, lv_matrix=self.extended_lv_matrix)
             self._ext_sweep_key = key
+            # Hold strong references to the keyed objects: the key
+            # stores ids, and a freed model object's id can be reused
+            # by a NEW object (the stale-cache hazard the safe-set
+            # caches guard with content hashes elsewhere).
+            self._ext_sweep_refs = (self.dynamics, self.policy,
+                                    self.lyapunov_function,
+                                    self._lipschitz_lyapunov)
         return self._ext_sweep
 
     def update_safe_set(self, can_shrink=True, max_refinement=1,
