@@ -151,6 +151,93 @@ def _lv_model(lipschitz_lyapunov, lipschitz_model, u):
         .format(type(lipschitz_lyapunov).__name__))
 
 
+def _candidate_model(v_fun, d, u):
+    """Per-point magnitude/error rule for the Lyapunov candidate.
+
+    Returns ``v_mag_err(y, y_abs, dy) -> (mag, err)``: an anchor on
+    ``|v_any(y')|`` and a bound on ``|v_any(y') - v_exact(y)|`` for ANY
+    realization rounding at ``u`` per op, evaluated at any
+    ``|y' - y| <= dy`` elementwise (``y`` signed, ``y_abs = |y|``).
+
+    Quadratic rule: the ``x^T P x`` chain (2d + 2 sequential roundings)
+    against the positive anchor ``|y|^T |P| |y|`` plus the exact
+    first-order perturbation ``dy^T (|P| + |P|^T) (|y| + dy)``.
+
+    Piecewise-linear rule (:class:`Triangulation` candidates, the
+    flagship/pendulum family): table reads are EXACT (vertex values are
+    stored f32), so only the barycentric-weight arithmetic rounds —
+    ``gamma_{3d+10} (d+1) A`` with ``A`` the interpolation anchor — and
+    every input effect is Lipschitz: per-dim gradient bounds ``G_d``
+    (max axis-d neighbor difference over the table: the Kuhn
+    triangulation's simplex gradients ARE single-axis corner
+    differences) absorb the query uncertainty ``dy``, the fractional-
+    coordinate rounding (``3u (|y_d| + |offset_d|)`` in coordinate
+    units), and cell misassignment near faces (the interpolant is
+    continuous; the factor 2 covers evaluating the neighboring cell's
+    linear extension). Outside the domain the interpolant extrapolates
+    linearly, so the anchor grows by ``sum_d G_d out_d``.
+    """
+    from .functions.simplex import Triangulation
+
+    if isinstance(v_fun, QuadraticFunction):
+        p_abs = jnp.abs(jnp.asarray(v_fun.matrix, dtype=config.dtype))
+        p_sym = p_abs + p_abs.T
+        g_quad = _gamma(2 * d + 2, u)
+
+        def v_mag_err(y, y_abs, dy):
+            mag = jnp.sum(mxu_dot(y_abs, p_abs) * y_abs, axis=1)
+            err = (jnp.sum(mxu_dot(dy, p_sym) * (y_abs + dy), axis=1)
+                   + g_quad * mag)
+            return mag, err
+        return v_mag_err
+
+    if isinstance(v_fun, Triangulation):
+        if v_fun.output_dim != 1:
+            raise NotImplementedError(
+                "analytic margin needs a scalar PWL candidate")
+        grid_v = v_fun.discretization
+        if grid_v.ndim != d:
+            raise ValueError("candidate grid dimension mismatch")
+        theta = np.asarray(v_fun.parameters, dtype=np.float64)[:, 0]
+        theta_max = float(np.max(np.abs(theta))) or 1.0
+        shape = tuple(int(n) for n in grid_v.shape)
+        vals_nd = theta.reshape(shape)
+        unit = np.asarray(grid_v.unit_maxes, dtype=np.float64)
+        g_per_dim = np.array([
+            (float(np.max(np.abs(np.diff(vals_nd, axis=ax))))
+             if shape[ax] > 1 else 0.0) / unit[ax]
+            for ax in range(d)])
+        g_dev = jnp.asarray(g_per_dim, dtype=config.dtype)
+        off_abs = jnp.asarray(np.abs(np.asarray(grid_v.offset,
+                                                np.float64)),
+                              dtype=config.dtype)
+        lo = jnp.asarray(np.asarray(grid_v.limits, np.float64)[:, 0],
+                         dtype=config.dtype)
+        hi = jnp.asarray(np.asarray(grid_v.limits, np.float64)[:, 1],
+                         dtype=config.dtype)
+        g_w = _gamma(3 * d + 10, u) * (d + 1)
+        inv_unit = jnp.asarray(1.0 / unit, dtype=config.dtype)
+
+        def v_mag_err(y, y_abs, dy):
+            out = (jnp.maximum(lo[None, :] - y, 0.0)
+                   + jnp.maximum(y - hi[None, :], 0.0))
+            delta = dy + 3.0 * u * (y_abs + off_abs[None, :])
+            reach = out + delta
+            # Value anchor: the located cell's linear extension.
+            mag = theta_max + mxu_dot(reach, g_dev[:, None])[:, 0]
+            # Weight-arithmetic anchor: sum |w| <= 1 + 2 * out-of-cell
+            # excess in CELL units (weights are affine in z).
+            w_sum = 1.0 + 2.0 * mxu_dot(reach, inv_unit[:, None])[:, 0]
+            err = g_w * theta_max * w_sum \
+                + 2.0 * mxu_dot(delta, g_dev[:, None])[:, 0]
+            return mag, err
+        return v_mag_err
+
+    raise NotImplementedError(
+        "analytic margin supports QuadraticFunction / Triangulation "
+        "candidates; got {}".format(type(v_fun).__name__))
+
+
 def _column_batch(vals, n_pts):
     """Normalize an L_v evaluation to ``(N, dv)``, broadcasting rows.
 
@@ -497,10 +584,7 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
             "StackedGaussianProcess dynamics; got {} — use "
             "calibrate_certificate_margin".format(type(dyn).__name__))
     v_fun = lyapunov.lyapunov_function
-    if not isinstance(v_fun, QuadraticFunction):
-        raise NotImplementedError(
-            "analytic margin currently supports QuadraticFunction "
-            "candidates; got {}".format(type(v_fun).__name__))
+    v_mag_err = _candidate_model(v_fun, d, u)
     if not isinstance(lyapunov._lipschitz_dynamics, (int, float)):
         raise NotImplementedError("analytic margin needs a scalar L_f")
 
@@ -511,9 +595,6 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
 
     lf = float(lyapunov._lipschitz_dynamics)
     tau = float(lyapunov.tau)
-    p_abs = jnp.abs(jnp.asarray(v_fun.matrix, dtype=config.dtype))
-    p_sym = p_abs + p_abs.T
-    g_quad = _gamma(2 * d + 2, u)
 
     def _lv_at(x, n_pts):
         return _column_batch(
@@ -548,17 +629,12 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
         err_hat = jnp.concatenate([p[2] for p in parts], axis=1)
         d_err = jnp.concatenate([p[3] for p in parts], axis=1)
 
-        # -- Lyapunov value terms -------------------------------------
+        # -- Lyapunov value terms (candidate-model rule) ---------------
         mu_abs = jnp.abs(mu_hat)
         pts_abs = jnp.abs(pts)
         d_mu_l1 = jnp.sum(d_mu, axis=1)                       # (N,)
-        v_next_mag = jnp.sum(mxu_dot(mu_abs, p_abs) * mu_abs, axis=1)
-        v_x_mag = jnp.sum(mxu_dot(pts_abs, p_abs) * pts_abs, axis=1)
-        e_v_next = (jnp.sum(mxu_dot(d_mu, p_sym) * (mu_abs + d_mu),
-                            axis=1)
-                    + g_quad * v_next_mag)
-        e_v_x = (jnp.sum(mxu_dot(dx, p_sym) * (pts_abs + dx), axis=1)
-                 + g_quad * v_x_mag)
+        v_next_mag, e_v_next = v_mag_err(mu_hat, mu_abs, d_mu)
+        v_x_mag, e_v_x = v_mag_err(pts, pts_abs, dx)
 
         # -- L_v * err decrease term ----------------------------------
         lv_abs = jnp.abs(_lv_at(mu_hat, n_pts))               # (N, dv)

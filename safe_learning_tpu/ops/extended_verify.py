@@ -38,7 +38,8 @@ Supported instance shape (same family as the analytic margin):
 LinearSystem / Saturation / Constant policies, (Stacked)GaussianProcess
 dynamics over RBF / Matern / Linear kernels and their
 sums/products/ActiveDims with LinearSystem-or-None prior means,
-QuadraticFunction candidates, scalar ``L_f``, and ``L_v`` either a
+QuadraticFunction or Triangulation (piecewise-linear — the flagship /
+pendulum family) candidates, scalar ``L_f``, and ``L_v`` either a
 scalar or the row-wise absolute linear form ``L_v(x) = |x G^T|``
 (``lv_matrix``), which covers the reference notebooks' ``2 |P x|``-style
 local constants. Anything else raises ``NotImplementedError``.
@@ -62,6 +63,7 @@ from ..functions.gp import (RBF, ActiveDims, GaussianProcess,
                             ProductKernel, StackedGaussianProcess,
                             SumKernel, _StationaryKernel)
 from ..functions.linear import LinearSystem, QuadraticFunction
+from ..functions.simplex import Triangulation, _vertex_strides
 from .extended import (df_add, df_add_f32, df_dot, df_exp, df_less,
                        df_matmul, df_mul, df_mul_f32, df_neg,
                        df_pow2_scale, df_select, df_sqrt, df_sub,
@@ -305,19 +307,131 @@ def _compile_policy(policy, params):
         "policies; got {}".format(type(policy).__name__))
 
 
-def _compile_quadratic(v_fun, params):
-    """``v(x) = x^T P x`` in double words (mirrors QuadraticFunction)."""
-    if not isinstance(v_fun, QuadraticFunction):
-        raise NotImplementedError(
-            "extended sweep supports QuadraticFunction candidates; "
-            "got {}".format(type(v_fun).__name__))
-    idx = len(params)
-    params.append((_split_np(np.asarray(v_fun.matrix, np.float64)),))
+def _compile_candidate(v_fun, params):
+    """Lyapunov candidate ``v(x)`` in double words.
 
-    def fn(vp, x):
-        xp = df_matmul(x, vp[idx][0])
-        return df_dot(xp, x, axis=1)
-    return fn, ("quad", int(np.asarray(v_fun.matrix).shape[0]))
+    Quadratic: ``x^T P x`` (mirrors ``QuadraticFunction``). Piecewise
+    linear (``Triangulation``): the Kuhn locate runs on exact integer
+    math from the double-word fractional coordinates (the floor is
+    corrected against the full pair, so it matches the pair's value,
+    and any residual cell/simplex disagreement with the float64 oracle
+    near faces is covered by the margin analysis's Lipschitz-times-
+    coordinate-uncertainty term — the interpolant is continuous);
+    barycentric weights are double-word arithmetic; vertex-value
+    gathers are EXACT (the table is stored f32).
+    """
+    if isinstance(v_fun, QuadraticFunction):
+        idx = len(params)
+        params.append((_split_np(np.asarray(v_fun.matrix, np.float64)),))
+
+        def fn(vp, x):
+            xp = df_matmul(x, vp[idx][0])
+            return df_dot(xp, x, axis=1)
+        return fn, ("quad", int(np.asarray(v_fun.matrix).shape[0]))
+
+    if isinstance(v_fun, Triangulation):
+        if v_fun.output_dim != 1:
+            raise NotImplementedError(
+                "extended sweep needs a scalar PWL candidate")
+        grid_v = v_fun.discretization
+        d = grid_v.ndim
+        shape = tuple(int(n) for n in grid_v.shape)
+        strides = np.asarray(_vertex_strides(grid_v), dtype=np.int32)
+        num_cells = np.asarray(grid_v.num_points, dtype=np.int32) - 2
+        project = bool(v_fun.project)
+        idx = len(params)
+        params.append((
+            jnp.asarray(np.asarray(v_fun.parameters)[:, 0],
+                        dtype=_F32),                       # exact table
+            _split_np(np.asarray(grid_v.offset, np.float64)),
+            _split_np(1.0 / np.asarray(grid_v.unit_maxes, np.float64)),
+        ))
+
+        def fn(vp, x):
+            theta, off, inv_unit = vp[idx]
+            n = x[0].shape[0]
+            # Double-word fractional coordinates.
+            frac = df_mul(df_sub(x, (off[0][None, :], off[1][None, :])),
+                          (inv_unit[0][None, :], inv_unit[1][None, :]))
+            # Floor of the PAIR's value: floor(hi), corrected when the
+            # lo word crosses an integer (|lo| <= ulp(hi)/2, so the
+            # correction is at most one).
+            c0 = jnp.floor(frac[0])
+            c0 = jnp.where(df_less(frac, (c0, jnp.zeros_like(c0))),
+                           c0 - 1.0, c0)
+            nxt = c0 + 1.0
+            c0 = jnp.where(~df_less(frac, (nxt, jnp.zeros_like(nxt))),
+                           nxt, c0)
+            cell_i = jnp.clip(c0.astype(jnp.int32), 0,
+                              jnp.asarray(num_cells)[None, :])
+            cell_f = cell_i.astype(_F32)  # exactly representable
+            z_raw = df_add(frac, (-cell_f, jnp.zeros_like(cell_f)))
+            one = jnp.ones((), _F32)
+            zero = jnp.zeros((), _F32)
+            z_clip = _df_maximum(z_raw, (zero, zero))
+            lt_one = df_less(z_clip, (one, zero))
+            z_clip = df_select(lt_one, z_clip,
+                               (jnp.broadcast_to(one, z_clip[0].shape),
+                                jnp.broadcast_to(zero, z_clip[1].shape)))
+            z = z_clip if project else z_raw
+
+            # Kuhn rank from pairwise double-word comparisons (ties by
+            # index, mirroring simplex._locate_all).
+            zi = (z_clip[0][:, :, None], z_clip[1][:, :, None])
+            zj = (z_clip[0][:, None, :], z_clip[1][:, None, :])
+            greater = df_less(zi, zj)                 # z_j > z_i
+            eq = ~greater & ~df_less(zj, zi)
+            dim_idx = jnp.arange(d, dtype=jnp.int32)
+            tie_prior = eq & (dim_idx[None, None, :]
+                              < dim_idx[None, :, None])
+            rank = jnp.sum(greater | tie_prior, axis=2,
+                           dtype=jnp.int32)           # (N, d)
+            onehot = (rank[:, :, None]
+                      == dim_idx[None, None, :]).astype(_F32)
+            # z_sorted[k] = sum_i onehot[i, k] * z_i (0/1 products are
+            # exact; the d-term accumulation is double-word).
+            zs_h = jnp.zeros((n, d), _F32)
+            zs_l = jnp.zeros((n, d), _F32)
+            for i in range(d):
+                term = (onehot[:, i, :] * z[0][:, i:i + 1],
+                        onehot[:, i, :] * z[1][:, i:i + 1])
+                zs_h, zs_l = df_add((zs_h, zs_l), term)
+            z_sorted = (zs_h, zs_l)
+
+            # Chain weights: w_0 = 1 - z_(1); w_k = z_(k) - z_(k+1);
+            # w_d = z_(d).
+            w_first = df_sub((jnp.ones((n, 1), _F32),
+                              jnp.zeros((n, 1), _F32)),
+                             (z_sorted[0][:, :1], z_sorted[1][:, :1]))
+            if d > 1:
+                w_mid = df_sub((z_sorted[0][:, :-1], z_sorted[1][:, :-1]),
+                               (z_sorted[0][:, 1:], z_sorted[1][:, 1:]))
+            else:
+                w_mid = (jnp.zeros((n, 0), _F32), jnp.zeros((n, 0), _F32))
+            w_last = (z_sorted[0][:, -1:], z_sorted[1][:, -1:])
+            weights = _concat_pairs([w_first, w_mid, w_last])  # (N, d+1)
+
+            # Vertex chain (exact integer math, as in the f32 path).
+            strides_dev = jnp.asarray(strides)
+            corner = jnp.sum(cell_i * strides_dev[None, :], axis=-1,
+                             keepdims=True)
+            step = jnp.sum(onehot.astype(jnp.int32)
+                           * strides_dev[:, None], axis=1)
+            vertices = jnp.concatenate(
+                [corner, corner + jnp.cumsum(step, axis=-1)], axis=1)
+            vals = theta[vertices]                    # (N, d+1), exact
+            acc = df_mul((weights[0][:, 0], weights[1][:, 0]),
+                         (vals[:, 0], jnp.zeros_like(vals[:, 0])))
+            for k in range(1, d + 1):
+                term = df_mul((weights[0][:, k], weights[1][:, k]),
+                              (vals[:, k], jnp.zeros_like(vals[:, k])))
+                acc = df_add(acc, term)
+            return acc
+        return fn, ("pwl", shape, project)
+
+    raise NotImplementedError(
+        "extended sweep supports QuadraticFunction / Triangulation "
+        "candidates; got {}".format(type(v_fun).__name__))
 
 
 def _compile_lv(lipschitz_lyapunov, lv_matrix, d, params):
@@ -515,7 +629,7 @@ class ExtendedSweep:
 
         kparams, pparams, vparams, lparams = [], [], [], []
         policy_fn, psig = _compile_policy(lyapunov.policy, pparams)
-        v_fn, vsig = _compile_quadratic(lyapunov.lyapunov_function,
+        v_fn, vsig = _compile_candidate(lyapunov.lyapunov_function,
                                         vparams)
         lv_fn, lsig, dv = _compile_lv(lyapunov._lipschitz_lyapunov,
                                       lv_matrix, d, lparams)
@@ -751,24 +865,59 @@ def extended_certificate_margin(lyapunov, lv_matrix=None, refinement=1,
         lyapunov, safety=safety, lipschitz_model=lvm,
         refinement=refinement, set_margin=False, unit_roundoff=U_EFF)
 
-    # f32-scale level margin (closed form for x^T P x over the box):
-    # the f32 evaluation chain has <= 2d + 2 sequential roundings per
-    # point at the MXU-slack unit, against the positive-anchor
-    # magnitude |x|^T |P| |x|, maximized at the per-dim |corner|.
+    # f32-scale LEVEL margin: the certified-level cut compares the
+    # f32-stored ranking values, so this guard stays at f32 scale.
     v_fun = lyapunov.lyapunov_function
-    if not isinstance(v_fun, QuadraticFunction):
-        raise NotImplementedError(
-            "extended margin supports QuadraticFunction candidates")
     grid = lyapunov.discretization
-    corner = np.max(np.abs(np.asarray(grid.limits, np.float64)), axis=1)
-    p_abs = np.abs(np.asarray(v_fun.matrix, np.float64))
-    v_mag = float(corner @ p_abs @ corner)
+    d = grid.ndim
     eps32 = float(np.finfo(np.float32).eps)
     u32s = eps32 / 2.0 * float(getattr(config, "fp_error_factor", 4.0))
-    d = grid.ndim
-    n_ops = 2 * d + 2
-    gam32 = n_ops * u32s / (1.0 - n_ops * u32s)
-    level_margin = max(2.0 * float(safety) * gam32 * v_mag,
+    if isinstance(v_fun, QuadraticFunction):
+        # Closed form for x^T P x over the box: <= 2d + 2 sequential
+        # roundings per point against the positive anchor |x|^T |P| |x|,
+        # maximized at the per-dim |corner|.
+        corner = np.max(np.abs(np.asarray(grid.limits, np.float64)),
+                        axis=1)
+        p_abs = np.abs(np.asarray(v_fun.matrix, np.float64))
+        v_mag = float(corner @ p_abs @ corner)
+        n_ops = 2 * d + 2
+        gam32 = n_ops * u32s / (1.0 - n_ops * u32s)
+        err32 = gam32 * v_mag
+    elif isinstance(v_fun, Triangulation):
+        theta = np.asarray(v_fun.parameters, np.float64)[:, 0]
+        v_mag = float(np.max(np.abs(theta))) or 1.0
+        if v_fun.discretization == grid:
+            # Ranking values are EXACT table reads
+            # (Lyapunov.update_values -> _direct_grid_values): only the
+            # ulp floor below applies.
+            err32 = 0.0
+        else:
+            # f32 PWL evaluation at grid points: weight-arithmetic
+            # rounding + per-dim gradient times the f32 fractional-
+            # coordinate rounding (grid points are interior: no
+            # out-of-domain excess).
+            grid_v = v_fun.discretization
+            shape = tuple(int(n) for n in grid_v.shape)
+            vals_nd = theta.reshape(shape)
+            unit_v = np.asarray(grid_v.unit_maxes, np.float64)
+            g_per_dim = np.array([
+                (float(np.max(np.abs(np.diff(vals_nd, axis=ax))))
+                 if shape[ax] > 1 else 0.0) / unit_v[ax]
+                for ax in range(d)])
+            corner = np.max(np.abs(np.asarray(grid.limits, np.float64)),
+                            axis=1)
+            off_abs = np.abs(np.asarray(grid_v.offset, np.float64))
+            delta32 = 3.0 * u32s * (corner + off_abs)
+            n_ops = 3 * d + 10
+            gam32 = n_ops * u32s / (1.0 - n_ops * u32s)
+            w_sum = 1.0 + 2.0 * float(np.sum(delta32 / unit_v))
+            err32 = (gam32 * (d + 1) * v_mag * w_sum
+                     + 2.0 * float(g_per_dim @ delta32))
+    else:
+        raise NotImplementedError(
+            "extended margin supports QuadraticFunction / Triangulation "
+            "candidates")
+    level_margin = max(2.0 * float(safety) * err32,
                        4.0 * eps32 * v_mag)
 
     if set_margin:

@@ -189,6 +189,120 @@ def test_scalar_lv_and_wrong_lv_matrix():
         ExtendedSweep(bad, lv_matrix=3.0 * np.eye(2))
 
 
+def _pwl_flagship_family_instance(n_grid=51):
+    """1-D flagship-shaped instance: PWL candidate on the sweep grid,
+    composite Matern/Linear kernel, Saturation policy, tiny noise."""
+    rng = np.random.default_rng(5)
+    grid = sl.GridWorld([[-1.0, 1.0]], n_grid)
+    kernel = (sl.ActiveDims(sl.Matern32(variance=0.4 ** 2,
+                                        lengthscales=1.0, input_dim=1),
+                            [0])
+              * sl.ActiveDims(sl.LinearKernel(0.2, input_dim=1), [1])
+              + sl.ActiveDims(sl.Matern32(variance=0.1,
+                                          lengthscales=0.8,
+                                          input_dim=1), [0]))
+    nt = 30
+    xt = np.column_stack([rng.uniform(-0.8, 0.8, nt),
+                          rng.uniform(-0.5, 0.5, nt)])
+    yt = (0.1 * xt[:, :1] + 0.1 * xt[:, 1:2]
+          + 0.02 * np.sin(2 * xt[:, :1]))
+    gp = sl.GaussianProcess(kernel, xt, yt, noise_variance=1e-7,
+                            beta=2.0,
+                            mean_function=sl.LinearSystem([[0.1, 0.1]]))
+    theta = np.abs(grid.all_points[:, 0])[:, None].astype(np.float32)
+    v = sl.Triangulation(grid, theta)
+    policy = sl.Saturation(sl.LinearSystem([[-0.3]]), -0.5, 0.5)
+    tau = float(np.min(grid.unit_maxes))
+    init = np.where(np.abs(grid.all_points[:, 0]) <= 0.1)[0]
+    return sl.Lyapunov(grid, v, gp, 0.3, 1.0, tau, policy,
+                       initial_set=init)
+
+
+def test_pwl_candidate_extended_containment():
+    """Triangulation candidates (the flagship family): the df PWL
+    evaluation + PWL margin rule dominate the measured deviation and
+    certify a usable fraction with f64-oracle containment, where the
+    f32 derived margin again exceeds the threshold."""
+    from safe_learning_tpu.errorbounds import analytic_certificate_margin
+
+    lyap = _pwl_flagship_family_instance()
+    m32 = analytic_certificate_margin(lyap, set_margin=False)
+    m_ext = extended_certificate_margin(lyap)
+    thr_scale = 1.0 * (1.0 + 0.3) * lyap.tau
+    assert m32 > thr_scale, (m32, thr_scale)
+    assert m_ext < 0.6 * thr_scale, (m_ext, thr_scale)
+
+    sweep = ExtendedSweep(lyap)
+    pts = np.asarray(lyap.discretization.all_points, np.float32)
+    worst = float(np.max(np.abs(sweep.margins(pts)
+                                - oracle_margins(lyap, pts))))
+    assert m_ext >= worst, (m_ext, worst)
+    assert worst < 1e-6, worst
+
+    lyap.update_safe_set(extended=True)
+    safe64, _ = oracle_safe_set(lyap)
+    assert not (lyap.safe_set & ~safe64).any()
+    # The derived-margin extended sweep certifies the FULL domain here
+    # (the f32 derived margin certifies nothing beyond the exempt set).
+    assert lyap.safe_set.all()
+
+
+def test_pwl_df_evaluation_matches_oracle_off_grid():
+    """The df PWL evaluation agrees with the float64 lift at arbitrary
+    (including extrapolated) points to extended precision."""
+    rng = np.random.default_rng(9)
+    grid = sl.GridWorld([[-1.0, 1.0], [-0.5, 0.5]], [9, 7])
+    theta = rng.normal(size=(grid.nindex, 1)).astype(np.float32)
+    tri = sl.Triangulation(grid, theta)
+    pts = np.column_stack([rng.uniform(-1.2, 1.2, 512),
+                           rng.uniform(-0.7, 0.7, 512)]).astype(
+                               np.float32)
+
+    from safe_learning_tpu.ops.extended_verify import (_compile_candidate,
+                                                       _split_np)
+    params = []
+    fn, sig = _compile_candidate(tri, params)
+    assert sig[0] == "pwl"
+    import jax
+
+    vh, vl = jax.jit(lambda vp, x: fn(vp, x))(
+        tuple(params), (jnp.asarray(pts), jnp.zeros_like(pts)))
+    got = np.asarray(vh, np.float64) + np.asarray(vl, np.float64)
+    with _oracle_env():
+        want = np.asarray(lift64(tri)(
+            jnp.asarray(pts, jnp.float64)).reshape(-1), np.float64)
+    # Agreement wherever the f64 and df locates picked the same
+    # simplex; near faces they may differ, bounded by continuity — so
+    # compare against the interpolant's Lipschitz bound instead of
+    # failing on those.
+    g_max = float(np.max(np.abs(np.diff(
+        np.asarray(theta[:, 0]).reshape(9, 7), axis=0)))) / float(
+            grid.unit_maxes[0])
+    tol = 1e-6 + g_max * 1e-5
+    assert np.max(np.abs(got - want)) < tol
+
+
+def test_extended_sweep_on_device_mesh():
+    """The df pipeline is per-point arithmetic, so SPMD over the grid
+    axis must reproduce the single-device extended sweep exactly."""
+    import jax
+
+    from safe_learning_tpu.parallel import make_mesh
+
+    assert jax.device_count() >= 8
+    single = _ill_conditioned_instance()
+    extended_certificate_margin(single, lv_matrix=_LV_MAT)
+    single.update_safe_set(extended=True)
+
+    meshed = _ill_conditioned_instance()
+    meshed.mesh = make_mesh(8)
+    extended_certificate_margin(meshed, lv_matrix=_LV_MAT)
+    meshed.update_safe_set(extended=True)
+
+    np.testing.assert_array_equal(meshed.safe_set, single.safe_set)
+    assert meshed.c_max == single.c_max
+
+
 def test_extended_update_matches_plain_update_semantics():
     """With the SAME margins installed, the extended sweep's safe set
     agrees with the plain f32 sweep's wherever both pipelines are far
