@@ -7,6 +7,13 @@ safe-learning loop that measures the most uncertain safe state until the
 certified region of attraction stops growing.
 
 Run:  python examples/one_d_region_of_attraction_estimate.py [--full --plot]
+
+``--extended`` certifies in the extended-precision rigor mode: every
+sweep runs the decrease checks in double-word float32 with the DERIVED
+conservative margin re-derived after each measurement
+(``ops/extended_verify``), so the certificate is backed by a rigorous
+per-instance rounding bound instead of an empirically calibrated one —
+at a few times the sweep cost.
 """
 
 import os
@@ -22,7 +29,9 @@ from examples._common import Timer, example_args, maybe_save_plot  # noqa: E402
 
 
 def main():
-    args = example_args(__doc__)
+    args = example_args(__doc__, extra=lambda p: p.add_argument(
+        "--extended", action="store_true",
+        help="double-word sweeps with the derived conservative margin"))
     num_states = 1001 if args.full else 501
     n_updates = 24 if args.full else 20
 
@@ -66,7 +75,19 @@ def main():
     initial = np.abs(discretization.all_points.squeeze()) < 0.2
     lyap.initial_safe_set = initial
     lyap.safe_set |= initial
-    lyap.update_safe_set()
+
+    def update_margin(lyap):
+        """Re-derive the extended margin for the current GP posterior."""
+        if args.extended:
+            from safe_learning_tpu.ops.extended_verify import (
+                extended_certificate_margin)
+
+            margin = extended_certificate_margin(lyap)
+            return margin
+        return None
+
+    update_margin(lyap)
+    lyap.update_safe_set(extended=args.extended)
     print("initial safe fraction: {:.3f}".format(lyap.safe_set.mean()))
 
     # Fixed-shape whole-grid state-action batch: the per-iteration
@@ -84,7 +105,8 @@ def main():
         arg = xu_all[[max_id]]
         measurement = np.asarray(true_dynamics(arg))
         lyap.dynamics = lyap.dynamics.add_data_point(arg, measurement)
-        lyap.update_safe_set()
+        update_margin(lyap)
+        lyap.update_safe_set(extended=args.extended)
 
     with Timer("active learning ({} updates)".format(n_updates)):
         fractions = []
@@ -95,6 +117,9 @@ def main():
     print("safe fraction history:",
           " ".join("{:.3f}".format(f) for f in fractions))
     print("certified level c_max = {:.4f}".format(lyap.c_max))
+    if args.extended:
+        print("extended margin (derived, final GP): {:.3e}"
+              .format(lyap.certificate_margin))
     assert fractions[-1] > initial.mean(), \
         "safe set should grow beyond the initial set"
 
