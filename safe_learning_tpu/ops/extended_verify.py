@@ -434,6 +434,23 @@ def _compile_candidate(v_fun, params):
         "candidates; got {}".format(type(v_fun).__name__))
 
 
+def _auto_lv_matrix(lipschitz_lyapunov):
+    """Derive ``lv_matrix`` when the form is known exactly.
+
+    ``GradientNorm(QuadraticFunction, ord=None)`` — the repo's
+    first-class local-Lipschitz helper for quadratic candidates — IS
+    the row-wise absolute linear form: ``|grad v(x)| = |x (P + P^T)|``.
+    """
+    from ..functions.base import GradientNorm
+
+    if (isinstance(lipschitz_lyapunov, GradientNorm)
+            and lipschitz_lyapunov.ord is None
+            and isinstance(lipschitz_lyapunov.fun, QuadraticFunction)):
+        pm = np.asarray(lipschitz_lyapunov.fun.matrix, np.float64)
+        return pm + pm.T
+    return None
+
+
 def _compile_lv(lipschitz_lyapunov, lv_matrix, d, params):
     """L_v evaluator: ``fn(lp, x) -> df (N, dv)`` + (sig, dv).
 
@@ -616,6 +633,8 @@ class ExtendedSweep:
 
     def __init__(self, lyapunov, lv_matrix=None):
         eft_selfcheck()
+        if lv_matrix is None:
+            lv_matrix = _auto_lv_matrix(lyapunov._lipschitz_lyapunov)
         if not isinstance(lyapunov._lipschitz_dynamics, (int, float)):
             raise NotImplementedError(
                 "extended sweep needs a scalar L_f")
@@ -848,6 +867,8 @@ def extended_certificate_margin(lyapunov, lv_matrix=None, refinement=1,
     """
     from ..errorbounds import ErrorModel, analytic_certificate_margin
 
+    if lv_matrix is None:
+        lv_matrix = _auto_lv_matrix(lyapunov._lipschitz_lyapunov)
     lvm = None
     if lv_matrix is not None:
         g = np.atleast_2d(np.asarray(lv_matrix, dtype=np.float64))
