@@ -247,13 +247,14 @@ def test_pwl_candidate_extended_containment():
     assert lyap.safe_set.all()
 
 
-def test_pwl_df_evaluation_matches_oracle_off_grid():
+@pytest.mark.parametrize("project", [False, True])
+def test_pwl_df_evaluation_matches_oracle_off_grid(project):
     """The df PWL evaluation agrees with the float64 lift at arbitrary
-    (including extrapolated) points to extended precision."""
+    (including extrapolated / projected) points to extended precision."""
     rng = np.random.default_rng(9)
     grid = sl.GridWorld([[-1.0, 1.0], [-0.5, 0.5]], [9, 7])
     theta = rng.normal(size=(grid.nindex, 1)).astype(np.float32)
-    tri = sl.Triangulation(grid, theta)
+    tri = sl.Triangulation(grid, theta, project=project)
     pts = np.column_stack([rng.uniform(-1.2, 1.2, 512),
                            rng.uniform(-0.7, 0.7, 512)]).astype(
                                np.float32)
