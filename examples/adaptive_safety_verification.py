@@ -108,14 +108,20 @@ def build_instance(num_states=501, capacity=None, stacked=False,
     return lyap, true_pendulum
 
 
+def _extra_args(p):
+    p.add_argument(
+        "--sequential", action="store_true",
+        help="per-sample host loop instead of the fused k-step "
+             "program (identical trajectory on record; see "
+             "tests/test_explore.py)")
+    p.add_argument(
+        "--extended", action="store_true",
+        help="double-word sweeps (incl. the refined checks) with the "
+             "derived conservative margin re-derived per update")
+
+
 def main():
-    args = example_args(
-        __doc__,
-        extra=lambda p: p.add_argument(
-            "--sequential", action="store_true",
-            help="per-sample host loop instead of the fused k-step "
-                 "program (identical trajectory on record; see "
-                 "tests/test_explore.py)"))
+    args = example_args(__doc__, extra=_extra_args)
     num_states = 501 if args.full else 201
     n_max = 16
     updates = 12 if args.full else 6
@@ -133,8 +139,21 @@ def main():
         stacked=not args.sequential)
     grid = lyap.discretization
     print("Grid size: {}  tau: {:.2e}".format(grid.nindex, lyap.tau))
+
+    def update_margin(lyap):
+        """Re-derive the extended margin (covers the refined checks)."""
+        if args.extended:
+            from safe_learning_tpu.ops.extended_verify import (
+                extended_certificate_margin)
+
+            # lv = |x (2P)^T| is the row-wise absolute linear form.
+            pm = np.asarray(lyap.lyapunov_function.matrix)
+            extended_certificate_margin(lyap, lv_matrix=pm + pm.T,
+                                        refinement=n_max)
+
+    update_margin(lyap)
     lyap.update_safe_set(can_shrink=False, max_refinement=n_max,
-                         safety_factor=1.0)
+                         safety_factor=1.0, extended=args.extended)
     print("initial certified fraction: {:.3f}".format(
         lyap.safe_set.mean()))
 
@@ -168,8 +187,10 @@ def main():
                     lyap, measure, data_per_update, action_variation,
                     action_limits, positive=True, num_samples=1000,
                     rng=rng)
+            update_margin(lyap)
             lyap.update_safe_set(can_shrink=False, max_refinement=n_max,
-                                 safety_factor=1.0)
+                                 safety_factor=1.0,
+                                 extended=args.extended)
         history.append(lyap.safe_set.mean())
         print("  safe fraction: {:.3f}  c_max: {:.4f}  max N(x): {}"
               .format(history[-1], lyap.c_max,
