@@ -824,19 +824,18 @@ def extended_gp_evaluate(gp, points):
     """
     eft_selfcheck()
     blocks = _gp_blocks(gp)
-    kparams = []
     dims = np.arange(blocks[0]["gp"].input_dim)
     outs = []
     pts = jnp.asarray(np.asarray(points), dtype=_F32)
     qh, ql = pts, jnp.zeros_like(pts)
     for blk in blocks:
+        kparams = []  # fresh per block: entry closures index from 0
         predict, _ = _build_block_predict(blk, dims, kparams)
         bp = _block_params(blk)
         mean, err = jax.jit(predict)(bp, tuple(kparams),
                                      blk["gp"].X_buf.astype(_F32),
                                      qh, ql)
         outs.append((mean, err))
-        kparams = []
     mean = _concat_pairs([o[0] for o in outs])
     err = _concat_pairs([o[1] for o in outs])
     to64 = lambda p: (np.asarray(p[0], np.float64)  # noqa: E731
