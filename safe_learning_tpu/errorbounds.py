@@ -76,7 +76,8 @@ from .functions.gp import (RBF, ActiveDims, GaussianProcess,
                            SumKernel, _StationaryKernel)
 from .functions.linear import LinearSystem, QuadraticFunction
 
-__all__ = ["ErrorModel", "analytic_certificate_margin"]
+__all__ = ["ErrorModel", "analytic_certificate_margin",
+           "analytic_exploration_margin"]
 
 #: Explicit rounding model for an opaque (e.g. Lambda) function used as
 #: the ``L_v`` Lipschitz bound: ``eval_bound(x) -> (N, d)`` absolute
@@ -732,4 +733,144 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
     if set_margin:
         lyapunov.certificate_margin = margin
         lyapunov.level_margin = level_margin
+    return margin
+
+
+def analytic_exploration_margin(lyapunov, perturbations=None,
+                                actions=None, limits=None, safety=1.0,
+                                batch_size=2 ** 14, lipschitz_model=None,
+                                unit_roundoff=None, set_margin=True):
+    """Derived conservative margin for the EXPLORATION certificate.
+
+    ``get_safe_sample`` certifies a candidate pair by
+    ``v(mu) + sum_j |L_v_j| (beta sigma_j) < c_max - margin``
+    (``explore._score_candidates``). This derives a rigorous bound on
+    ``|future_any(q) - future_exact(q)|`` — the same Higham model as
+    :func:`analytic_certificate_margin`, restricted to the
+    future-value terms — maximized over EVERY candidate the runtime
+    can construct: all grid states crossed with
+
+    - the explicit ``actions`` rows (exact f32 data: no construction
+      uncertainty), or
+    - the policy's perturbed-and-clipped actions (anchored on this
+      process's f32 policy evaluation; the policy-rounding term plus
+      the perturbation-add rounding cover any other realization's
+      construction — clipping is exact per element and 1-Lipschitz in
+      the pre-clip value).
+
+    The margin is installed as ``lyapunov.exploration_margin``, which
+    ``explore._margin_of`` prefers over ``certificate_margin`` (the
+    decrease-pipeline margin is a structurally different quantity; the
+    empirical calibrator's reuse of it for the level test is
+    measurement-based, this one is derived). ``unit_roundoff`` follows
+    :func:`analytic_certificate_margin` — pass ``U_EFF`` when the
+    candidates will be scored by the extended double-word path
+    (``get_safe_sample(..., extended=True)``).
+    """
+    if unit_roundoff is None:
+        if getattr(config, "pallas_precision", "highest") != "highest":
+            raise RuntimeError(
+                "the rounding model requires config.pallas_precision == "
+                "'highest'")
+        u = _unit_roundoff()
+    else:
+        u = float(unit_roundoff)
+    if (perturbations is None) == (actions is None):
+        raise ValueError("provide exactly one of perturbations/actions")
+    dyn = lyapunov.dynamics
+    grid = lyapunov.discretization
+    d = grid.ndim
+    if isinstance(dyn, StackedGaussianProcess):
+        gp_list = dyn.unstack()
+    elif isinstance(dyn, GaussianProcess):
+        gp_list = [dyn]
+    else:
+        raise NotImplementedError(
+            "exploration margin supports GaussianProcess / "
+            "StackedGaussianProcess dynamics")
+    v_mag_err = _candidate_model(lyapunov.lyapunov_function, d, u)
+    pol_mat, pol_gamma = _policy_terms(lyapunov.policy, u)
+    lvm = _lv_model(lyapunov._lipschitz_lyapunov, lipschitz_model, u)
+    lv_lip = jnp.asarray(lvm.input_lipschitz, dtype=config.dtype)
+    statics = [_gp_statics(gp, u) for gp in gp_list]
+
+    def _lv_at(x, n_pts):
+        return _column_batch(
+            lyapunov._lipschitz_lyapunov(x)
+            if callable(lyapunov._lipschitz_lyapunov)
+            else lyapunov._lipschitz_lyapunov, n_pts)
+
+    def _lv_err_at(x, n_pts):
+        return _column_batch(lvm.eval_bound(x), n_pts)
+
+    def future_bound(q, dq):
+        """Per-candidate bound on |future_any - future_exact| (N,)."""
+        n_pts = q.shape[0]
+        parts = [_gp_terms(st, q, dq, u) for st in statics]
+        mu_hat = jnp.concatenate([p[0] for p in parts], axis=1)
+        d_mu = jnp.concatenate([p[1] for p in parts], axis=1)
+        err_hat = jnp.concatenate([p[2] for p in parts], axis=1)
+        d_err = jnp.concatenate([p[3] for p in parts], axis=1)
+
+        d_mu_l1 = jnp.sum(d_mu, axis=1)
+        v_next_mag, e_v_next = v_mag_err(mu_hat, jnp.abs(mu_hat), d_mu)
+
+        lv_abs = jnp.abs(_lv_at(mu_hat, n_pts))
+        if lv_abs.shape[1] == 1 and err_hat.shape[1] > 1:
+            lv_abs = jnp.broadcast_to(lv_abs, (n_pts, err_hat.shape[1]))
+        d_lv = _lv_err_at(mu_hat, n_pts) + 2.0 * lv_lip * d_mu_l1[:, None]
+        errterm_anchor = jnp.sum((lv_abs + d_lv) * (err_hat + d_err),
+                                 axis=1)
+        d_errterm = (jnp.sum((lv_abs + d_lv) * d_err
+                             + d_lv * (err_hat + d_err), axis=1)
+                     + _gamma(lv_abs.shape[1] + 1, u) * errterm_anchor)
+        # the final v + errterm add and the c_max comparison
+        final = _gamma(3, u) * (v_next_mag + errterm_anchor)
+        return e_v_next + d_errterm + final
+
+    bound_jit = jax.jit(future_bound)
+    if actions is not None:
+        rows = np.atleast_2d(np.asarray(actions, dtype=config.np_dtype))
+    else:
+        rows = np.atleast_2d(np.asarray(perturbations,
+                                        dtype=config.np_dtype))
+    lim = (None if limits is None
+           else np.atleast_2d(np.asarray(limits, dtype=np.float64)))
+    pts_all = grid.all_points
+    worst = 0.0
+    for start in range(0, grid.nindex, batch_size):
+        pts = jnp.asarray(pts_all[start:start + batch_size],
+                          dtype=config.dtype)
+        if actions is None:
+            acts0 = jnp.asarray(lyapunov.policy(pts))
+            du_pol = (jnp.zeros_like(acts0) if pol_mat is None
+                      else pol_gamma * mxu_dot(jnp.abs(pts),
+                                               jnp.abs(pol_mat).T))
+        for j in range(rows.shape[0]):
+            row = jnp.asarray(rows[j], dtype=config.dtype)
+            if actions is not None:
+                a = jnp.broadcast_to(row[None, :],
+                                     (pts.shape[0], rows.shape[1]))
+                du = jnp.zeros_like(a)
+            else:
+                a = acts0 + row[None, :]
+                if lim is not None:
+                    a = jnp.clip(a,
+                                 jnp.asarray(lim[:, 0],
+                                             dtype=config.dtype),
+                                 jnp.asarray(lim[:, 1],
+                                             dtype=config.dtype))
+                du = du_pol + u * (jnp.abs(a)
+                                   + jnp.abs(row)[None, :])
+            q = jnp.concatenate([pts, a], axis=1)
+            dq = jnp.concatenate([jnp.zeros_like(pts), du], axis=1)
+            worst = max(worst, float(jnp.max(bound_jit(q, dq))))
+
+    cap_total = sum(st["gp"].capacity for st in statics)
+    u32_slack = (float(np.finfo(np.float32).eps) / 2.0
+                 * float(getattr(config, "fp_error_factor", 4.0)))
+    own = _gamma(64 * (cap_total + d + 16), u32_slack)
+    margin = float(safety) * worst * (1.0 + own) / (1.0 - 4.0 * u)
+    if set_margin:
+        lyapunov.exploration_margin = margin
     return margin

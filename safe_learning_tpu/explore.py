@@ -176,12 +176,21 @@ def _fused_sample_actions(dynamics, lyapunov_function, lipschitz_lyapunov,
 
 def get_safe_sample(lyapunov, perturbations=None, limits=None,
                     positive=False, num_samples=None, actions=None,
-                    rng=None):
+                    rng=None, extended=False):
     """Return the most informative provably safe state-action pair.
 
     Mirrors reference ``get_safe_sample`` (``lyapunov.py:657-797``)
     including the backup-policy fallback (zero perturbation) with a
     ``RuntimeWarning`` when no candidate is safe.
+
+    ``extended=True`` scores the candidates with the double-word
+    pipeline (``ops/extended_verify``) so the level test can use the
+    tiny derived ``exploration_margin``
+    (``errorbounds.analytic_exploration_margin`` /
+    ``extended_exploration_margin``): every returned pair then
+    satisfies the EXACT ``v_future < c_max`` condition. The backup
+    fallback (already the documented not-provably-safe escape hatch)
+    is unchanged.
 
     Returns
     -------
@@ -211,10 +220,52 @@ def get_safe_sample(lyapunov, perturbations=None, limits=None,
     safe_states_dev = jnp.asarray(safe_states, dtype=config.dtype)
 
     check_membership = not positive
+
+    if extended:
+        sweep = lyapunov._get_extended_sweep()
+        if perturbations is None:
+            if actions is None:
+                raise ValueError("provide either perturbations or "
+                                 "actions")
+            acts = np.atleast_2d(np.asarray(actions,
+                                            dtype=config.np_dtype))
+            action_dim = acts.shape[1]
+            n, na = len(safe_states), len(acts)
+            candidates = np.concatenate(
+                [np.repeat(safe_states, na, axis=0),
+                 np.tile(acts, (n, 1))], axis=1)
+        else:
+            perturbations = np.atleast_2d(perturbations)
+            action_dim = perturbations.shape[1]
+            pol_acts = np.asarray(lyapunov.policy(safe_states_dev),
+                                  dtype=config.np_dtype)
+            candidates = perturb_actions(safe_states, pol_acts,
+                                         perturbations.astype(
+                                             config.np_dtype),
+                                         limits=limits)
+        score, inside, mean_next = jax.device_get(
+            sweep.score_candidates(candidates, lyapunov.c_max,
+                                   _margin_of(lyapunov)))
+        inside = np.array(inside)
+        if check_membership:
+            idx = np.asarray(grid.state_to_index(mean_next))
+            inside &= np.asarray(lyapunov.safe_set)[idx]
+        ranked = np.where(inside, score, -np.inf)
+        best = int(np.argmax(ranked))
+        if inside[best]:
+            return (np.asarray(candidates[best],
+                               dtype=config.np_dtype)[None],
+                    float(score[best]))
+        is_safe = False
+    else:
+        is_safe = None
+
     safe_set_dev = (_device_safe_set(lyapunov) if check_membership
                     else jnp.zeros(1, dtype=bool))
 
-    if perturbations is None:
+    if is_safe is False:
+        pass  # extended scoring found nothing safe: backup fallback
+    elif perturbations is None:
         if actions is None:
             raise ValueError("provide either perturbations or actions")
         # Full cross product of safe states and candidate actions. (The
@@ -243,13 +294,14 @@ def get_safe_sample(lyapunov, perturbations=None, limits=None,
             _margin_of(lyapunov), grid=grid, use_limits=use_limits,
             check_membership=check_membership)
 
-    # One combined D2H: separate bool()/np.asarray()/float() conversions
-    # would each block on their own relay round trip.
-    is_safe, sa_best, bound_best = jax.device_get(
-        (is_safe, sa_best, bound_best))
-    if bool(is_safe):
-        return (np.asarray(sa_best, dtype=config.np_dtype)[None],
-                float(bound_best))
+    if is_safe is not False:
+        # One combined D2H: separate bool()/np.asarray()/float()
+        # conversions would each block on their own relay round trip.
+        is_safe, sa_best, bound_best = jax.device_get(
+            (is_safe, sa_best, bound_best))
+        if bool(is_safe):
+            return (np.asarray(sa_best, dtype=config.np_dtype)[None],
+                    float(bound_best))
 
     # Nothing is safe: fall back to the backup policy (zero perturbation
     # around the current policy, reference lyapunov.py:780-793).
@@ -267,10 +319,17 @@ def get_safe_sample(lyapunov, perturbations=None, limits=None,
 def _margin_of(lyapunov):
     """Conservatism margin for a (possibly duck-typed) Lyapunov object.
 
-    The level test certifies only ``v_future < c_max - margin`` with the
-    same margin the verification sweep uses (see
+    The level test certifies only ``v_future < c_max - margin``. A
+    dedicated ``exploration_margin`` (installed by
+    ``errorbounds.analytic_exploration_margin``, which bounds exactly
+    this comparison's error) takes precedence; otherwise the
+    verification sweep's margin is reused (the empirical calibrator's
+    measurement covers both pipelines at the same scale — see
     ``config.certificate_margin``).
     """
+    margin = getattr(lyapunov, "exploration_margin", None)
+    if margin is not None:
+        return float(margin)
     margin = getattr(lyapunov, "certificate_margin", None)
     if margin is None:
         margin = float(getattr(config, "certificate_margin", 0.0))

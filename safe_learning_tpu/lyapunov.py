@@ -351,6 +351,12 @@ class Lyapunov:
         self.extended_lv_matrix = None
         self._ext_sweep = None
         self._ext_sweep_key = None
+        #: Dedicated conservatism margin for the exploration certificate
+        #: (``v_future < c_max - margin``); installed by
+        #: ``errorbounds.analytic_exploration_margin`` (or its extended
+        #: twin) and preferred by ``explore._margin_of`` over
+        #: ``certificate_margin`` when set.
+        self.exploration_margin = None
 
         self.update_values()
 

@@ -70,7 +70,7 @@ from .extended import (df_add, df_add_f32, df_dot, df_exp, df_less,
                        eft_selfcheck)
 
 __all__ = ["U_EFF", "ExtendedSweep", "extended_gp_evaluate",
-           "extended_certificate_margin"]
+           "extended_certificate_margin", "extended_exploration_margin"]
 
 #: Unit roundoff the extended pipeline is certified at. Double-word ops
 #: round at a few 2^-48 relative (Joldes et al. 2017) and the scan
@@ -742,12 +742,39 @@ class ExtendedSweep:
                 ok = body(params, flat, tau, margin)
                 return jnp.all(ok.reshape(states.shape[0], -1), axis=1)
 
+            def explore_body(params, state_actions, cmax, margin):
+                """df exploration scoring (explore._score_candidates).
+
+                ``v(mu) + sum_j |lv_j| err_j < c_max - margin`` at exact
+                f32 candidate rows; also returns the f32 selection
+                score (summed confidence widths) and the rounded mean
+                next state for membership checks."""
+                qh = state_actions.astype(_F32)
+                ql = jnp.zeros_like(qh)
+                outs = [pred(bp, params["kernels"], params["x_rows"],
+                             qh, ql)
+                        for pred, bp in zip(predicts, params["blocks"])]
+                mean = _concat_pairs([o[0] for o in outs])
+                err = _concat_pairs([o[1] for o in outs])
+                vn = v_fn(params["v"], mean)
+                lvn = _df_abs(lv_fn(params["lv"], mean))
+                if dv == 1:
+                    serr = (_sum_cols(err) if err[0].shape[1] > 1
+                            else (err[0][:, 0], err[1][:, 0]))
+                    errterm = df_mul((lvn[0][:, 0], lvn[1][:, 0]), serr)
+                else:
+                    errterm = _sum_cols(df_mul(lvn, err))
+                future = df_add(vn, errterm)
+                inside = df_less(future, df_sub(cmax, margin))
+                score = jnp.sum(err[0], axis=1)
+                return score, inside, mean[0] + mean[1]
+
             _PIPELINES[sig] = (
                 jax.jit(body),
                 jax.jit(refined_body, static_argnames=("r", "nd_")),
-                jax.jit(core), body)
-        (self._jit_body, self._jit_refined,
-         self._jit_core, self._body_raw) = _PIPELINES[sig]
+                jax.jit(core), body, jax.jit(explore_body))
+        (self._jit_body, self._jit_refined, self._jit_core,
+         self._body_raw, self._jit_explore) = _PIPELINES[sig]
 
     @staticmethod
     def _spotcheck_lv(lyapunov, lv_matrix, dv):
@@ -798,6 +825,22 @@ class ExtendedSweep:
                  + np.asarray(thr[1], np.float64))
         return dec64 - thr64
 
+    def score_candidates(self, state_actions, c_max, margin=0.0):
+        """Double-word exploration check at exact f32 candidate rows.
+
+        Returns ``(score, inside, mean_next)`` device arrays: the f32
+        selection score (summed confidence widths, the argmax
+        criterion), the certified ``v_future < c_max - margin``
+        verdict, and the rounded mean next state (for the
+        safe-set-membership filter). The candidate values themselves
+        are the model inputs — any construction realization is covered
+        by the exploration margin's policy/perturbation rounding terms
+        (``errorbounds.analytic_exploration_margin``)."""
+        return self._jit_explore(self._params,
+                                 jnp.asarray(state_actions, dtype=_F32),
+                                 _split_np(float(c_max)),
+                                 _split_np(float(margin)))
+
     def refined_negative_batch(self, states, max_refinement, margin=0.0):
         """Sound df check on the R^d sub-grids at ``tau / R``."""
         r = int(max_refinement)
@@ -846,6 +889,55 @@ def extended_gp_evaluate(gp, points):
 # ---------------------------------------------------------------------------
 # The derived margin at U_EFF
 # ---------------------------------------------------------------------------
+def _lv_error_model(lyapunov, lv_matrix):
+    """U_EFF rounding model of the instance's L_v, or None for scalars.
+
+    ``lv_matrix`` defaults to the auto-derivable form
+    (:func:`_auto_lv_matrix`) or the instance's ``extended_lv_matrix``.
+    """
+    from ..errorbounds import ErrorModel
+
+    if lv_matrix is None:
+        lv_matrix = _auto_lv_matrix(lyapunov._lipschitz_lyapunov)
+    if lv_matrix is None:
+        lv_matrix = getattr(lyapunov, "extended_lv_matrix", None)
+    if lv_matrix is None:
+        return None
+    g = np.atleast_2d(np.asarray(lv_matrix, dtype=np.float64))
+    g_abs_t = jnp.asarray(np.abs(g).T, dtype=config.dtype)
+    d = lyapunov.discretization.ndim
+    gam = (d + 2) * U_EFF / (1.0 - (d + 2) * U_EFF)
+
+    def eval_bound(x):
+        return gam * jnp.abs(x) @ g_abs_t
+
+    return ErrorModel(eval_bound,
+                      float(np.max(np.sum(np.abs(g), axis=1))))
+
+
+def extended_exploration_margin(lyapunov, perturbations=None,
+                                actions=None, limits=None, safety=1.0,
+                                lv_matrix=None, set_margin=True):
+    """Derived exploration margin at ``U_EFF`` for the df scoring path.
+
+    Bounds ``|v_future_dw(q) - v_future_exact(q)|`` over every
+    candidate ``get_safe_sample`` can construct (all grid states
+    crossed with the action/perturbation set — see
+    :func:`~safe_learning_tpu.errorbounds.analytic_exploration_margin`)
+    and installs it as ``lyapunov.exploration_margin``, which the
+    exploration level test prefers. Use together with
+    ``get_safe_sample(..., extended=True)``: every returned pair then
+    satisfies the EXACT level condition, not just the f32 one.
+    """
+    from ..errorbounds import analytic_exploration_margin
+
+    return analytic_exploration_margin(
+        lyapunov, perturbations=perturbations, actions=actions,
+        limits=limits, safety=safety,
+        lipschitz_model=_lv_error_model(lyapunov, lv_matrix),
+        unit_roundoff=U_EFF, set_margin=set_margin)
+
+
 def extended_certificate_margin(lyapunov, lv_matrix=None, refinement=1,
                                 safety=1.0, set_margin=True):
     """Derived conservative margin for the EXTENDED sweep.
@@ -864,23 +956,9 @@ def extended_certificate_margin(lyapunov, lv_matrix=None, refinement=1,
     coverage, non-sampled) certificate usable on ill-conditioned
     instances where the f32 bound exceeds the threshold itself.
     """
-    from ..errorbounds import ErrorModel, analytic_certificate_margin
+    from ..errorbounds import analytic_certificate_margin
 
-    if lv_matrix is None:
-        lv_matrix = _auto_lv_matrix(lyapunov._lipschitz_lyapunov)
-    lvm = None
-    if lv_matrix is not None:
-        g = np.atleast_2d(np.asarray(lv_matrix, dtype=np.float64))
-        g_abs_t = jnp.asarray(np.abs(g).T, dtype=config.dtype)
-        d = lyapunov.discretization.ndim
-        gam = (d + 2) * U_EFF / (1.0 - (d + 2) * U_EFF)
-
-        def eval_bound(x):
-            return gam * jnp.abs(x) @ g_abs_t
-
-        lvm = ErrorModel(eval_bound, float(np.max(np.sum(np.abs(g),
-                                                         axis=1))))
-
+    lvm = _lv_error_model(lyapunov, lv_matrix)
     margin = analytic_certificate_margin(
         lyapunov, safety=safety, lipschitz_model=lvm,
         refinement=refinement, set_margin=False, unit_roundoff=U_EFF)

@@ -174,6 +174,60 @@ def test_extended_refined_check_is_sound():
     assert ok.any()  # non-degenerate: the check certifies something
 
 
+def test_extended_exploration_certificate_is_exact():
+    """get_safe_sample(extended=True) with the derived exploration
+    margin returns pairs whose EXACT (float64) confidence-weighted
+    future value is below c_max — and the df scoring never accepts a
+    candidate the exact check rejects, across the candidate set."""
+    import warnings
+
+    from safe_learning_tpu.explore import perturb_actions
+    from safe_learning_tpu.ops.extended_verify import (
+        extended_exploration_margin)
+
+    lyap = _ill_conditioned_instance()
+    extended_certificate_margin(lyap, lv_matrix=_LV_MAT)
+    lyap.update_safe_set(extended=True)
+    perturb = np.linspace(-0.3, 0.3, 5)[:, None].astype(np.float32)
+    limits = np.array([[-0.5, 0.5]])
+    m_exp = extended_exploration_margin(lyap, perturbations=perturb,
+                                        limits=limits)
+    assert 0.0 < m_exp < 0.01
+
+    def exact_future(pairs):
+        with _oracle_env():
+            dyn64 = lift64(lyap.dynamics)
+            v64 = lift64(lyap.lyapunov_function)
+            lv64 = lift64(lyap._lipschitz_lyapunov)
+            q = jnp.asarray(np.asarray(pairs, np.float64), jnp.float64)
+            mean, err = dyn64(q)
+            lv = np.abs(np.asarray(lv64(mean)))
+            return (np.asarray(v64(mean)).ravel()
+                    + np.sum(lv * np.asarray(err), axis=1))
+
+    rng = np.random.default_rng(0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # no backup used
+        sa, var = sl.get_safe_sample(lyap, perturbations=perturb,
+                                     limits=limits, positive=True,
+                                     num_samples=200, rng=rng,
+                                     extended=True)
+    assert var > 0.0
+    assert exact_future(sa)[0] < lyap.c_max
+
+    # Candidate-set sweep: df-accepted implies exactly-safe.
+    grid = lyap.discretization
+    states = np.asarray(grid.all_points[::13], np.float32)
+    acts = np.asarray(lyap.policy(jnp.asarray(states)), np.float32)
+    cands = perturb_actions(states, acts, perturb, limits=limits)
+    sweep = lyap._get_extended_sweep()
+    _, inside, _ = map(np.asarray, sweep.score_candidates(
+        cands, lyap.c_max, m_exp))
+    fut = exact_future(cands)
+    assert inside.any()
+    assert not (inside & ~(fut < lyap.c_max)).any()
+
+
 def test_scalar_lv_and_wrong_lv_matrix():
     """Scalar L_v runs without a model; a wrong lv_matrix fails loudly."""
     lyap = _random_instance(1)
