@@ -1,0 +1,124 @@
+"""Randomized soak of the extended-precision certificate (RUN_SLOW).
+
+Draws verification instances across the supported family space —
+candidate form (quadratic / PWL), kernel trees (stationary families,
+Linear, ActiveDims/sums/products), noise levels spanning well- to
+ill-conditioned, single and stacked GPs, Saturation policies — and for
+each asserts the full soundness chain:
+
+1. derived extended margin DOMINATES the measured full-grid
+   df-vs-f64-oracle deviation;
+2. ``update_safe_set(extended=True)`` certifies a SUBSET of the f64
+   oracle's set.
+
+Opt-in (minutes of CPU): ``RUN_SLOW=1 pytest tests_f32/test_extended_soak.py``.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax.numpy as jnp  # noqa: E402
+
+import safe_learning_tpu as sl  # noqa: E402
+from safe_learning_tpu.ops.extended_verify import (  # noqa: E402
+    ExtendedSweep, extended_certificate_margin)
+from safe_learning_tpu.oracle import (oracle_margins,  # noqa: E402
+                                      oracle_safe_set)
+
+pytestmark = pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                                reason="soak test (set RUN_SLOW=1)")
+
+
+def _random_soak_instance(rng):
+    """One random instance across the supported family space."""
+    n = int(rng.integers(25, 45))
+    grid = sl.GridWorld([[-1.0, 1.0], [-1.0, 1.0]], n)
+    raw = rng.normal(size=(2, 2))
+    a = raw * (rng.uniform(0.2, 0.6) / np.linalg.norm(raw, 2))
+
+    if rng.random() < 0.5:
+        policy = sl.LinearSystem(np.zeros((1, 2)))
+    else:
+        policy = sl.Saturation(
+            sl.LinearSystem(rng.normal(scale=0.2, size=(1, 2))),
+            -0.4, 0.4)
+
+    def _kernel():
+        fam = [sl.RBF, sl.Matern12, sl.Matern32,
+               sl.Matern52][int(rng.integers(4))]
+        base = fam(variance=float(rng.uniform(0.3, 1.5)),
+                   lengthscales=rng.uniform(0.25, 0.6, 3).astype(
+                       np.float32), input_dim=3)
+        roll = rng.random()
+        if roll < 0.3:
+            return base + sl.ActiveDims(
+                sl.LinearKernel(float(rng.uniform(0.05, 0.3)),
+                                input_dim=1), [2])
+        if roll < 0.5:
+            return sl.ActiveDims(
+                fam(variance=float(rng.uniform(0.3, 1.5)),
+                    lengthscales=rng.uniform(0.25, 0.6, 2).astype(
+                        np.float32), input_dim=2), [0, 1]) \
+                * sl.ActiveDims(sl.LinearKernel(
+                    float(rng.uniform(0.1, 0.5)), input_dim=1), [2])
+        return base
+
+    noise = 10.0 ** rng.uniform(-8.0, -3.0)
+    nt = int(rng.integers(40, 90))
+    xt = np.column_stack([rng.uniform(-0.4, 0.4, nt),
+                          rng.uniform(-0.4, 0.4, nt), np.zeros(nt)])
+    yt = xt[:, :2] @ a.T + 0.02 * np.sin(3 * xt[:, :2])
+    mean_fns = [sl.LinearSystem([a[0:1], np.zeros((1, 1))]),
+                sl.LinearSystem([a[1:2], np.zeros((1, 1))])]
+    if rng.random() < 0.5:
+        dyn = sl.StackedGaussianProcess(
+            [_kernel(), _kernel()], xt, yt, [noise, noise * 3.0],
+            betas=2.0, mean_functions=mean_fns)
+    else:
+        dyn = sl.GaussianProcess(
+            _kernel(), xt, yt, noise, beta=2.0,
+            mean_function=sl.LinearSystem([a, np.zeros((2, 1))]))
+
+    lf = float(np.linalg.norm(a, 2))
+    lv_matrix = None
+    if rng.random() < 0.5:
+        v = sl.QuadraticFunction(np.diag(rng.uniform(0.5, 1.5, 2)))
+        pm = np.asarray(v.matrix, np.float64)
+        lv = sl.LambdaFunction(
+            lambda x, s=jnp.asarray(2.0 * np.diag(pm)): jnp.abs(x) * s)
+        lv_matrix = pm + pm.T
+    else:
+        theta = (np.sum(np.abs(grid.all_points), axis=1, keepdims=True)
+                 .astype(np.float32))
+        v = sl.Triangulation(grid, theta)
+        lv = 2.0  # scalar bound on the PWL gradient L1 norm
+
+    tau = float(np.min(grid.unit_maxes))
+    vals = np.sum(grid.all_points ** 2, axis=1)
+    initial = np.where(vals <= np.quantile(vals, 0.05))[0]
+    lyap = sl.Lyapunov(grid, v, dyn, lf, lv, tau, policy,
+                       initial_set=initial)
+    return lyap, lv_matrix
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_extended_soak_containment_and_domination(seed):
+    rng = np.random.default_rng(1000 + seed)
+    lyap, lv_matrix = _random_soak_instance(rng)
+    margin = extended_certificate_margin(lyap, lv_matrix=lv_matrix)
+    sweep = ExtendedSweep(lyap, lv_matrix=lv_matrix)
+    pts = np.asarray(lyap.discretization.all_points, np.float32)
+    worst = float(np.max(np.abs(sweep.margins(pts)
+                                - oracle_margins(lyap, pts))))
+    assert margin >= worst, (margin, worst)
+    assert worst < 1e-5, worst
+
+    lyap.update_safe_set(extended=True)
+    safe64, c64 = oracle_safe_set(lyap)
+    assert not (lyap.safe_set & ~safe64).any()
+    assert lyap.c_max <= c64 + 1e-6 * max(abs(c64), 1.0)
