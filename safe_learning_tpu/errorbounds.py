@@ -739,7 +739,8 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
 def analytic_exploration_margin(lyapunov, perturbations=None,
                                 actions=None, limits=None, safety=1.0,
                                 batch_size=2 ** 14, lipschitz_model=None,
-                                unit_roundoff=None, set_margin=True):
+                                unit_roundoff=None, set_margin=True,
+                                candidates=None):
     """Derived conservative margin for the EXPLORATION certificate.
 
     ``get_safe_sample`` certifies a candidate pair by
@@ -747,16 +748,20 @@ def analytic_exploration_margin(lyapunov, perturbations=None,
     (``explore._score_candidates``). This derives a rigorous bound on
     ``|future_any(q) - future_exact(q)|`` — the same Higham model as
     :func:`analytic_certificate_margin`, restricted to the
-    future-value terms — maximized over EVERY candidate the runtime
-    can construct: all grid states crossed with
+    future-value terms — maximized over
 
-    - the explicit ``actions`` rows (exact f32 data: no construction
-      uncertainty), or
-    - the policy's perturbed-and-clipped actions (anchored on this
-      process's f32 policy evaluation; the policy-rounding term plus
-      the perturbation-add rounding cover any other realization's
-      construction — clipping is exact per element and 1-Lipschitz in
-      the pre-clip value).
+    - the EXACT candidate rows when ``candidates`` is given (the
+      tightest form: the f32 rows ARE the model inputs, so there is no
+      construction uncertainty at all; ``get_safe_sample(...,
+      extended=True)`` derives its per-call margin this way), or
+    - every candidate the runtime can construct: all grid states
+      crossed with the explicit ``actions`` rows (exact f32 data) or
+      with the policy's perturbed-and-clipped actions. Candidate
+      CONSTRUCTION always happens in float32 regardless of the scoring
+      pipeline, so the policy-evaluation and perturbation-add rounding
+      terms use the f32 unit (times ``config.fp_error_factor``) even
+      when ``unit_roundoff`` models a finer scorer — exactly like the
+      refined-coordinate terms of the sweep margin.
 
     The margin is installed as ``lyapunov.exploration_margin``, which
     ``explore._margin_of`` prefers over ``certificate_margin`` (the
@@ -764,8 +769,7 @@ def analytic_exploration_margin(lyapunov, perturbations=None,
     empirical calibrator's reuse of it for the level test is
     measurement-based, this one is derived). ``unit_roundoff`` follows
     :func:`analytic_certificate_margin` — pass ``U_EFF`` when the
-    candidates will be scored by the extended double-word path
-    (``get_safe_sample(..., extended=True)``).
+    candidates will be scored by the extended double-word path.
     """
     if unit_roundoff is None:
         if getattr(config, "pallas_precision", "highest") != "highest":
@@ -775,8 +779,9 @@ def analytic_exploration_margin(lyapunov, perturbations=None,
         u = _unit_roundoff()
     else:
         u = float(unit_roundoff)
-    if (perturbations is None) == (actions is None):
-        raise ValueError("provide exactly one of perturbations/actions")
+    if candidates is None and (perturbations is None) == (actions is None):
+        raise ValueError("provide candidates, or exactly one of "
+                         "perturbations/actions")
     dyn = lyapunov.dynamics
     grid = lyapunov.discretization
     d = grid.ndim
@@ -829,7 +834,15 @@ def analytic_exploration_margin(lyapunov, perturbations=None,
         return e_v_next + d_errterm + final
 
     bound_jit = jax.jit(future_bound)
-    if actions is not None:
+    worst = 0.0
+    if candidates is not None:
+        cands = np.asarray(candidates, dtype=config.np_dtype)
+        for start in range(0, len(cands), batch_size):
+            q = jnp.asarray(cands[start:start + batch_size])
+            worst = max(worst, float(jnp.max(
+                bound_jit(q, jnp.zeros_like(q)))))
+        rows = np.zeros((0, 0))
+    elif actions is not None:
         rows = np.atleast_2d(np.asarray(actions, dtype=config.np_dtype))
     else:
         rows = np.atleast_2d(np.asarray(perturbations,
@@ -837,15 +850,23 @@ def analytic_exploration_margin(lyapunov, perturbations=None,
     lim = (None if limits is None
            else np.atleast_2d(np.asarray(limits, dtype=np.float64)))
     pts_all = grid.all_points
-    worst = 0.0
-    for start in range(0, grid.nindex, batch_size):
+    # Construction rounding is f32 regardless of the scoring pipeline:
+    # do NOT let these terms shrink with unit_roundoff.
+    u32s = (float(np.finfo(np.float32).eps) / 2.0
+            * float(getattr(config, "fp_error_factor", 4.0)))
+    u_con = max(u, u32s)
+    if pol_mat is not None:
+        m_in = int(pol_mat.shape[1])
+        pol_gamma_con = _gamma(m_in + 1, u_con)
+    for start in (range(0, grid.nindex, batch_size)
+                  if candidates is None else ()):
         pts = jnp.asarray(pts_all[start:start + batch_size],
                           dtype=config.dtype)
         if actions is None:
             acts0 = jnp.asarray(lyapunov.policy(pts))
             du_pol = (jnp.zeros_like(acts0) if pol_mat is None
-                      else pol_gamma * mxu_dot(jnp.abs(pts),
-                                               jnp.abs(pol_mat).T))
+                      else pol_gamma_con * mxu_dot(jnp.abs(pts),
+                                                   jnp.abs(pol_mat).T))
         for j in range(rows.shape[0]):
             row = jnp.asarray(rows[j], dtype=config.dtype)
             if actions is not None:
@@ -860,8 +881,8 @@ def analytic_exploration_margin(lyapunov, perturbations=None,
                                              dtype=config.dtype),
                                  jnp.asarray(lim[:, 1],
                                              dtype=config.dtype))
-                du = du_pol + u * (jnp.abs(a)
-                                   + jnp.abs(row)[None, :])
+                du = du_pol + u_con * (jnp.abs(a)
+                                       + jnp.abs(row)[None, :])
             q = jnp.concatenate([pts, a], axis=1)
             dq = jnp.concatenate([jnp.zeros_like(pts), du], axis=1)
             worst = max(worst, float(jnp.max(bound_jit(q, dq))))

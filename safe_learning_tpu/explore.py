@@ -243,9 +243,19 @@ def get_safe_sample(lyapunov, perturbations=None, limits=None,
                                          perturbations.astype(
                                              config.np_dtype),
                                          limits=limits)
+        # Derive the per-call margin over EXACTLY these candidate
+        # rows (no construction uncertainty: the f32 rows are the
+        # model inputs) unless the caller installed a dedicated
+        # exploration margin already.
+        margin = getattr(lyapunov, "exploration_margin", None)
+        if margin is None:
+            from .ops.extended_verify import extended_exploration_margin
+
+            margin = extended_exploration_margin(
+                lyapunov, candidates=candidates, set_margin=False)
         score, inside, mean_next = jax.device_get(
             sweep.score_candidates(candidates, lyapunov.c_max,
-                                   _margin_of(lyapunov)))
+                                   float(margin)))
         inside = np.array(inside)
         if check_membership:
             idx = np.asarray(grid.state_to_index(mean_next))

@@ -917,17 +917,21 @@ def _lv_error_model(lyapunov, lv_matrix):
 
 def extended_exploration_margin(lyapunov, perturbations=None,
                                 actions=None, limits=None, safety=1.0,
-                                lv_matrix=None, set_margin=True):
+                                lv_matrix=None, set_margin=True,
+                                candidates=None):
     """Derived exploration margin at ``U_EFF`` for the df scoring path.
 
-    Bounds ``|v_future_dw(q) - v_future_exact(q)|`` over every
-    candidate ``get_safe_sample`` can construct (all grid states
-    crossed with the action/perturbation set — see
+    Bounds ``|v_future_dw(q) - v_future_exact(q)|`` over the given
+    exact ``candidates`` rows (tightest; what
+    ``get_safe_sample(..., extended=True)`` derives per call) or over
+    every candidate the runtime can construct (grid states crossed
+    with the action/perturbation set, with f32 construction rounding
+    folded in — see
     :func:`~safe_learning_tpu.errorbounds.analytic_exploration_margin`)
     and installs it as ``lyapunov.exploration_margin``, which the
-    exploration level test prefers. Use together with
-    ``get_safe_sample(..., extended=True)``: every returned pair then
-    satisfies the EXACT level condition, not just the f32 one.
+    exploration level test prefers. Every pair the extended scorer
+    accepts then satisfies the EXACT level condition, not just the f32
+    one.
     """
     from ..errorbounds import analytic_exploration_margin
 
@@ -935,7 +939,8 @@ def extended_exploration_margin(lyapunov, perturbations=None,
         lyapunov, perturbations=perturbations, actions=actions,
         limits=limits, safety=safety,
         lipschitz_model=_lv_error_model(lyapunov, lv_matrix),
-        unit_roundoff=U_EFF, set_margin=set_margin)
+        unit_roundoff=U_EFF, set_margin=set_margin,
+        candidates=candidates)
 
 
 def extended_certificate_margin(lyapunov, lv_matrix=None, refinement=1,
