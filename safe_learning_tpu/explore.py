@@ -243,6 +243,9 @@ def get_safe_sample(lyapunov, perturbations=None, limits=None,
                                          perturbations.astype(
                                              config.np_dtype),
                                          limits=limits)
+        # Pow-2 padding (duplicate rows): ragged candidate counts
+        # would otherwise retrace the scorer every call.
+        candidates, n_valid = _pad_pow2(candidates)
         # Derive the per-call margin over EXACTLY these candidate
         # rows (no construction uncertainty: the f32 rows are the
         # model inputs) unless the caller installed a dedicated
@@ -256,7 +259,10 @@ def get_safe_sample(lyapunov, perturbations=None, limits=None,
         score, inside, mean_next = jax.device_get(
             sweep.score_candidates(candidates, lyapunov.c_max,
                                    float(margin)))
-        inside = np.array(inside)
+        candidates = candidates[:n_valid]
+        score = np.asarray(score)[:n_valid]
+        inside = np.array(inside)[:n_valid]
+        mean_next = np.asarray(mean_next)[:n_valid]
         if check_membership:
             idx = np.asarray(grid.state_to_index(mean_next))
             inside &= np.asarray(lyapunov.safe_set)[idx]
