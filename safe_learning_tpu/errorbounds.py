@@ -500,6 +500,34 @@ def _gp_terms(st, q, dq, u):
     return mu_hat, d_mu, err_hat, d_err
 
 
+def _finalize_margin(worst, statics, d, u, safety):
+    """Turn the worst measured bound into the installable margin.
+
+    One source for BOTH margins' final slack (a drifting copy would
+    silently under- or over-state one of them):
+
+    - ``1/(1-4u)``: the f32 ``threshold - margin`` subtraction and the
+      final comparison round at ``u * (|thr| + margin)``; solving for a
+      margin that still dominates after its own rounding.
+    - ``(1 + own)``: the bound sweep ITSELF runs in the working dtype,
+      so the computed bound understates the exact-arithmetic bound by
+      at most its own relative rounding. The per-point bound is a
+      positive-sum circuit (no cancellation) whose longest sequential
+      chains are the abs-value matvecs (length ~capacity) compounded
+      through ~6 multiplicative stages; ``64 * (sum of capacities + d +
+      16)`` over-counts that op count by an order of magnitude, and the
+      MXU slack factor rides in via ``fp_error_factor``. Second-order
+      when ``u`` is the f32 unit (bound ~ u, own rounding ~ u * bound);
+      first-order — and required for rigor — when modeling a finer
+      pipeline (``unit_roundoff << eps32``).
+    """
+    cap_total = sum(st["gp"].capacity for st in statics)
+    u32_slack = (float(np.finfo(np.float32).eps) / 2.0
+                 * float(getattr(config, "fp_error_factor", 4.0)))
+    own = _gamma(64 * (cap_total + d + 16), u32_slack)
+    return float(safety) * worst * (1.0 + own) / (1.0 - 4.0 * u)
+
+
 def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
                                 lipschitz_model=None, refinement=1,
                                 set_margin=True, unit_roundoff=None):
@@ -707,32 +735,17 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
             vals = np.abs(np.asarray(lyapunov.lyapunov_function(pts)))
             v_scale = max(v_scale, float(np.max(vals)))
 
-    # 1/(1-4u): the f32 `threshold - margin` subtraction and the final
-    # comparison round at u * (|thr| + margin); solving for a margin
-    # that still dominates after its own rounding.
-    #
-    # (1 + own): the bound sweep ITSELF runs in the working dtype, so
-    # the computed bound understates the exact-arithmetic bound by at
-    # most its own relative rounding. The per-point bound is a
-    # positive-sum circuit (no cancellation) whose longest sequential
-    # chains are the abs-value matvecs (length ~capacity) compounded
-    # through ~6 multiplicative stages; 64 * (sum of capacities + d +
-    # 16) over-counts that op count by an order of magnitude, and the
-    # MXU slack factor rides in via fp_error_factor. Second-order when
-    # u is the f32 unit (bound ~ u, own rounding ~ u * bound); first-
-    # order — and required for rigor — when modeling a finer pipeline
-    # (unit_roundoff << eps32).
-    cap_total = sum(st["gp"].capacity for st in statics)
-    u32_slack = (float(np.finfo(np.float32).eps) / 2.0
-                 * float(getattr(config, "fp_error_factor", 4.0)))
-    own = _gamma(64 * (cap_total + d + 16), u32_slack)
-    margin = float(safety) * worst * (1.0 + own) / (1.0 - 4.0 * u)
+    margin = _finalize_margin(worst, statics, d, u, safety)
     eps_dtype = float(np.finfo(config.np_dtype).eps)
     level_margin = max(2.0 * float(safety) * worst_v,
                        4.0 * eps_dtype * (v_scale or 1.0))
     if set_margin:
         lyapunov.certificate_margin = margin
         lyapunov.level_margin = level_margin
+        # Record the unit the margin covers: the f32 sweep refuses a
+        # margin derived for a finer pipeline (U_EFF), which cannot
+        # bound f32 rounding (Lyapunov._require_f32_margin).
+        lyapunov._certificate_margin_unit = u
     return margin
 
 
@@ -794,7 +807,10 @@ def analytic_exploration_margin(lyapunov, perturbations=None,
             "exploration margin supports GaussianProcess / "
             "StackedGaussianProcess dynamics")
     v_mag_err = _candidate_model(lyapunov.lyapunov_function, d, u)
-    pol_mat, pol_gamma = _policy_terms(lyapunov.policy, u)
+    # Candidate construction happens in f32 regardless of the scoring
+    # unit, so only the policy matrix matters here; the construction
+    # gamma is recomputed below at ``u_con``.
+    pol_mat, _ = _policy_terms(lyapunov.policy, u)
     lvm = _lv_model(lyapunov._lipschitz_lyapunov, lipschitz_model, u)
     lv_lip = jnp.asarray(lvm.input_lipschitz, dtype=config.dtype)
     statics = [_gp_statics(gp, u) for gp in gp_list]
@@ -887,11 +903,10 @@ def analytic_exploration_margin(lyapunov, perturbations=None,
             dq = jnp.concatenate([jnp.zeros_like(pts), du], axis=1)
             worst = max(worst, float(jnp.max(bound_jit(q, dq))))
 
-    cap_total = sum(st["gp"].capacity for st in statics)
-    u32_slack = (float(np.finfo(np.float32).eps) / 2.0
-                 * float(getattr(config, "fp_error_factor", 4.0)))
-    own = _gamma(64 * (cap_total + d + 16), u32_slack)
-    margin = float(safety) * worst * (1.0 + own) / (1.0 - 4.0 * u)
+    margin = _finalize_margin(worst, statics, d, u, safety)
     if set_margin:
         lyapunov.exploration_margin = margin
+        # Pipeline tag: the f32 scorer refuses a U_EFF-derived margin
+        # (explore._margin_of); the extended scorer accepts either.
+        lyapunov._exploration_margin_unit = u
     return margin

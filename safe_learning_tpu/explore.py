@@ -343,12 +343,29 @@ def _margin_of(lyapunov):
     measurement covers both pipelines at the same scale — see
     ``config.certificate_margin``).
     """
+    f32_unit = float(np.finfo(np.float32).eps) / 2.0
     margin = getattr(lyapunov, "exploration_margin", None)
     if margin is not None:
+        unit = getattr(lyapunov, "_exploration_margin_unit", None)
+        if unit is not None and unit < f32_unit:
+            raise RuntimeError(
+                "exploration_margin was derived at unit roundoff "
+                f"{unit:.2e} (the extended double-word scorer); it "
+                "cannot cover the float32 scorer's rounding. Use "
+                "get_safe_sample(extended=True), or install an f32 "
+                "margin (errorbounds.analytic_exploration_margin).")
         return float(margin)
     margin = getattr(lyapunov, "certificate_margin", None)
     if margin is None:
         margin = float(getattr(config, "certificate_margin", 0.0))
+    else:
+        unit = getattr(lyapunov, "_certificate_margin_unit", None)
+        if unit is not None and unit < f32_unit:
+            raise RuntimeError(
+                "certificate_margin was derived at unit roundoff "
+                f"{unit:.2e} (the extended pipeline) and cannot cover "
+                "the float32 exploration scorer; use get_safe_sample("
+                "extended=True) or install an f32-pipeline margin.")
     return margin
 
 

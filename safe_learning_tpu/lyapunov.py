@@ -351,6 +351,13 @@ class Lyapunov:
         self.extended_lv_matrix = None
         self._ext_sweep = None
         self._ext_sweep_key = None
+        #: Unit roundoff each installed margin was DERIVED at (None =
+        #: unrestricted: empirical/manual margins). A margin derived for
+        #: a finer-than-f32 pipeline (``U_EFF``) cannot cover the plain
+        #: float32 sweep/scorer; the f32 paths refuse to consume it
+        #: (see :meth:`_require_f32_margin`).
+        self._certificate_margin_unit = None
+        self._exploration_margin_unit = None
         #: Dedicated conservatism margin for the exploration certificate
         #: (``v_future < c_max - margin``); installed by
         #: ``errorbounds.analytic_exploration_margin`` (or its extended
@@ -410,8 +417,14 @@ class Lyapunov:
 
     @certificate_margin.setter
     def certificate_margin(self, value):
-        """Set (or with ``None`` clear) the per-instance margin."""
+        """Set (or with ``None`` clear) the per-instance margin.
+
+        Direct assignment clears any recorded derivation unit: the
+        caller takes responsibility for the margin covering whichever
+        pipeline consumes it.
+        """
         self._certificate_margin = None if value is None else float(value)
+        self._certificate_margin_unit = None
 
     @property
     def level_margin(self):
@@ -430,6 +443,39 @@ class Lyapunov:
     def level_margin(self, value):
         """Set (or with ``None`` clear) the per-instance level margin."""
         self._level_margin = None if value is None else float(value)
+
+    @property
+    def exploration_margin(self):
+        """Dedicated exploration-certificate margin (or ``None``)."""
+        return self._exploration_margin
+
+    @exploration_margin.setter
+    def exploration_margin(self, value):
+        """Set the exploration margin; clears its derivation unit."""
+        self._exploration_margin = (None if value is None
+                                    else float(value))
+        self._exploration_margin_unit = None
+
+    def _require_f32_margin(self):
+        """Refuse to run the f32 pipeline under an extended-only margin.
+
+        A margin derived at ``unit_roundoff < eps32/2`` (the extended
+        double-word pipeline's ``U_EFF``) bounds only THAT pipeline's
+        rounding; consuming it from the plain float32 sweep would
+        certify states whose exact decrease condition fails. Margins
+        with no recorded unit (empirical calibration, manual
+        assignment, ``config`` defaults) pass — their coverage is the
+        installer's documented contract.
+        """
+        unit = getattr(self, "_certificate_margin_unit", None)
+        if unit is not None and unit < float(np.finfo(np.float32).eps) / 2:
+            raise RuntimeError(
+                "certificate_margin was derived at unit roundoff "
+                f"{unit:.2e} (the extended double-word pipeline); it "
+                "cannot cover the plain float32 sweep's rounding. Run "
+                "update_safe_set(extended=True), or install an "
+                "f32-pipeline margin (oracle.calibrate_certificate_"
+                "margin / errorbounds.analytic_certificate_margin).")
 
     def lipschitz_dynamics(self, states):
         """Global or local dynamics Lipschitz constant.
@@ -574,9 +620,12 @@ class Lyapunov:
         """
         from .ops.extended_verify import ExtendedSweep
 
+        lf = self._lipschitz_dynamics
         key = (id(self.dynamics), int(getattr(self.dynamics, "count", -1)),
                id(self.policy), id(self.lyapunov_function),
-               id(self._lipschitz_lyapunov), self.tau)
+               id(self._lipschitz_lyapunov),
+               float(lf) if isinstance(lf, (int, float)) else id(lf),
+               self.tau)
         if self._ext_sweep is None or self._ext_sweep_key != key:
             self._ext_sweep = ExtendedSweep(
                 self, lv_matrix=self.extended_lv_matrix)
@@ -587,7 +636,8 @@ class Lyapunov:
             # caches guard with content hashes elsewhere).
             self._ext_sweep_refs = (self.dynamics, self.policy,
                                     self.lyapunov_function,
-                                    self._lipschitz_lyapunov)
+                                    self._lipschitz_lyapunov,
+                                    self._lipschitz_dynamics)
         return self._ext_sweep
 
     def update_safe_set(self, can_shrink=True, max_refinement=1,
@@ -635,6 +685,8 @@ class Lyapunov:
         batch = batch_size or max(int(config.gp_batch_size), 1)
 
         ext_sweep = self._get_extended_sweep() if extended else None
+        if not extended:
+            self._require_f32_margin()
 
         fused_limit = max(batch,
                           int(getattr(config, "fused_sweep_limit", 0)))

@@ -326,6 +326,12 @@ def df_exp(x):
     hi = _hard(acc[0] * scale)
     lo = _hard(acc[1] * scale)
     dead = k < _EXP_MIN_K
+    # Overflow honestly: k above the exact-scale range would silently
+    # return a finite ~2^127-scale value; exp overflows to +inf instead
+    # (matching the docstring and float32 ``exp`` semantics).
+    over = k > 127.0
+    hi = jnp.where(over, jnp.asarray(np.inf, _F32), hi)
+    lo = jnp.where(over, 0.0, lo)
     return jnp.where(dead, 0.0, hi), jnp.where(dead, 0.0, lo)
 
 

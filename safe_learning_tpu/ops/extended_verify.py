@@ -64,8 +64,8 @@ from ..functions.gp import (RBF, ActiveDims, GaussianProcess,
                             SumKernel, _StationaryKernel)
 from ..functions.linear import LinearSystem, QuadraticFunction
 from ..functions.simplex import Triangulation, _vertex_strides
-from .extended import (df_add, df_add_f32, df_dot, df_exp, df_less,
-                       df_matmul, df_mul, df_mul_f32, df_neg,
+from .extended import (df_add, df_add_f32, df_dot, df_exp, df_from_f64,
+                       df_less, df_matmul, df_mul, df_mul_f32, df_neg,
                        df_pow2_scale, df_select, df_sqrt, df_sub,
                        eft_selfcheck)
 
@@ -99,12 +99,10 @@ def _consts():
     return _TINY, _THIRD, _CLAMP
 
 
-def _split_np(value):
-    """Exact double-word split of float64 data into a jnp (hi, lo) pair."""
-    v = np.asarray(value, dtype=np.float64)
-    hi = v.astype(np.float32)
-    lo = (v - hi.astype(np.float64)).astype(np.float32)
-    return jnp.asarray(hi), jnp.asarray(lo)
+# One source for the exact f64 -> (hi, lo) split rule: the soundness
+# claim "the sweep's factors are exact double-word splits" must not
+# depend on which of two drifting copies a call site used.
+_split_np = df_from_f64
 
 
 def _df_abs(x):
@@ -136,8 +134,10 @@ def _compile_kernel(kernel, dims, params):
     """Compile a kernel tree to double-word entry/diag closures.
 
     Returns ``(entry, diag, sig)`` where ``entry(kp, x, qh, ql)`` maps
-    the exact f32 training rows ``x (cap, nd)`` and the double-word
-    query rows ``(qh, ql) (N, nd)`` to the df covariance ``(cap, N)``,
+    the double-word training rows ``x = (hi, lo)`` of shape
+    ``(cap, nd)`` (an exact split: ``lo == 0`` in float32 mode) and the
+    double-word query rows ``(qh, ql) (N, nd)`` to the df covariance
+    ``(cap, N)``,
     and ``diag(kp, qh, ql)`` to the df prior variance ``(N,)``. All
     hyperparameters are exact double-word splits appended to ``params``
     and consumed positionally from the ``kp`` tuple, so compiled
@@ -190,11 +190,11 @@ def _compile_kernel(kernel, dims, params):
 
         def entry(kp, x, qh, ql):
             (ih, il), var = kp[idx]
-            cap = x.shape[0]
+            cap = x[0].shape[0]
             n = qh.shape[0]
             t = (jnp.zeros((cap, n), _F32), jnp.zeros((cap, n), _F32))
             for j, c in enumerate(cols):
-                diff = df_sub((x[:, c:c + 1], jnp.zeros((cap, 1), _F32)),
+                diff = df_sub((x[0][:, c:c + 1], x[1][:, c:c + 1]),
                               (qh[:, c][None, :], ql[:, c][None, :]))
                 z = df_mul(diff, (ih[j], il[j]))
                 t = df_add(t, df_mul(z, z))
@@ -232,11 +232,11 @@ def _compile_kernel(kernel, dims, params):
 
         def entry(kp, x, qh, ql):
             (vh, vl), = kp[idx]
-            cap = x.shape[0]
+            cap = x[0].shape[0]
             n = qh.shape[0]
             acc = (jnp.zeros((cap, n), _F32), jnp.zeros((cap, n), _F32))
             for j, c in enumerate(cols):
-                xv = df_mul((x[:, c:c + 1], jnp.zeros((cap, 1), _F32)),
+                xv = df_mul((x[0][:, c:c + 1], x[1][:, c:c + 1]),
                             (vh[j], vl[j]))
                 acc = df_add(acc, df_mul(
                     xv, (qh[:, c][None, :], ql[:, c][None, :])))
@@ -677,7 +677,15 @@ class ExtendedSweep:
             "v": tuple(vparams),
             "lv": tuple(lparams),
             "blocks": tuple(_block_params(blk) for blk in blocks),
-            "x_rows": blocks[0]["gp"].X_buf.astype(_F32),
+            # Exact double-word split of the training rows. In float32
+            # mode this is (X, 0) bit for bit (the rows ARE f32); in
+            # float64 mode the split reproduces the f64 rows the host
+            # factors were built from to ~2^-49 relative — far below
+            # the U_EFF = 2^-40 unit the derived margins model, so the
+            # representation residual is dominated by the analysis'
+            # per-op slack (ops round at ~2^-45-2^-48 against U_EFF).
+            "x_rows": _split_np(
+                np.asarray(blocks[0]["gp"].X_buf, np.float64)),
             "one_plus_lf": _split_np(
                 1.0 + np.float64(lyapunov._lipschitz_dynamics)),
         }
@@ -687,9 +695,16 @@ class ExtendedSweep:
 
         if sig not in _PIPELINES:
             def core(params, points, tau):
-                """(decrease, threshold) as df pairs at ``points``."""
+                """(decrease, threshold) as df pairs at ``points``.
+
+                The residual split is exact-zero for f32 points (the
+                f32-mode program is unchanged) and carries the f64
+                remainder in float64 mode, so the sweep evaluates at
+                the f64 grid points themselves instead of silently
+                rounding them to f32 (a ~2^-24 input perturbation the
+                2^-40 margins could not cover)."""
                 xh = points.astype(_F32)
-                xl = jnp.zeros_like(xh)
+                xl = (points - xh.astype(points.dtype)).astype(_F32)
                 u = policy_fn(params["policy"], xh, xl)
                 qh = jnp.concatenate([xh, u[0]], axis=1)
                 ql = jnp.concatenate([xl, u[1]], axis=1)
@@ -748,9 +763,12 @@ class ExtendedSweep:
                 ``v(mu) + sum_j |lv_j| err_j < c_max - margin`` at exact
                 f32 candidate rows; also returns the f32 selection
                 score (summed confidence widths) and the rounded mean
-                next state for membership checks."""
+                next state for membership checks. Same exact residual
+                split as ``core``: float64-mode candidates are scored
+                at their own coordinates, not f32 roundings of them."""
                 qh = state_actions.astype(_F32)
-                ql = jnp.zeros_like(qh)
+                ql = (state_actions
+                      - qh.astype(state_actions.dtype)).astype(_F32)
                 outs = [pred(bp, params["kernels"], params["x_rows"],
                              qh, ql)
                         for pred, bp in zip(predicts, params["blocks"])]
@@ -803,8 +821,9 @@ class ExtendedSweep:
     def negative_batch(self, states, tau=None, margin=0.0):
         """Double-word decrease check; returns a device bool (N,)."""
         tau = self._tau if tau is None else float(tau)
-        return self._jit_body(self._params,
-                              jnp.asarray(states, dtype=_F32),
+        # Native dtype in (see ``core``): f32 states pass through
+        # bit-exactly; f64 states ride the exact residual split.
+        return self._jit_body(self._params, jnp.asarray(states),
                               _split_np(tau), _split_np(float(margin)))
 
     def margins(self, states, tau=None):
@@ -816,8 +835,7 @@ class ExtendedSweep:
         ``oracle.oracle_margins`` measures the extended pipeline's true
         deviation."""
         tau = self._tau if tau is None else float(tau)
-        dec, thr = self._jit_core(self._params,
-                                  jnp.asarray(states, dtype=_F32),
+        dec, thr = self._jit_core(self._params, jnp.asarray(states),
                                   _split_np(tau))
         dec64 = (np.asarray(dec[0], np.float64)
                  + np.asarray(dec[1], np.float64))
@@ -836,8 +854,12 @@ class ExtendedSweep:
         are the model inputs — any construction realization is covered
         by the exploration margin's policy/perturbation rounding terms
         (``errorbounds.analytic_exploration_margin``)."""
+        # Native dtype in: explore_body's exact residual split scores
+        # float64-mode candidates at their own coordinates (an f32 cast
+        # here would score a perturbed point but return the unperturbed
+        # candidate).
         return self._jit_explore(self._params,
-                                 jnp.asarray(state_actions, dtype=_F32),
+                                 jnp.asarray(state_actions),
                                  _split_np(float(c_max)),
                                  _split_np(float(margin)))
 
@@ -847,8 +869,7 @@ class ExtendedSweep:
         half = jnp.asarray(
             ((0.5 * (1.0 - 1.0 / r)) * self._unit_maxes)
             .astype(config.np_dtype))
-        return self._jit_refined(self._params,
-                                 jnp.asarray(states, dtype=_F32),
+        return self._jit_refined(self._params, jnp.asarray(states),
                                  half, _split_np(self._tau / r),
                                  _split_np(float(margin)),
                                  r=r, nd_=self._d)
@@ -869,14 +890,13 @@ def extended_gp_evaluate(gp, points):
     blocks = _gp_blocks(gp)
     dims = np.arange(blocks[0]["gp"].input_dim)
     outs = []
-    pts = jnp.asarray(np.asarray(points), dtype=_F32)
-    qh, ql = pts, jnp.zeros_like(pts)
+    qh, ql = _split_np(np.asarray(points, np.float64))
     for blk in blocks:
         kparams = []  # fresh per block: entry closures index from 0
         predict, _ = _build_block_predict(blk, dims, kparams)
         bp = _block_params(blk)
-        mean, err = jax.jit(predict)(bp, tuple(kparams),
-                                     blk["gp"].X_buf.astype(_F32),
+        x_pair = _split_np(np.asarray(blk["gp"].X_buf, np.float64))
+        mean, err = jax.jit(predict)(bp, tuple(kparams), x_pair,
                                      qh, ql)
         outs.append((mean, err))
     mean = _concat_pairs([o[0] for o in outs])
@@ -1026,6 +1046,10 @@ def extended_certificate_margin(lyapunov, lv_matrix=None, refinement=1,
     if set_margin:
         lyapunov.certificate_margin = margin
         lyapunov.level_margin = level_margin
+        # Tag the margin with its derivation unit: it covers ONLY the
+        # extended pipeline; the plain f32 sweep refuses to consume it
+        # (Lyapunov._require_f32_margin).
+        lyapunov._certificate_margin_unit = U_EFF
         if lv_matrix is not None:
             lyapunov.extended_lv_matrix = lv_matrix
     return margin

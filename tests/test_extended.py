@@ -151,3 +151,50 @@ def test_df_less_on_ties():
     b = ext.df_from_f64(np.array([1.0 + 1e-12, 1.0, 1.0 - 1e-12]))
     got = np.asarray(jax.jit(ext.df_less)(a, b))
     assert got.tolist() == [True, False, False]
+
+
+def test_extended_sweep_exact_at_f64_grid_points():
+    """In float64 mode the sweep evaluates AT the f64 grid points.
+
+    Regression: the pipeline used to round points and training rows to
+    float32 (``xl = 0``), a ~2^-24 relative input perturbation that the
+    2^-40-scale derived margins cannot cover. With the exact residual
+    split the full-grid deviation from the float64 oracle stays at
+    double-word scale even on a grid whose points are not
+    f32-representable.
+    """
+    import safe_learning_tpu as sl
+    from safe_learning_tpu.config import config
+    from safe_learning_tpu.ops.extended_verify import ExtendedSweep
+    from safe_learning_tpu.oracle import oracle_margins
+
+    if config.np_dtype != np.float64:
+        pytest.skip("float64-mode regression (x64 lane only)")
+
+    rng = np.random.default_rng(7)
+    # Spacings like 1.01/12 make every interior point f32-INEXACT.
+    grid = sl.GridWorld([[-0.7, 0.31], [-0.9, 0.53]], 13)
+    a = np.array([[0.4, 0.1], [0.0, 0.45]])
+    policy = sl.LinearSystem(np.zeros((1, 2)))
+    v = sl.QuadraticFunction(np.eye(2))
+    nt = 40
+    xt = np.column_stack([rng.uniform(-0.6, 0.3, nt),
+                          rng.uniform(-0.8, 0.5, nt), np.zeros(nt)])
+    yt = xt[:, :2] @ a.T
+    st = sl.StackedGaussianProcess(
+        [sl.RBF(1.0, [0.4] * 3, input_dim=3),
+         sl.RBF(0.8, [0.5] * 3, input_dim=3)],
+        xt, yt, [1e-4, 1e-4], betas=2.0)
+    lyap = sl.Lyapunov(grid, v, st, 0.6, 2.0,
+                       float(np.min(grid.unit_maxes)), policy)
+
+    pts = np.asarray(grid.all_points, np.float64)
+    # The points must actually be f32-inexact for this to regress.
+    assert np.max(np.abs(pts - pts.astype(np.float32)
+                         .astype(np.float64))) > 1e-9
+
+    sweep = ExtendedSweep(lyap)
+    dev = np.max(np.abs(sweep.margins(pts) - oracle_margins(lyap, pts)))
+    # f32-rounded inputs deviate at ~L * 2^-24 * |x| ~ 1e-7 here; the
+    # double-word split stays at pipeline scale (~1e-10).
+    assert dev < 5e-9, dev

@@ -59,8 +59,8 @@ def test_df_kernel_program_matches_f64_oracle(seed):
     params = []
     entry, diag, _ = _compile_kernel(kernel, np.arange(nd), params)
     kh, kl = jax.jit(lambda kp, xx, qh, ql: entry(kp, xx, qh, ql))(
-        tuple(params), jnp.asarray(x), jnp.asarray(q),
-        jnp.zeros_like(q))
+        tuple(params), (jnp.asarray(x), jnp.zeros_like(x)),
+        jnp.asarray(q), jnp.zeros_like(q))
     gh, gl = jax.jit(lambda kp, qh, ql: diag(kp, qh, ql))(
         tuple(params), jnp.asarray(q), jnp.zeros_like(q))
     got = np.asarray(kh, np.float64) + np.asarray(kl, np.float64)

@@ -358,6 +358,41 @@ def test_extended_sweep_on_device_mesh():
     assert meshed.c_max == single.c_max
 
 
+def test_extended_margins_refused_by_f32_pipelines():
+    """A U_EFF-derived margin cannot cover f32 rounding: the plain f32
+    sweep and scorer refuse it loudly instead of silently certifying
+    states whose exact condition fails; explicit assignment (the
+    caller-takes-responsibility escape hatch) clears the restriction."""
+    from safe_learning_tpu.explore import _margin_of
+    from safe_learning_tpu.ops.extended_verify import (
+        extended_exploration_margin)
+
+    lyap = _ill_conditioned_instance()
+    extended_certificate_margin(lyap, lv_matrix=_LV_MAT)
+    with pytest.raises(RuntimeError, match="extended"):
+        lyap.update_safe_set()
+    # The f32 exploration scorer's certificate_margin fallback refuses
+    # the tagged margin too.
+    with pytest.raises(RuntimeError, match="extended"):
+        _margin_of(lyap)
+    # The extended pipeline consumes it fine.
+    lyap.update_safe_set(extended=True)
+    assert lyap.safe_set.any()
+
+    # A dedicated U_EFF exploration margin is refused by the f32 scorer.
+    perturb = np.linspace(-0.3, 0.3, 5)[:, None].astype(np.float32)
+    extended_exploration_margin(lyap, perturbations=perturb,
+                                limits=np.array([[-0.5, 0.5]]))
+    with pytest.raises(RuntimeError, match="extended"):
+        _margin_of(lyap)
+
+    # Manual assignment takes responsibility and lifts both guards.
+    lyap.exploration_margin = 1e-3
+    assert _margin_of(lyap) == 1e-3
+    lyap.certificate_margin = 1e-3
+    lyap.update_safe_set()
+
+
 def test_extended_update_matches_plain_update_semantics():
     """With the SAME margins installed, the extended sweep's safe set
     agrees with the plain f32 sweep's wherever both pipelines are far
