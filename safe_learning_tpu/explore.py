@@ -327,7 +327,8 @@ def get_safe_sample(lyapunov, perturbations=None, limits=None,
     zero = np.zeros((1, action_dim), dtype=config.np_dtype)
     state_actions = perturb_actions(safe_states, safe_actions, zero,
                                     limits=limits)
-    _, bound, _ = _evaluate_candidates(lyapunov, state_actions, positive)
+    _, bound, _ = _evaluate_candidates(lyapunov, state_actions, positive,
+                                       margin=_fallback_margin(lyapunov))
     max_id = int(np.argmax(bound))
     return state_actions[[max_id]], float(bound[max_id])
 
@@ -343,30 +344,53 @@ def _margin_of(lyapunov):
     measurement covers both pipelines at the same scale — see
     ``config.certificate_margin``).
     """
-    f32_unit = float(np.finfo(np.float32).eps) / 2.0
+    consumer_unit = float(np.finfo(config.np_dtype).eps) / 2.0
     margin = getattr(lyapunov, "exploration_margin", None)
     if margin is not None:
         unit = getattr(lyapunov, "_exploration_margin_unit", None)
-        if unit is not None and unit < f32_unit:
+        if unit is not None and unit < consumer_unit:
             raise RuntimeError(
                 "exploration_margin was derived at unit roundoff "
                 f"{unit:.2e} (the extended double-word scorer); it "
-                "cannot cover the float32 scorer's rounding. Use "
-                "get_safe_sample(extended=True), or install an f32 "
-                "margin (errorbounds.analytic_exploration_margin).")
+                "cannot cover the plain scorer's rounding at unit "
+                f"{consumer_unit:.2e}. Use get_safe_sample(extended="
+                "True), or install a plain-pipeline margin "
+                "(errorbounds.analytic_exploration_margin).")
         return float(margin)
     margin = getattr(lyapunov, "certificate_margin", None)
     if margin is None:
         margin = float(getattr(config, "certificate_margin", 0.0))
     else:
         unit = getattr(lyapunov, "_certificate_margin_unit", None)
-        if unit is not None and unit < f32_unit:
+        if unit is not None and unit < consumer_unit:
             raise RuntimeError(
                 "certificate_margin was derived at unit roundoff "
                 f"{unit:.2e} (the extended pipeline) and cannot cover "
-                "the float32 exploration scorer; use get_safe_sample("
-                "extended=True) or install an f32-pipeline margin.")
+                "the plain exploration scorer; use get_safe_sample("
+                "extended=True) or install a plain-pipeline margin.")
     return margin
+
+
+def _fallback_margin(lyapunov):
+    """Best untagged margin, for the diagnostic backup-policy path.
+
+    The backup fallback is the documented not-provably-safe escape
+    hatch (its pairs are returned under a ``RuntimeWarning``), so a
+    finer-unit (extended-only) margin must not make it CRASH — pick the
+    first margin not tagged below the plain pipeline's unit, falling
+    back to the config default (advisor round-3 finding #2).
+    """
+    consumer_unit = float(np.finfo(config.np_dtype).eps) / 2.0
+    for attr, unit_attr in (
+            ("exploration_margin", "_exploration_margin_unit"),
+            ("certificate_margin", "_certificate_margin_unit")):
+        margin = getattr(lyapunov, attr, None)
+        if margin is None:
+            continue
+        unit = getattr(lyapunov, unit_attr, None)
+        if unit is None or unit >= consumer_unit:
+            return float(margin)
+    return float(getattr(config, "certificate_margin", 0.0))
 
 
 def _device_safe_set(lyapunov):
@@ -394,18 +418,24 @@ def _device_safe_set(lyapunov):
     return cache[1]
 
 
-def _evaluate_candidates(lyapunov, state_actions, positive):
+def _evaluate_candidates(lyapunov, state_actions, positive,
+                         margin=None):
     """Predict next-state distributions and safety for candidate pairs.
 
     The candidate batch is padded to the next power of two so repeated
     exploration steps with varying candidate counts hit one compiled
     program per size bucket instead of retracing every call.
+    ``margin`` overrides the instance margin (the backup-policy path
+    passes an untagged fallback so an extended-only margin degrades
+    gracefully instead of raising).
     """
+    if margin is None:
+        margin = _margin_of(lyapunov)
     state_actions_dev, n = _pad_pow2(state_actions)
     mean, bound, maps_inside = _candidate_scores(
         lyapunov.dynamics, lyapunov.lyapunov_function,
         lyapunov._lipschitz_lyapunov, lyapunov.c_max,
-        jnp.asarray(state_actions_dev), _margin_of(lyapunov))
+        jnp.asarray(state_actions_dev), margin)
     mean = mean[:n]
     bound = bound[:n]
     maps_inside = maps_inside[:n]

@@ -457,25 +457,30 @@ class Lyapunov:
         self._exploration_margin_unit = None
 
     def _require_f32_margin(self):
-        """Refuse to run the f32 pipeline under an extended-only margin.
+        """Refuse to run the plain pipeline under a finer-unit margin.
 
-        A margin derived at ``unit_roundoff < eps32/2`` (the extended
-        double-word pipeline's ``U_EFF``) bounds only THAT pipeline's
-        rounding; consuming it from the plain float32 sweep would
-        certify states whose exact decrease condition fails. Margins
-        with no recorded unit (empirical calibration, manual
-        assignment, ``config`` defaults) pass — their coverage is the
-        installer's documented contract.
+        A margin derived at ``unit_roundoff < eps(dtype)/2`` (e.g. the
+        extended double-word pipeline's ``U_EFF``) bounds only THAT
+        pipeline's rounding; consuming it from the plain config-dtype
+        sweep would certify states whose exact decrease condition
+        fails. The comparison is against the CONSUMER's unit at check
+        time — under float64 (``jax_enable_x64``) the plain sweep runs
+        at eps64/2, so an analytic margin derived there validly covers
+        it. Margins with no recorded unit (empirical calibration,
+        manual assignment, ``config`` defaults) pass — their coverage
+        is the installer's documented contract.
         """
         unit = getattr(self, "_certificate_margin_unit", None)
-        if unit is not None and unit < float(np.finfo(np.float32).eps) / 2:
+        consumer = float(np.finfo(config.np_dtype).eps) / 2
+        if unit is not None and unit < consumer:
             raise RuntimeError(
                 "certificate_margin was derived at unit roundoff "
                 f"{unit:.2e} (the extended double-word pipeline); it "
-                "cannot cover the plain float32 sweep's rounding. Run "
-                "update_safe_set(extended=True), or install an "
-                "f32-pipeline margin (oracle.calibrate_certificate_"
-                "margin / errorbounds.analytic_certificate_margin).")
+                "cannot cover the plain sweep's rounding at unit "
+                f"{consumer:.2e}. Run update_safe_set(extended=True), "
+                "or install a plain-pipeline margin (oracle.calibrate_"
+                "certificate_margin / errorbounds.analytic_certificate"
+                "_margin).")
 
     def lipschitz_dynamics(self, states):
         """Global or local dynamics Lipschitz constant.
@@ -621,11 +626,16 @@ class Lyapunov:
         from .ops.extended_verify import ExtendedSweep
 
         lf = self._lipschitz_dynamics
+        try:
+            # Any real scalar (python float, int, numpy scalar) keys by
+            # value so value-equal reassignments reuse the sweep.
+            lf_key = float(lf)
+        except (TypeError, ValueError):
+            lf_key = id(lf)
         key = (id(self.dynamics), int(getattr(self.dynamics, "count", -1)),
                id(self.policy), id(self.lyapunov_function),
                id(self._lipschitz_lyapunov),
-               float(lf) if isinstance(lf, (int, float)) else id(lf),
-               self.tau)
+               lf_key, self.tau)
         if self._ext_sweep is None or self._ext_sweep_key != key:
             self._ext_sweep = ExtendedSweep(
                 self, lv_matrix=self.extended_lv_matrix)

@@ -635,7 +635,13 @@ class ExtendedSweep:
         eft_selfcheck()
         if lv_matrix is None:
             lv_matrix = _auto_lv_matrix(lyapunov._lipschitz_lyapunov)
-        if not isinstance(lyapunov._lipschitz_dynamics, (int, float)):
+        if callable(lyapunov._lipschitz_dynamics):
+            raise NotImplementedError(
+                "extended sweep needs a scalar L_f")
+        try:
+            # Any real scalar (python float, int, numpy scalar).
+            float(lyapunov._lipschitz_dynamics)
+        except (TypeError, ValueError):
             raise NotImplementedError(
                 "extended sweep needs a scalar L_f")
         blocks = _gp_blocks(lyapunov.dynamics)

@@ -128,6 +128,9 @@ def sharded_decrease_check(lyapunov, mesh):
     """
     from ..lyapunov import _negative_batch, _values_batch
 
+    # The sharded sweep is the same plain (config-dtype) pipeline as
+    # update_safe_set: an extended-only (U_EFF) margin cannot cover it.
+    lyapunov._require_f32_margin()
     points = global_grid_points(lyapunov.discretization, mesh)
     negative, _, _ = _negative_batch(
         lyapunov.policy, lyapunov.dynamics, lyapunov.lyapunov_function,
@@ -147,6 +150,9 @@ def sharded_certified_level(lyapunov, mesh):
     """
     from ..lyapunov import _fused_update
 
+    # Same unit guard as update_safe_set: refuse an extended-only
+    # margin on the plain multi-host pipeline (advisor r3 finding #3).
+    lyapunov._require_f32_margin()
     grid = lyapunov.discretization
     points = global_grid_points(grid, mesh)
     initial = (np.asarray(lyapunov.initial_safe_set)

@@ -407,3 +407,66 @@ def test_extended_update_matches_plain_update_semantics():
     agree = np.mean(lyap_a.safe_set == lyap_b.safe_set)
     assert agree > 0.99, agree
     assert U_EFF == 2.0 ** -40
+
+
+def test_extended_backup_fallback_degrades_gracefully():
+    """get_safe_sample(extended=True) under an installed U_EFF
+    exploration margin must fall back to the backup policy with a
+    RuntimeWarning when nothing is safe — NOT crash in the diagnostic
+    path's f32 scorer (advisor round-3 finding #2)."""
+    import warnings
+
+    from safe_learning_tpu.ops.extended_verify import (
+        extended_exploration_margin)
+
+    lyap = _ill_conditioned_instance()
+    extended_certificate_margin(lyap, lv_matrix=_LV_MAT)
+    lyap.update_safe_set(extended=True)
+    perturb = np.linspace(-0.3, 0.3, 5)[:, None].astype(np.float32)
+    limits = np.array([[-0.5, 0.5]])
+    extended_exploration_margin(lyap, perturbations=perturb,
+                                limits=limits)
+    # Force the no-safe-candidate branch: an (exactly representable)
+    # tiny level admits no candidate.
+    lyap.c_max = 2.0 ** -120
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        sa, var = sl.get_safe_sample(lyap, perturbations=perturb,
+                                     limits=limits, num_samples=32,
+                                     rng=np.random.default_rng(0),
+                                     extended=True)
+    assert any(issubclass(w.category, RuntimeWarning) for w in caught)
+    assert sa.shape == (1, 3) and np.isfinite(var)
+
+
+def test_sharded_pipelines_refuse_extended_margin():
+    """The multi-host sweep is the plain f32 pipeline: it must apply
+    the same unit guard as update_safe_set (advisor round-3 #3)."""
+    import jax
+
+    from safe_learning_tpu.parallel import make_mesh
+    from safe_learning_tpu.parallel.distributed import (
+        sharded_certified_level, sharded_decrease_check)
+
+    assert jax.device_count() >= 8
+    lyap = _ill_conditioned_instance()
+    extended_certificate_margin(lyap, lv_matrix=_LV_MAT)
+    mesh = make_mesh(8)
+    with pytest.raises(RuntimeError, match="extended"):
+        sharded_decrease_check(lyap, mesh)
+    with pytest.raises(RuntimeError, match="extended"):
+        sharded_certified_level(lyap, mesh)
+
+
+def test_extended_sweep_cache_keys_numpy_scalar_lf_by_value():
+    """A value-equal np.float32 L_f reassignment reuses the compiled
+    sweep instead of keying by id() (advisor round-3 finding #4)."""
+    lyap = _ill_conditioned_instance()
+    lyap.extended_lv_matrix = _LV_MAT
+    lf = float(lyap._lipschitz_dynamics)
+    lyap._lipschitz_dynamics = np.float32(lf)
+    sweep_a = lyap._get_extended_sweep()
+    lyap._lipschitz_dynamics = np.float32(lf)  # new object, same value
+    assert lyap._get_extended_sweep() is sweep_a
+    lyap._lipschitz_dynamics = np.float32(lf * 2.0)
+    assert lyap._get_extended_sweep() is not sweep_a
