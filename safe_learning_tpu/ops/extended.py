@@ -59,6 +59,8 @@ __all__ = [
     "df_add", "df_sub", "df_neg", "df_mul", "df_mul_f32", "df_div",
     "df_sqrt", "df_exp", "df_to_f32", "df_less", "df_matmul", "df_dot",
     "df_pow2_scale", "df_select", "df_add_f32", "eft_selfcheck",
+    "df_abs", "df_max", "df_tanh", "df_sigmoid", "df_relu", "df_sin",
+    "df_cos",
 ]
 
 _F32 = jnp.float32
@@ -333,6 +335,183 @@ def df_exp(x):
     hi = jnp.where(over, jnp.asarray(np.inf, _F32), hi)
     lo = jnp.where(over, 0.0, lo)
     return jnp.where(dead, 0.0, hi), jnp.where(dead, 0.0, lo)
+
+
+def df_abs(x):
+    """``|x|`` on double-word pairs (exact: sign flip only)."""
+    neg = (x[0] < 0) | ((x[0] == 0) & (x[1] < 0))
+    return df_select(neg, df_neg(x), x)
+
+
+def df_max(x, y):
+    """Elementwise maximum of two double-word pairs (exact select)."""
+    lt = df_less(x, y)
+    return df_select(lt, y, x)
+
+
+def df_relu(x):
+    """``max(x, 0)`` on double-word pairs (exact select)."""
+    neg = (x[0] < 0) | ((x[0] == 0) & (x[1] < 0))
+    return (jnp.where(neg, 0.0, x[0]), jnp.where(neg, 0.0, x[1]))
+
+
+# ---------------------------------------------------------------------------
+# tanh / sigmoid
+# ---------------------------------------------------------------------------
+def _tanh_taylor():
+    """Exact-rational Taylor coefficients of ``tanh`` in ``y = x^2``.
+
+    ``tanh(x) = x * T(x^2)`` with ``T`` obtained by dividing the sinh
+    series by the cosh series in :class:`fractions.Fraction` arithmetic
+    (T_k = S_k - sum_j T_j C_{k-j}); 14 terms bound the truncation tail
+    below ``2^-54`` relative on ``|x| <= 0.375`` (coefficient magnitudes
+    decay like ``2 (2/pi)^{2k+2}``).
+    """
+    from fractions import Fraction
+
+    n = 14
+    s = [Fraction(1, _math.factorial(2 * k + 1)) for k in range(n)]
+    c = [Fraction(1, _math.factorial(2 * k)) for k in range(n)]
+    t = []
+    for k in range(n):
+        t.append(s[k] - sum(t[j] * c[k - j] for j in range(k)))
+    return [float(v) for v in t]
+
+
+_TANH_COEFFS = [(np.float32(c), np.float32(c - np.float64(np.float32(c))))
+                for c in _tanh_taylor()]
+#: Branch point: below it the Taylor series carries the accuracy; above
+#: it the exp form's ``1 - e^{-2a}`` cancellation is bounded
+#: (``t/(1-t) <= 0.9`` at 0.375).
+_TANH_SMALL = np.float32(0.375)
+
+
+def df_tanh(x):
+    """Double-word ``tanh`` (relative error ~2^-41, backend-independent).
+
+    ``|x| < 0.375``: degree-27 odd Taylor polynomial (exact-rational
+    coefficients, double-word Horner). ``|x| >= 0.375``:
+    ``(1 - t) / (1 + t)`` with ``t = exp(-2|x|)`` from :func:`df_exp` —
+    the ``1 - t`` cancellation is benign there (``t <= e^{-0.75}``).
+    Sign symmetry is exact. No hardware transcendental is used, so the
+    accuracy is the polynomials', on every backend.
+    """
+    a = df_abs(x)
+    neg = (x[0] < 0) | ((x[0] == 0) & (x[1] < 0))
+
+    # Small branch: x * T(x^2), double-word Horner.
+    y = df_mul(a, a)
+    acc = (jnp.full_like(a[0], _TANH_COEFFS[-1][0]),
+           jnp.full_like(a[1], _TANH_COEFFS[-1][1]))
+    for c_hi, c_lo in reversed(_TANH_COEFFS[:-1]):
+        acc = df_mul(acc, y)
+        acc = df_add(acc, (jnp.full_like(a[0], c_hi),
+                           jnp.full_like(a[1], c_lo)))
+    small = df_mul(a, acc)
+
+    # Large branch: (1 - e^{-2a}) / (1 + e^{-2a}). Clamp the small-a
+    # side of the input so df_exp's range reduction never sees the tiny
+    # arguments the branch select discards anyway.
+    a_big = df_select(a[0] < _TANH_SMALL,
+                      (jnp.full_like(a[0], _TANH_SMALL),
+                       jnp.zeros_like(a[1])), a)
+    t = df_exp(df_neg(df_pow2_scale(a_big, 2.0)))
+    one = (jnp.ones_like(a[0]), jnp.zeros_like(a[1]))
+    large = df_div(df_sub(one, t), df_add_f32(t, np.float32(1.0)))
+
+    r = df_select(a[0] < _TANH_SMALL, small, large)
+    return df_select(neg, df_neg(r), r)
+
+
+def df_sigmoid(x):
+    """Double-word logistic sigmoid (relative error ~2^-41).
+
+    Computed from ``t = exp(-|x|)`` as ``t / (1 + t)`` (negative side)
+    or ``1 / (1 + t)`` (positive side) — both cancellation-free, unlike
+    the ``(1 + tanh(x/2)) / 2`` identity whose ``1 + tanh`` difference
+    amplifies the tanh absolute error at very negative arguments.
+    """
+    t = df_exp(df_neg(df_abs(x)))
+    denom = df_add_f32(t, np.float32(1.0))
+    small = df_div(t, denom)
+    one = (jnp.ones_like(t[0]), jnp.zeros_like(t[1]))
+    large = df_div(one, denom)
+    pos = (x[0] > 0) | ((x[0] == 0) & (x[1] > 0))
+    return df_select(pos, large, small)
+
+
+# ---------------------------------------------------------------------------
+# sin / cos
+# ---------------------------------------------------------------------------
+_PIO2_F64 = float(np.pi) / 2.0
+_PIO2 = (np.float32(_PIO2_F64),
+         np.float32(_PIO2_F64 - float(np.float32(_PIO2_F64))))
+_INV_PIO2 = np.float32(1.0 / _PIO2_F64)
+
+#: 1/(2k+1)! and 1/(2k)! for the degree-17/16 sin/cos Taylor polynomials
+#: on |r| <= pi/4 (truncation tails (pi/4)^19/19! ~ 2^-64).
+_SIN_COEFFS = [(np.float32(c), np.float32(c - np.float64(np.float32(c))))
+               for c in [(-1.0) ** k / float(_math.factorial(2 * k + 1))
+                         for k in range(9)]]
+_COS_COEFFS = [(np.float32(c), np.float32(c - np.float64(np.float32(c))))
+               for c in [(-1.0) ** k / float(_math.factorial(2 * k))
+                         for k in range(9)]]
+
+
+def _sincos_core(x):
+    """Shared reduction + both Taylor kernels: ``(sin r, cos r, q)``.
+
+    ``x = k * pi/2 + r`` with ``|r| <= pi/4 (+eps)`` and ``q = k mod 4``.
+    The double-word ``pi/2`` representation is exact to ~2^-49 relative,
+    so the reduced argument carries absolute error ``~|k| 2^-49`` — for
+    the dynamics-range arguments (``|x| <~ 2 pi``) that is ~2^-51,
+    far below the module's 2^-40 certification unit. Arguments must stay
+    below ``2^22`` (k must be exactly representable in float32).
+    """
+    k = jnp.round(df_to_f32(x) * _INV_PIO2)
+    kp = df_mul_f32(( jnp.full_like(k, _PIO2[0]),
+                      jnp.full_like(k, _PIO2[1])), k)
+    r = df_sub(x, kp)
+    q = jnp.mod(k.astype(jnp.int32), 4)
+
+    y = df_mul(r, r)
+
+    acc_s = (jnp.full_like(k, _SIN_COEFFS[-1][0]),
+             jnp.full_like(k, _SIN_COEFFS[-1][1]))
+    for c_hi, c_lo in reversed(_SIN_COEFFS[:-1]):
+        acc_s = df_mul(acc_s, y)
+        acc_s = df_add(acc_s, (jnp.full_like(k, c_hi),
+                               jnp.full_like(k, c_lo)))
+    sin_r = df_mul(r, acc_s)
+
+    acc_c = (jnp.full_like(k, _COS_COEFFS[-1][0]),
+             jnp.full_like(k, _COS_COEFFS[-1][1]))
+    for c_hi, c_lo in reversed(_COS_COEFFS[:-1]):
+        acc_c = df_mul(acc_c, y)
+        acc_c = df_add(acc_c, (jnp.full_like(k, c_hi),
+                               jnp.full_like(k, c_lo)))
+    return sin_r, acc_c, q
+
+
+def df_sin(x):
+    """Double-word ``sin`` (abs. error ~2^-49 |k|; rel. ~2^-41).
+
+    Cody-Waite style reduction against a double-word ``pi/2`` plus
+    degree-17/16 Taylor kernels; quadrant recombination is an exact
+    select. No hardware transcendental. Valid for ``|x| < 2^22``.
+    """
+    s, c, q = _sincos_core(x)
+    hi = jnp.select([q == 0, q == 1, q == 2], [s[0], c[0], -s[0]], -c[0])
+    lo = jnp.select([q == 0, q == 1, q == 2], [s[1], c[1], -s[1]], -c[1])
+    return hi, lo
+
+
+def df_cos(x):
+    """Double-word ``cos`` (see :func:`df_sin` for the contract)."""
+    s, c, q = _sincos_core(x)
+    hi = jnp.select([q == 0, q == 1, q == 2], [c[0], -s[0], -c[0]], s[0])
+    lo = jnp.select([q == 0, q == 1, q == 2], [c[1], -s[1], -c[1]], s[1])
+    return hi, lo
 
 
 # ---------------------------------------------------------------------------

@@ -198,3 +198,65 @@ def test_extended_sweep_exact_at_f64_grid_points():
     # f32-rounded inputs deviate at ~L * 2^-24 * |x| ~ 1e-7 here; the
     # double-word split stays at pipeline scale (~1e-10).
     assert dev < 5e-9, dev
+
+
+def _df_fn_error(fn, ref, xs, scale=None):
+    xs64 = np.asarray(xs, np.float64)
+    pair = ext.df_from_f64(xs64)
+    h, low = jax.jit(fn)(pair)
+    got = np.asarray(h, np.float64) + np.asarray(low, np.float64)
+    want = ref(xs64)
+    denom = np.maximum(np.abs(want), 1e-30) if scale is None else scale
+    return float(np.max(np.abs(got - want) / denom))
+
+
+def test_df_tanh_accuracy():
+    """Both branches (Taylor / exp form) stay ~2^-44 relative — the
+    neural policies' activation must not consume the 2^-40 margin."""
+    rng = np.random.default_rng(0)
+    xs = np.concatenate([
+        rng.uniform(-10, 10, 4096), rng.uniform(-0.4, 0.4, 4096),
+        np.linspace(-0.5, 0.5, 1001),
+        [0.0, 0.375, -0.375, 20.0, -20.0, 1e-8, -1e-8, 60.0, -60.0]])
+    assert _df_fn_error(ext.df_tanh, np.tanh, xs) < 2.0 ** -43
+
+
+def test_df_sigmoid_accuracy():
+    """Cancellation-free form: full relative accuracy even at very
+    negative arguments where sigmoid ~ e^x."""
+    rng = np.random.default_rng(1)
+    xs = np.concatenate([
+        rng.uniform(-25, 25, 8192), np.linspace(-1, 1, 1001),
+        [0.0, -20.0, 20.0, -50.0, 50.0]])
+    ref = lambda x: 1.0 / (1.0 + np.exp(-x))  # noqa: E731
+    assert _df_fn_error(ext.df_sigmoid, ref, xs) < 2.0 ** -43
+
+
+def test_df_sin_cos_accuracy():
+    """Absolute error ~2^-44 across the dynamics range, including the
+    sin zeros at +-pi (where relative error is meaningless)."""
+    rng = np.random.default_rng(2)
+    xs = np.concatenate([
+        rng.uniform(-16, 16, 8192), np.linspace(-np.pi, np.pi, 2001),
+        np.pi + np.linspace(-1e-3, 1e-3, 101),
+        [0.0, np.pi, -np.pi, 2 * np.pi, np.pi / 2]])
+    one = np.ones(1)
+    assert _df_fn_error(ext.df_sin, np.sin, xs, scale=one) < 2.0 ** -43
+    assert _df_fn_error(ext.df_cos, np.cos, xs, scale=one) < 2.0 ** -43
+
+
+def test_df_relu_abs_max_exact():
+    """The exact (select-only) pair ops: bitwise agreement with f64."""
+    rng = np.random.default_rng(3)
+    px = ext.df_from_f64(rng.normal(0, 10, 1024))
+    py = ext.df_from_f64(rng.normal(0, 10, 1024))
+    # Reference = the op applied to the PAIRS' exact values (the f64 ->
+    # df split itself carries a ~2^-48 representation residual).
+    xs = np.asarray(px[0], np.float64) + np.asarray(px[1], np.float64)
+    ys = np.asarray(py[0], np.float64) + np.asarray(py[1], np.float64)
+    for fn, want in ((lambda: ext.df_relu(px), np.maximum(xs, 0.0)),
+                     (lambda: ext.df_abs(px), np.abs(xs)),
+                     (lambda: ext.df_max(px, py), np.maximum(xs, ys))):
+        h, low = jax.jit(fn)()
+        got = np.asarray(h, np.float64) + np.asarray(low, np.float64)
+        np.testing.assert_array_equal(got, want)
