@@ -349,6 +349,11 @@ class Lyapunov:
         #: for non-constant L_v; installed by
         #: ``ops.extended_verify.extended_certificate_margin``.
         self.extended_lv_matrix = None
+        #: Companion model of a callable ``lipschitz_dynamics`` as the
+        #: single-row absolute linear form ``L_f(x) = |x H^T|`` for the
+        #: extended sweep (GradientNorm-of-Triangulation L_f compiles
+        #: directly and needs no model).
+        self.extended_lf_matrix = None
         self._ext_sweep = None
         self._ext_sweep_key = None
         #: Unit roundoff each installed margin was DERIVED at (None =
@@ -638,7 +643,8 @@ class Lyapunov:
                lf_key, self.tau)
         if self._ext_sweep is None or self._ext_sweep_key != key:
             self._ext_sweep = ExtendedSweep(
-                self, lv_matrix=self.extended_lv_matrix)
+                self, lv_matrix=self.extended_lv_matrix,
+                lf_matrix=self.extended_lf_matrix)
             self._ext_sweep_key = key
             # Hold strong references to the keyed objects: the key
             # stores ids, and a freed model object's id can be reused

@@ -34,15 +34,30 @@ Soundness chain (each link checked by tests):
    <= U_EFF per operation under the parametric analysis
    (``errorbounds.analytic_certificate_margin(unit_roundoff=U_EFF)``).
 
-Supported instance shape (same family as the analytic margin):
-LinearSystem / Saturation / Constant policies, (Stacked)GaussianProcess
-dynamics over RBF / Matern / Linear kernels and their
-sums/products/ActiveDims with LinearSystem-or-None prior means,
-QuadraticFunction or Triangulation (piecewise-linear — the flagship /
-pendulum family) candidates, scalar ``L_f``, and ``L_v`` either a
-scalar or the row-wise absolute linear form ``L_v(x) = |x G^T|``
-(``lv_matrix``), which covers the reference notebooks' ``2 |P x|``-style
-local constants. Anything else raises ``NotImplementedError``.
+Supported instance shape:
+
+- **policies** — LinearSystem / Saturation / Constant, and
+  :class:`~safe_learning_tpu.functions.neural.NeuralNetwork` MLPs with
+  relu/tanh/sigmoid/linear activations (the NeurIPS-17 flagship);
+- **dynamics** — (Stacked)GaussianProcess over RBF / Matern / Linear
+  kernels and their sums/products/ActiveDims with LinearSystem-or-None
+  prior means, or DETERMINISTIC LinearSystem / InvertedPendulum /
+  CartPole / VanDerPol (the CoRL-18 flagship; no error term);
+- **candidates** — QuadraticFunction, Triangulation (piecewise-linear),
+  :class:`~safe_learning_tpu.functions.neural.LyapunovNetwork`, scalar
+  NeuralNetwork, each optionally scaled by a constant (``-value_
+  function``);
+- **L_f** — a real scalar, a callable modeled by the row form
+  ``L_f(x) = |x H^T|`` (``lf_matrix``), or a ``GradientNorm`` of a
+  scalar Triangulation;
+- **L_v** — a scalar, the row-wise absolute linear form
+  ``L_v(x) = |x G^T|`` (``lv_matrix``, covering the reference
+  notebooks' ``2 |P x|``-style local constants), or a ``GradientNorm``
+  of a scalar Triangulation (conservatively inflated near simplex
+  faces — see :func:`_compile_gradnorm_pwl`); at ``tau == 0`` with
+  deterministic dynamics L_v is unused and may be anything.
+
+Anything else raises ``NotImplementedError``.
 
 No reference counterpart: the reference runs float64 end to end
 (``/root/reference/safe_learning/configuration.py:16``); this is the
@@ -57,17 +72,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import config
-from ..functions.base import ConstantFunction, Saturation
+from ..functions.base import (ConstantFunction, GradientNorm,
+                              MultipliedFunction, Saturation)
 from ..functions.gp import (RBF, ActiveDims, GaussianProcess,
                             LinearKernel, Matern12, Matern32, Matern52,
                             ProductKernel, StackedGaussianProcess,
                             SumKernel, _StationaryKernel)
 from ..functions.linear import LinearSystem, QuadraticFunction
+from ..functions.neural import LyapunovNetwork, NeuralNetwork
 from ..functions.simplex import Triangulation, _vertex_strides
-from .extended import (df_add, df_add_f32, df_dot, df_exp, df_from_f64,
-                       df_less, df_matmul, df_mul, df_mul_f32, df_neg,
-                       df_pow2_scale, df_select, df_sqrt, df_sub,
-                       eft_selfcheck)
+from .extended import (df_abs, df_add, df_add_f32, df_cos, df_div,
+                       df_dot, df_exp, df_from_f64, df_less, df_matmul,
+                       df_max, df_mul, df_mul_f32, df_neg, df_pow2_scale,
+                       df_relu, df_select, df_sigmoid, df_sin, df_sqrt,
+                       df_sub, df_tanh, eft_selfcheck, two_sum)
 
 __all__ = ["U_EFF", "ExtendedSweep", "extended_gp_evaluate",
            "extended_certificate_margin", "extended_exploration_margin"]
@@ -260,6 +278,66 @@ def _compile_kernel(kernel, dims, params):
 # ---------------------------------------------------------------------------
 # Policy / candidate compilers
 # ---------------------------------------------------------------------------
+def _df_identity(p):
+    return p
+
+
+_DF_ACTS = {None: _df_identity, "linear": _df_identity, "relu": df_relu,
+            "tanh": df_tanh, "sigmoid": df_sigmoid}
+
+
+def _df_activation(name):
+    """df activation by name; callables/unsupported names raise."""
+    if not (name is None or isinstance(name, str)):
+        raise NotImplementedError(
+            "extended sweep needs named activations (relu/tanh/sigmoid/"
+            "linear); got a callable")
+    try:
+        return _DF_ACTS[name]
+    except KeyError:
+        raise NotImplementedError(
+            "extended sweep supports relu/tanh/sigmoid/linear "
+            "activations; got {!r}".format(name))
+
+
+def _compile_mlp(net, params):
+    """Compile a :class:`NeuralNetwork` forward pass to a df program.
+
+    Weights/biases are exact double-word splits of the stored values
+    (bitwise in float32 mode); matmuls run on the VPU scan
+    (:func:`df_matmul`); activations are the backend-independent df
+    kernels (``df_tanh`` ~2^-41 relative). Covers the NeurIPS-17
+    flagship policy (reference ``functions.py:1665-1786`` network with
+    relu/relu/tanh, ``examples/inverted_pendulum.py``).
+    """
+    acts = [_df_activation(a) for a in net.nonlinearities]
+    idx = len(params)
+    layers = []
+    for w, b in zip(net.weights, net.biases):
+        layers.append((
+            _split_np(np.asarray(w, np.float64)),
+            None if b is None else _split_np(np.asarray(b, np.float64))))
+    scale = float(net.output_scale)
+    params.append((tuple(layers), _split_np(np.float64(scale))))
+    scaled = scale != 1.0
+
+    def fn(pp, xh, xl):
+        layer_ps, sc = pp[idx]
+        netv = (xh, xl)
+        for (wp, bp), act in zip(layer_ps, acts):
+            netv = df_matmul(netv, wp)
+            if bp is not None:
+                netv = df_add(netv, (bp[0][None, :], bp[1][None, :]))
+            netv = act(netv)
+        if scaled:
+            netv = df_mul(netv, sc)
+        return netv
+
+    sig = ("mlp", net.layers, net.nonlinearities,
+           tuple(b is not None for b in net.biases), scaled)
+    return fn, sig
+
+
 def _compile_policy(policy, params):
     """Compile a policy to ``fn(pp, xh, xl) -> df (N, m)`` + signature."""
     if isinstance(policy, Saturation):
@@ -302,9 +380,122 @@ def _compile_policy(policy, params):
                     jnp.broadcast_to(cl, (n, width)))
         return fn, ("const", int(width))
 
+    if isinstance(policy, NeuralNetwork):
+        return _compile_mlp(policy, params)
+
     raise NotImplementedError(
-        "extended sweep supports LinearSystem/Saturation/Constant "
-        "policies; got {}".format(type(policy).__name__))
+        "extended sweep supports LinearSystem/Saturation/Constant/"
+        "NeuralNetwork policies; got {}".format(type(policy).__name__))
+
+
+def _build_pwl_locate(v_fun):
+    """Shared Kuhn-locate compiler for a :class:`Triangulation`.
+
+    Returns ``(locate, consts, sig, d, strides)``: ``consts = (theta,
+    off, inv_unit)`` (exact f32 table + double-word geometry splits) to
+    append to a params list, and ``locate(consts, x)`` running the
+    double-word locate — the floor is corrected against the full pair
+    so it matches the pair's value; Kuhn ranks come from pairwise
+    double-word comparisons with ties by index (mirroring
+    ``simplex._locate_all``); vertex math is exact integers. Returns
+    ``(weights, vertices, onehot, cell_i, z_clip)``.
+    """
+    grid_v = v_fun.discretization
+    d = grid_v.ndim
+    shape = tuple(int(n) for n in grid_v.shape)
+    strides = np.asarray(_vertex_strides(grid_v), dtype=np.int32)
+    num_cells = np.asarray(grid_v.num_points, dtype=np.int32) - 2
+    project = bool(v_fun.project)
+    # EXACT (float64) grid geometry, matching the float64 oracle: the
+    # GridWorld properties round to config dtype, so using the f32
+    # offset/unit here would evaluate a ~2^-25-perturbed interpolant —
+    # an input shift the 2^-40 margins cannot cover (measured 1.7e-7
+    # value deviation on the flagship-shaped candidate).
+    lim64 = np.asarray(grid_v._limits, np.float64)
+    npts64 = np.asarray(grid_v.num_points, np.float64)
+    unit64 = (lim64[:, 1] - lim64[:, 0]) / (npts64 - 1.0)
+    consts = (
+        jnp.asarray(np.asarray(v_fun.parameters)[:, 0],
+                    dtype=_F32),                       # exact table
+        _split_np(lim64[:, 0]),
+        _split_np(1.0 / unit64),
+    )
+
+    def locate(consts_in, x):
+        _, off, inv_unit = consts_in
+        n = x[0].shape[0]
+        # Double-word fractional coordinates.
+        frac = df_mul(df_sub(x, (off[0][None, :], off[1][None, :])),
+                      (inv_unit[0][None, :], inv_unit[1][None, :]))
+        # Floor of the PAIR's value: floor(hi), corrected when the
+        # lo word crosses an integer (|lo| <= ulp(hi)/2, so the
+        # correction is at most one).
+        c0 = jnp.floor(frac[0])
+        c0 = jnp.where(df_less(frac, (c0, jnp.zeros_like(c0))),
+                       c0 - 1.0, c0)
+        nxt = c0 + 1.0
+        c0 = jnp.where(~df_less(frac, (nxt, jnp.zeros_like(nxt))),
+                       nxt, c0)
+        cell_i = jnp.clip(c0.astype(jnp.int32), 0,
+                          jnp.asarray(num_cells)[None, :])
+        cell_f = cell_i.astype(_F32)  # exactly representable
+        z_raw = df_add(frac, (-cell_f, jnp.zeros_like(cell_f)))
+        one = jnp.ones((), _F32)
+        zero = jnp.zeros((), _F32)
+        z_clip = _df_maximum(z_raw, (zero, zero))
+        lt_one = df_less(z_clip, (one, zero))
+        z_clip = df_select(lt_one, z_clip,
+                           (jnp.broadcast_to(one, z_clip[0].shape),
+                            jnp.broadcast_to(zero, z_clip[1].shape)))
+        z = z_clip if project else z_raw
+
+        # Kuhn rank from pairwise double-word comparisons (ties by
+        # index, mirroring simplex._locate_all).
+        zi = (z_clip[0][:, :, None], z_clip[1][:, :, None])
+        zj = (z_clip[0][:, None, :], z_clip[1][:, None, :])
+        greater = df_less(zi, zj)                 # z_j > z_i
+        eq = ~greater & ~df_less(zj, zi)
+        dim_idx = jnp.arange(d, dtype=jnp.int32)
+        tie_prior = eq & (dim_idx[None, None, :]
+                          < dim_idx[None, :, None])
+        rank = jnp.sum(greater | tie_prior, axis=2,
+                       dtype=jnp.int32)           # (N, d)
+        onehot = (rank[:, :, None]
+                  == dim_idx[None, None, :]).astype(_F32)
+        # z_sorted[k] = sum_i onehot[i, k] * z_i (0/1 products are
+        # exact; the d-term accumulation is double-word).
+        zs_h = jnp.zeros((n, d), _F32)
+        zs_l = jnp.zeros((n, d), _F32)
+        for i in range(d):
+            term = (onehot[:, i, :] * z[0][:, i:i + 1],
+                    onehot[:, i, :] * z[1][:, i:i + 1])
+            zs_h, zs_l = df_add((zs_h, zs_l), term)
+        z_sorted = (zs_h, zs_l)
+
+        # Chain weights: w_0 = 1 - z_(1); w_k = z_(k) - z_(k+1);
+        # w_d = z_(d).
+        w_first = df_sub((jnp.ones((n, 1), _F32),
+                          jnp.zeros((n, 1), _F32)),
+                         (z_sorted[0][:, :1], z_sorted[1][:, :1]))
+        if d > 1:
+            w_mid = df_sub((z_sorted[0][:, :-1], z_sorted[1][:, :-1]),
+                           (z_sorted[0][:, 1:], z_sorted[1][:, 1:]))
+        else:
+            w_mid = (jnp.zeros((n, 0), _F32), jnp.zeros((n, 0), _F32))
+        w_last = (z_sorted[0][:, -1:], z_sorted[1][:, -1:])
+        weights = _concat_pairs([w_first, w_mid, w_last])  # (N, d+1)
+
+        # Vertex chain (exact integer math, as in the f32 path).
+        strides_dev = jnp.asarray(strides)
+        corner = jnp.sum(cell_i * strides_dev[None, :], axis=-1,
+                         keepdims=True)
+        step = jnp.sum(onehot.astype(jnp.int32)
+                       * strides_dev[:, None], axis=1)
+        vertices = jnp.concatenate(
+            [corner, corner + jnp.cumsum(step, axis=-1)], axis=1)
+        return weights, vertices, onehot, cell_i, z_clip
+
+    return locate, consts, ("pwl", shape, project), d, strides
 
 
 def _compile_candidate(v_fun, params):
@@ -312,13 +503,21 @@ def _compile_candidate(v_fun, params):
 
     Quadratic: ``x^T P x`` (mirrors ``QuadraticFunction``). Piecewise
     linear (``Triangulation``): the Kuhn locate runs on exact integer
-    math from the double-word fractional coordinates (the floor is
-    corrected against the full pair, so it matches the pair's value,
-    and any residual cell/simplex disagreement with the float64 oracle
-    near faces is covered by the margin analysis's Lipschitz-times-
-    coordinate-uncertainty term — the interpolant is continuous);
-    barycentric weights are double-word arithmetic; vertex-value
-    gathers are EXACT (the table is stored f32).
+    math (:func:`_build_pwl_locate`); any residual cell/simplex
+    disagreement with the float64 oracle near faces is covered by the
+    margin analysis's Lipschitz-times-coordinate-uncertainty term (the
+    interpolant is continuous); barycentric weights are double-word
+    arithmetic; vertex-value gathers are EXACT (the table is stored
+    f32). Scalar-constant ``MultipliedFunction`` wrappers (e.g.
+    ``-value_function``, the NeurIPS-17 flagship candidate,
+    ``examples/inverted_pendulum.py``) fold into an exact df multiply.
+    :class:`LyapunovNetwork` (the CoRL-18 flagship candidate, reference
+    ``examples/utilities.py:48-120``) precomputes each layer's
+    positive-definite kernel ``W0^T W0 + eps I`` in float64 on the host
+    (exact split; the 2^-53 construction residual is far below U_EFF)
+    and runs the df matmul + activation chain;
+    :class:`NeuralNetwork` candidates with scalar output reuse the MLP
+    program.
     """
     if isinstance(v_fun, QuadraticFunction):
         idx = len(params)
@@ -329,96 +528,35 @@ def _compile_candidate(v_fun, params):
             return df_dot(xp, x, axis=1)
         return fn, ("quad", int(np.asarray(v_fun.matrix).shape[0]))
 
+    if isinstance(v_fun, MultipliedFunction):
+        f1, f2 = v_fun.fun1, v_fun.fun2
+        if isinstance(f1, ConstantFunction) and np.size(f1.constant) == 1:
+            const, inner = f1, f2
+        elif isinstance(f2, ConstantFunction) and np.size(f2.constant) == 1:
+            const, inner = f2, f1
+        else:
+            raise NotImplementedError(
+                "extended sweep supports MultipliedFunction candidates "
+                "only with one scalar-constant factor")
+        inner_fn, isig = _compile_candidate(inner, params)
+        idx = len(params)
+        params.append((_split_np(np.float64(np.asarray(const.constant))),))
+
+        def fn(vp, x):
+            return df_mul(inner_fn(vp, x), vp[idx][0])
+        return fn, ("scaled", isig)
+
     if isinstance(v_fun, Triangulation):
         if v_fun.output_dim != 1:
             raise NotImplementedError(
                 "extended sweep needs a scalar PWL candidate")
-        grid_v = v_fun.discretization
-        d = grid_v.ndim
-        shape = tuple(int(n) for n in grid_v.shape)
-        strides = np.asarray(_vertex_strides(grid_v), dtype=np.int32)
-        num_cells = np.asarray(grid_v.num_points, dtype=np.int32) - 2
-        project = bool(v_fun.project)
+        locate, consts, sig, d, _ = _build_pwl_locate(v_fun)
         idx = len(params)
-        params.append((
-            jnp.asarray(np.asarray(v_fun.parameters)[:, 0],
-                        dtype=_F32),                       # exact table
-            _split_np(np.asarray(grid_v.offset, np.float64)),
-            _split_np(1.0 / np.asarray(grid_v.unit_maxes, np.float64)),
-        ))
+        params.append(consts)
 
         def fn(vp, x):
-            theta, off, inv_unit = vp[idx]
-            n = x[0].shape[0]
-            # Double-word fractional coordinates.
-            frac = df_mul(df_sub(x, (off[0][None, :], off[1][None, :])),
-                          (inv_unit[0][None, :], inv_unit[1][None, :]))
-            # Floor of the PAIR's value: floor(hi), corrected when the
-            # lo word crosses an integer (|lo| <= ulp(hi)/2, so the
-            # correction is at most one).
-            c0 = jnp.floor(frac[0])
-            c0 = jnp.where(df_less(frac, (c0, jnp.zeros_like(c0))),
-                           c0 - 1.0, c0)
-            nxt = c0 + 1.0
-            c0 = jnp.where(~df_less(frac, (nxt, jnp.zeros_like(nxt))),
-                           nxt, c0)
-            cell_i = jnp.clip(c0.astype(jnp.int32), 0,
-                              jnp.asarray(num_cells)[None, :])
-            cell_f = cell_i.astype(_F32)  # exactly representable
-            z_raw = df_add(frac, (-cell_f, jnp.zeros_like(cell_f)))
-            one = jnp.ones((), _F32)
-            zero = jnp.zeros((), _F32)
-            z_clip = _df_maximum(z_raw, (zero, zero))
-            lt_one = df_less(z_clip, (one, zero))
-            z_clip = df_select(lt_one, z_clip,
-                               (jnp.broadcast_to(one, z_clip[0].shape),
-                                jnp.broadcast_to(zero, z_clip[1].shape)))
-            z = z_clip if project else z_raw
-
-            # Kuhn rank from pairwise double-word comparisons (ties by
-            # index, mirroring simplex._locate_all).
-            zi = (z_clip[0][:, :, None], z_clip[1][:, :, None])
-            zj = (z_clip[0][:, None, :], z_clip[1][:, None, :])
-            greater = df_less(zi, zj)                 # z_j > z_i
-            eq = ~greater & ~df_less(zj, zi)
-            dim_idx = jnp.arange(d, dtype=jnp.int32)
-            tie_prior = eq & (dim_idx[None, None, :]
-                              < dim_idx[None, :, None])
-            rank = jnp.sum(greater | tie_prior, axis=2,
-                           dtype=jnp.int32)           # (N, d)
-            onehot = (rank[:, :, None]
-                      == dim_idx[None, None, :]).astype(_F32)
-            # z_sorted[k] = sum_i onehot[i, k] * z_i (0/1 products are
-            # exact; the d-term accumulation is double-word).
-            zs_h = jnp.zeros((n, d), _F32)
-            zs_l = jnp.zeros((n, d), _F32)
-            for i in range(d):
-                term = (onehot[:, i, :] * z[0][:, i:i + 1],
-                        onehot[:, i, :] * z[1][:, i:i + 1])
-                zs_h, zs_l = df_add((zs_h, zs_l), term)
-            z_sorted = (zs_h, zs_l)
-
-            # Chain weights: w_0 = 1 - z_(1); w_k = z_(k) - z_(k+1);
-            # w_d = z_(d).
-            w_first = df_sub((jnp.ones((n, 1), _F32),
-                              jnp.zeros((n, 1), _F32)),
-                             (z_sorted[0][:, :1], z_sorted[1][:, :1]))
-            if d > 1:
-                w_mid = df_sub((z_sorted[0][:, :-1], z_sorted[1][:, :-1]),
-                               (z_sorted[0][:, 1:], z_sorted[1][:, 1:]))
-            else:
-                w_mid = (jnp.zeros((n, 0), _F32), jnp.zeros((n, 0), _F32))
-            w_last = (z_sorted[0][:, -1:], z_sorted[1][:, -1:])
-            weights = _concat_pairs([w_first, w_mid, w_last])  # (N, d+1)
-
-            # Vertex chain (exact integer math, as in the f32 path).
-            strides_dev = jnp.asarray(strides)
-            corner = jnp.sum(cell_i * strides_dev[None, :], axis=-1,
-                             keepdims=True)
-            step = jnp.sum(onehot.astype(jnp.int32)
-                           * strides_dev[:, None], axis=1)
-            vertices = jnp.concatenate(
-                [corner, corner + jnp.cumsum(step, axis=-1)], axis=1)
+            theta = vp[idx][0]
+            weights, vertices, _, _, _ = locate(vp[idx], x)
             vals = theta[vertices]                    # (N, d+1), exact
             acc = df_mul((weights[0][:, 0], weights[1][:, 0]),
                          (vals[:, 0], jnp.zeros_like(vals[:, 0])))
@@ -427,11 +565,46 @@ def _compile_candidate(v_fun, params):
                               (vals[:, k], jnp.zeros_like(vals[:, k])))
                 acc = df_add(acc, term)
             return acc
-        return fn, ("pwl", shape, project)
+        return fn, sig
+
+    if isinstance(v_fun, LyapunovNetwork):
+        acts = [_df_activation(a) for a in v_fun.activations]
+        idx = len(params)
+        kernels = []
+        in_dim = v_fun.input_dim
+        for w0, w1, out_dim in zip(v_fun.posdef_weights,
+                                   v_fun.extra_weights, v_fun.layer_dims):
+            w0_64 = np.asarray(w0, np.float64)
+            kern = w0_64.T @ w0_64 + v_fun.eps * np.eye(in_dim)
+            if w1 is not None:
+                kern = np.vstack([kern, np.asarray(w1, np.float64)])
+            kernels.append(_split_np(kern.T))          # (in, out)
+            in_dim = out_dim
+        params.append(tuple(kernels))
+
+        def fn(vp, x):
+            netv = x
+            for kp, act in zip(vp[idx], acts):
+                netv = act(df_matmul(netv, kp))
+            return df_dot(netv, netv, axis=1)
+        return fn, ("lyapnet", v_fun.input_dim, v_fun.layer_dims,
+                    v_fun.activations)
+
+    if isinstance(v_fun, NeuralNetwork):
+        if v_fun.output_dim != 1:
+            raise NotImplementedError(
+                "extended sweep needs a scalar NN candidate")
+        mlp_fn, msig = _compile_mlp(v_fun, params)
+
+        def fn(vp, x):
+            out = mlp_fn(vp, x[0], x[1])
+            return out[0][:, 0], out[1][:, 0]
+        return fn, ("nncand", msig)
 
     raise NotImplementedError(
-        "extended sweep supports QuadraticFunction / Triangulation "
-        "candidates; got {}".format(type(v_fun).__name__))
+        "extended sweep supports QuadraticFunction / Triangulation / "
+        "LyapunovNetwork / NeuralNetwork candidates (optionally scaled "
+        "by a constant); got {}".format(type(v_fun).__name__))
 
 
 def _auto_lv_matrix(lipschitz_lyapunov):
@@ -474,6 +647,9 @@ def _compile_lv(lipschitz_lyapunov, lv_matrix, d, params):
                     jnp.broadcast_to(c[1], (n, 1)))
         return fn, ("scalar",), 1
 
+    if lv_matrix is None and isinstance(lipschitz_lyapunov, GradientNorm):
+        return _compile_gradnorm_pwl(lipschitz_lyapunov, d, params)
+
     if lv_matrix is None:
         raise NotImplementedError(
             "extended sweep needs lv_matrix (the G of L_v(x) = |x G^T|) "
@@ -488,6 +664,188 @@ def _compile_lv(lipschitz_lyapunov, lv_matrix, d, params):
     def fn(lp, x):
         return _df_abs(df_matmul(x, lp[idx][0]))
     return fn, ("linabs", g.shape), int(g.shape[0])
+
+
+#: Face-ambiguity trigger width, in fractional-coordinate (z) units.
+#: When a locate decision (cell assignment or Kuhn rank) sits within
+#: DELTA of its boundary, the PWL gradient program switches to the
+#: CELL-MAX gradient — an upper bound on every adjacent simplex's —
+#: so realization disagreement on the decision cannot change the value
+#: in the unsound direction. 2^-16 is ~2^22 above the double-word
+#: coordinate error and the margin analysis' input-shift headroom check
+#: (``ErrorModel.max_input_shift``), while triggering on only an
+#: O(d^2 * DELTA) fraction of the domain.
+_PWL_GRAD_DELTA = np.float32(2.0 ** -16)
+
+
+def _compile_gradnorm_pwl(lv, d, params):
+    """``GradientNorm(Triangulation, ord)`` as a conservative df program.
+
+    The interpolant's gradient is piecewise constant: per simplex, the
+    axis introduced at Kuhn rank ``k`` has gradient
+    ``(theta[v_{k+1}] - theta[v_k]) / unit_axis`` (exact f32 table
+    reads; exact two_sum differences). Because the gradient JUMPS across
+    simplex faces, points whose locate decisions are within
+    :data:`_PWL_GRAD_DELTA` of a boundary use the located CELL's
+    per-axis maximum absolute corner difference instead — an upper
+    bound on the gradient of every simplex any realization (this df
+    program, the f32 sweep, or the f64 oracle) could select, which is
+    conservative in the certificate's direction (larger ``L_v`` makes
+    both the threshold and the error term stricter). Covers the
+    NeurIPS-17 flagship's local Lipschitz constant
+    (``GradientNorm(value_function, ord=inf)``,
+    ``examples/inverted_pendulum.py``; reference notebook cell 14).
+    """
+    inner = lv.fun
+    ordv = lv.ord
+    if not (isinstance(inner, Triangulation) and inner.output_dim == 1):
+        raise NotImplementedError(
+            "extended sweep supports GradientNorm of a scalar "
+            "Triangulation; got GradientNorm({})"
+            .format(type(inner).__name__))
+    locate, consts, isig, dpwl, strides = _build_pwl_locate(inner)
+    if dpwl != d:
+        raise ValueError("GradientNorm grid dimension mismatch")
+    # Per-cell per-axis max |gradient| table, precomputed exactly in
+    # float64 from the f32 vertex values and stored as a df split: the
+    # inflated branch gathers rows of this table. Ambiguous points take
+    # the elementwise max over the located cell AND every
+    # boundary-adjacent neighbor cell (all 2^d near-axis shift subsets)
+    # — a realization within DELTA of a cell face can be located in the
+    # neighbor by the f32 sweep or the f64 oracle, whose simplex
+    # gradients the located cell's row does not bound.
+    grid_v = inner.discretization
+    shape = tuple(int(s) for s in grid_v.shape)
+    cells_shape = tuple(s - 1 for s in shape)
+    theta64 = np.asarray(inner.parameters, np.float64)[:, 0]
+    vals_nd = theta64.reshape(shape)
+    lim64 = np.asarray(grid_v._limits, np.float64)
+    unit64 = ((lim64[:, 1] - lim64[:, 0])
+              / (np.asarray(grid_v.num_points, np.float64) - 1.0))
+    g_tab = np.zeros(cells_shape + (d,))
+    for ax in range(d):
+        diff = np.abs(np.diff(vals_nd, axis=ax)) / unit64[ax]
+        # Max over the cell's 2^(d-1) edges along ax = max over the
+        # other axes' {0, 1} corner choices.
+        for other in range(d):
+            if other != ax:
+                lo_s = [slice(None)] * d
+                hi_s = [slice(None)] * d
+                lo_s[other] = slice(0, -1)
+                hi_s[other] = slice(1, None)
+                diff = np.maximum(diff[tuple(lo_s)], diff[tuple(hi_s)])
+        g_tab[..., ax] = diff
+    cell_strides = np.asarray(
+        np.cumprod((cells_shape[1:] + (1,))[::-1])[::-1], np.int32)
+    n_cells = int(np.prod(cells_shape))
+    idx = len(params)
+    params.append(consts + (_split_np(g_tab.reshape(n_cells, d)),))
+    delta = _PWL_GRAD_DELTA
+    ord_key = "inf" if (ordv is not None and np.isinf(ordv)) else ordv
+    shift_subsets = np.stack(
+        np.meshgrid(*([[0, 1]] * d), indexing="ij"),
+        axis=-1).reshape(-1, d).astype(np.int32)
+
+    def fn(lp, x):
+        theta, _, inv_unit, g_pair = lp[idx]
+        _, vertices, onehot, cell_i, z_clip = locate(lp[idx][:3], x)
+        n = x[0].shape[0]
+        vals = theta[vertices]                        # (N, d+1) exact
+        # Simplex gradient numerators: exact f32 differences as pairs.
+        dh, dl = two_sum(vals[:, 1:], -vals[:, :-1])  # (N, d) exact
+        gh = jnp.zeros((n, d), _F32)
+        gl = jnp.zeros((n, d), _F32)
+        for k in range(d):
+            # g_axis_i += onehot[i, k] * diff_k (0/1 products exact).
+            term = (onehot[:, :, k] * dh[:, k][:, None],
+                    onehot[:, :, k] * dl[:, k][:, None])
+            gh, gl = df_add((gh, gl), term)
+        g = _df_abs(df_mul((gh, gl), (inv_unit[0][None, :],
+                                      inv_unit[1][None, :])))
+
+        # Ambiguity trigger on the f32 hi coordinates (the trigger band
+        # only needs to CONTAIN the decision boundary; DELTA towers
+        # over the pair's lo word and the analysis' input shifts).
+        zh = z_clip[0]
+        near_lo = zh < delta
+        near_hi = zh > 1.0 - delta
+        near_cell = jnp.any(near_lo | near_hi, axis=1)
+        pair_diff = jnp.abs(zh[:, :, None] - zh[:, None, :])
+        iu = jnp.triu_indices(d, k=1)
+        near_face = (jnp.any(pair_diff[:, iu[0], iu[1]] < delta, axis=1)
+                     if d > 1 else jnp.zeros((n,), bool))
+        amb = near_cell | near_face
+
+        # Neighborhood max over the precomputed per-cell table.
+        shift = jnp.where(near_lo, -1, jnp.where(near_hi, 1, 0))
+        cstr = jnp.asarray(cell_strides)
+        cmax = jnp.asarray(
+            np.asarray(cells_shape, np.int32) - 1)[None, :]
+        g_nb_h = None
+        for s in shift_subsets:
+            nb = jnp.clip(cell_i + shift * jnp.asarray(s)[None, :],
+                          0, cmax)
+            lin = jnp.sum(nb * cstr[None, :], axis=1)
+            row = (g_pair[0][lin], g_pair[1][lin])    # (N, d) exact
+            g_nb = (row if g_nb_h is None
+                    else df_max(g_nb_h, row))
+            g_nb_h = g_nb
+        g = df_select(amb[:, None], g_nb_h, g)
+
+        if ord_key is None:
+            return g                                  # (N, d) columns
+        if ord_key == "inf":
+            cur = (g[0][:, 0], g[1][:, 0])
+            for i in range(1, d):
+                cur = df_max(cur, (g[0][:, i], g[1][:, i]))
+        else:                                         # ord == 1
+            cur = (g[0][:, 0], g[1][:, 0])
+            for i in range(1, d):
+                cur = df_add(cur, (g[0][:, i], g[1][:, i]))
+        return cur[0][:, None], cur[1][:, None]
+
+    dv = d if ord_key is None else 1
+    return fn, ("gradpwl", isig, ord_key), dv
+
+
+def _compile_lf(lipschitz_dynamics, lf_matrix, d, params):
+    """L_f evaluator for the threshold, or ``None`` for scalars.
+
+    Scalar ``L_f`` keeps the baked ``one_plus_lf`` constant (returns
+    ``None``). A callable ``L_f`` (reference ``lyapunov.py:227-244``
+    accepts local Lipschitz functions) requires the row-wise absolute
+    linear model ``lf_matrix`` (``L_f(x) = |x H^T|``, one output row),
+    spot-checked against the callable like ``lv_matrix``; a
+    ``GradientNorm`` of a scalar Triangulation compiles directly via
+    :func:`_compile_gradnorm_pwl` (same conservative inflation).
+    """
+    if not callable(lipschitz_dynamics) or isinstance(
+            lipschitz_dynamics, ConstantFunction):
+        return None, ("scalar",)
+
+    if lf_matrix is None and isinstance(lipschitz_dynamics, GradientNorm):
+        fn, sig, dv = _compile_gradnorm_pwl(lipschitz_dynamics, d, params)
+        if dv != 1:
+            raise NotImplementedError(
+                "extended sweep needs a scalar L_f; use ord=1 or "
+                "ord=inf on the GradientNorm")
+        return fn, ("gradlf", sig)
+
+    if lf_matrix is None:
+        raise NotImplementedError(
+            "extended sweep needs lf_matrix (the H of L_f(x) = |x H^T|) "
+            "for a callable L_f; got {} with no model".format(
+                type(lipschitz_dynamics).__name__))
+    h = np.atleast_2d(np.asarray(lf_matrix, dtype=np.float64))
+    if h.shape != (1, d):
+        raise ValueError("lf_matrix must be one row with one column "
+                         "per state dim")
+    idx = len(params)
+    params.append((_split_np(h.T),))
+
+    def fn(lp, x):
+        return _df_abs(df_matmul(x, lp[idx][0]))
+    return fn, ("linabs_lf", h.shape)
 
 
 # ---------------------------------------------------------------------------
@@ -603,6 +961,154 @@ def _build_block_predict(blk, dims, params_kernel):
 
 
 # ---------------------------------------------------------------------------
+# Deterministic dynamics compiler
+# ---------------------------------------------------------------------------
+def _compile_dynamics_det(dyn, params):
+    """Deterministic dynamics ``f(x, u)`` in double words.
+
+    Returns ``(fn, sig)`` with ``fn(dp, qh, ql) -> df (N, d) pair``
+    mirroring the f32 pipeline's formula term by term: the benchmark
+    systems' normalization + ``inner_euler_steps`` fixed-step Euler
+    integration (``dynamics.py:_OdeDynamics.evaluate``) with df_sin /
+    df_cos for the trigonometry, or a LinearSystem matmul. Derived
+    scalar constants (``g/l``, ``1/inertia``, reciprocal normalizers)
+    are computed in float64 on the host and split exactly — their
+    2^-53 residual against the exact real-arithmetic semantics of the
+    stored parameters is far below ``U_EFF``. Covers the CoRL-18
+    flagship's deterministic pendulum
+    (``examples/lyapunov_function_learning.py``; reference
+    ``examples/utilities.py:144-289``).
+    """
+    from ..dynamics import GRAVITY, CartPole, InvertedPendulum, VanDerPol
+
+    if isinstance(dyn, LinearSystem):
+        idx = len(params)
+        params.append((_split_np(np.asarray(dyn.matrix, np.float64).T),))
+
+        def fn(dp, qh, ql):
+            return df_matmul((qh, ql), dp[idx][0])
+        return fn, ("lin_dyn", tuple(np.asarray(dyn.matrix).shape))
+
+    if isinstance(dyn, (InvertedPendulum, VanDerPol, CartPole)):
+        steps = int(dyn.inner_euler_steps)
+        dt_i = float(dyn.dt) / steps
+        d = int(dyn.state_dim)
+        norm = dyn._norm_arrays()
+        if norm is None:
+            txp = tup = itxp = None
+        else:
+            tx64 = np.asarray(norm[0], np.float64)
+            txp = _split_np(tx64)
+            itxp = _split_np(1.0 / tx64)
+            tup = (None if norm[1] is None
+                   else _split_np(np.asarray(norm[1], np.float64)))
+        idx = len(params)
+
+        def col(p, j):
+            return p[0][:, j:j + 1], p[1][:, j:j + 1]
+
+        if isinstance(dyn, InvertedPendulum):
+            m = float(np.asarray(dyn.mass))
+            length = float(np.asarray(dyn.length))
+            fric = float(np.asarray(dyn.friction))
+            inertia = m * length * length
+            params.append((
+                _split_np(GRAVITY / length), _split_np(1.0 / inertia),
+                _split_np(fric / inertia), _split_np(dt_i),
+                txp, tup, itxp))
+
+            def ode(dp, x, u):
+                gl, ii, fi = dp[idx][0], dp[idx][1], dp[idx][2]
+                ang, om = col(x, 0), col(x, 1)
+                acc = df_add(df_sub(df_mul(gl, df_sin(ang)),
+                                    df_mul(fi, om)), df_mul(ii, u))
+                return _concat_pairs([om, acc])
+            sig = ("pend", steps, norm is not None)
+
+        elif isinstance(dyn, VanDerPol):
+            damping = float(np.asarray(dyn.damping))
+            params.append((_split_np(damping), _split_np(dt_i),
+                           txp, tup, itxp))
+
+            def ode(dp, x, u):
+                damp = dp[idx][0]
+                xx, yy = col(x, 0), col(x, 1)
+                x_dot = df_neg(yy)
+                x2m1 = df_add_f32(df_mul(xx, xx), np.float32(-1.0))
+                y_dot = df_add(xx, df_mul(df_mul(damp, x2m1), yy))
+                return _concat_pairs([x_dot, y_dot])
+            sig = ("vdp", steps, norm is not None)
+
+        else:  # CartPole
+            m = float(np.asarray(dyn.pendulum_mass))
+            big_m = float(np.asarray(dyn.cart_mass))
+            length = float(np.asarray(dyn.length))
+            b = float(np.asarray(dyn.rot_friction))
+            params.append((
+                _split_np(m), _split_np(big_m), _split_np(length),
+                _split_np(b * (m + big_m) / (m * length)), _split_np(b),
+                _split_np((m + big_m) * GRAVITY),
+                _split_np(0.5 * m * GRAVITY * length),
+                _split_np(0.5 * m * length), _split_np(dt_i),
+                txp, tup, itxp))
+
+            def ode(dp, x, u):
+                (mp, bmp, lp, bml, bp, mg, mgl_half, ml_half,
+                 _, _, _, _) = dp[idx]
+                theta, v, om = col(x, 1), col(x, 2), col(x, 3)
+                sin_t = df_sin(theta)
+                cos_t = df_cos(theta)
+                sin_2t = df_sin(df_pow2_scale(theta, 2.0))
+                om2 = df_mul(om, om)
+                det = df_mul(lp, df_add(
+                    (jnp.broadcast_to(bmp[0], sin_t[0].shape),
+                     jnp.broadcast_to(bmp[1], sin_t[1].shape)),
+                    df_mul(mp, df_mul(sin_t, sin_t))))
+                v_num = df_add(
+                    df_sub(df_sub(u, df_mul(df_mul(ml_half,
+                                                   df_pow2_scale(om2,
+                                                                 2.0)),
+                                            sin_t)),
+                           df_mul(df_mul(bp, om), cos_t)),
+                    df_mul(mgl_half, sin_2t))
+                v_dot = df_div(df_mul(v_num, lp), det)
+                om_num = df_add(
+                    df_sub(df_sub(df_mul(u, cos_t),
+                                  df_mul(df_mul(ml_half, om2), sin_2t)),
+                           df_mul(bml, om)),
+                    df_mul(mg, sin_t))
+                om_dot = df_div(om_num, det)
+                return _concat_pairs([v, om, v_dot, om_dot])
+            sig = ("cartpole", steps, norm is not None)
+
+        has_act = int(dyn.action_dim) > 0
+        dt_pair_pos = {"pend": 3, "vdp": 1, "cartpole": 8}[sig[0]]
+
+        def fn(dp, qh, ql):
+            x = (qh[:, :d], ql[:, :d])
+            u = ((qh[:, d:], ql[:, d:]) if has_act
+                 else (jnp.zeros((qh.shape[0], 1), _F32),) * 2)
+            p = dp[idx]
+            if p[-3] is not None:                      # denormalize
+                x = df_mul(x, (p[-3][0][None, :], p[-3][1][None, :]))
+            if p[-2] is not None and has_act:
+                u = df_mul(u, (p[-2][0][None, :], p[-2][1][None, :]))
+            dt_pair = p[dt_pair_pos]
+            for _ in range(steps):
+                dxdt = ode(dp, x, u)
+                x = df_add(x, df_mul(dt_pair, dxdt))
+            if p[-1] is not None:                      # normalize
+                x = df_mul(x, (p[-1][0][None, :], p[-1][1][None, :]))
+            return x
+        return fn, sig
+
+    raise NotImplementedError(
+        "extended sweep supports GaussianProcess/StackedGaussianProcess "
+        "(uncertain) or LinearSystem/InvertedPendulum/CartPole/VanDerPol "
+        "(deterministic) dynamics; got {}".format(type(dyn).__name__))
+
+
+# ---------------------------------------------------------------------------
 # The sweep
 # ---------------------------------------------------------------------------
 _PIPELINES = {}
@@ -631,57 +1137,93 @@ class ExtendedSweep:
         model fails loudly instead of certifying the wrong condition.
     """
 
-    def __init__(self, lyapunov, lv_matrix=None):
+    def __init__(self, lyapunov, lv_matrix=None, lf_matrix=None):
         eft_selfcheck()
         if lv_matrix is None:
             lv_matrix = _auto_lv_matrix(lyapunov._lipschitz_lyapunov)
-        if callable(lyapunov._lipschitz_dynamics):
-            raise NotImplementedError(
-                "extended sweep needs a scalar L_f")
-        try:
-            # Any real scalar (python float, int, numpy scalar).
-            float(lyapunov._lipschitz_dynamics)
-        except (TypeError, ValueError):
-            raise NotImplementedError(
-                "extended sweep needs a scalar L_f")
-        blocks = _gp_blocks(lyapunov.dynamics)
         d = lyapunov.discretization.ndim
-        nd = blocks[0]["gp"].input_dim
-        for blk in blocks:
-            if blk["gp"].input_dim != nd:
-                raise ValueError("stacked GP members disagree on "
-                                 "input_dim")
+        self._tau = float(lyapunov.tau)
+
+        det = not isinstance(lyapunov.dynamics,
+                             (GaussianProcess, StackedGaussianProcess))
+        if det:
+            blocks, predicts, bsigs, widths = [], [], [], []
+            nd = None
+        else:
+            blocks = _gp_blocks(lyapunov.dynamics)
+            nd = blocks[0]["gp"].input_dim
+            for blk in blocks:
+                if blk["gp"].input_dim != nd:
+                    raise ValueError("stacked GP members disagree on "
+                                     "input_dim")
 
         kparams, pparams, vparams, lparams = [], [], [], []
+        fparams, dparams = [], []
         policy_fn, psig = _compile_policy(lyapunov.policy, pparams)
         v_fn, vsig = _compile_candidate(lyapunov.lyapunov_function,
                                         vparams)
-        lv_fn, lsig, dv = _compile_lv(lyapunov._lipschitz_lyapunov,
-                                      lv_matrix, d, lparams)
-        self._spotcheck_lv(lyapunov, lv_matrix, dv)
+        # At tau == 0 with deterministic dynamics, L_v multiplies only
+        # the (zero) threshold and there is no error term: the sweep
+        # does not evaluate it at all (the CoRL-18 flagship's
+        # GradientNorm(LyapunovNetwork) L_v, examples/
+        # lyapunov_function_learning.py, needs no df compilation).
+        lv_trivial = det and self._tau == 0.0
+        if lv_trivial:
+            lv_fn, lsig, dv = None, ("zero_tau",), 1
+        else:
+            lv_fn, lsig, dv = _compile_lv(lyapunov._lipschitz_lyapunov,
+                                          lv_matrix, d, lparams)
+            self._spotcheck_lv(lyapunov, lv_matrix, dv)
+        self._requires_zero_tau = lv_trivial
 
-        dims = np.arange(nd)
-        predicts = []
-        bsigs = []
-        for blk in blocks:
-            predict, bsig = _build_block_predict(blk, dims, kparams)
-            predicts.append(predict)
-            bsigs.append(bsig)
-        widths = [int(blk["gp"].output_dim) for blk in blocks]
-        n_out = sum(widths)
+        lf_fn, lfsig = _compile_lf(lyapunov._lipschitz_dynamics,
+                                   lf_matrix, d, fparams)
+        if lf_fn is None:
+            try:
+                # Any real scalar (python float, int, numpy scalar).
+                one_plus_lf = _split_np(
+                    1.0 + np.float64(lyapunov._lipschitz_dynamics))
+            except (TypeError, ValueError):
+                raise NotImplementedError(
+                    "extended sweep needs a scalar L_f (or a callable "
+                    "with an lf_matrix model / a GradientNorm of a "
+                    "Triangulation)")
+        else:
+            one_plus_lf = _split_np(0.0)  # unused placeholder
+            self._spotcheck_lf(lyapunov, lf_matrix)
+
+        if det:
+            dyn_fn, dsig = _compile_dynamics_det(lyapunov.dynamics,
+                                                 dparams)
+            n_out = d
+        else:
+            dyn_fn, dsig = None, ("gp",)
+            dims = np.arange(nd)
+            predicts = []
+            bsigs = []
+            for blk in blocks:
+                predict, bsig = _build_block_predict(blk, dims, kparams)
+                predicts.append(predict)
+                bsigs.append(bsig)
+            widths = [int(blk["gp"].output_dim) for blk in blocks]
+            n_out = sum(widths)
         if dv not in (1, n_out):
             raise ValueError(
-                "lv_matrix rows ({}) must be 1 or the number of GP "
-                "outputs ({})".format(dv, n_out))
+                "lv_matrix rows ({}) must be 1 or the number of "
+                "dynamics outputs ({})".format(dv, n_out))
 
-        sig = (psig, vsig, lsig, tuple(bsigs), d, nd, dv)
+        sig = (psig, vsig, lsig, lfsig, dsig, tuple(bsigs), d, nd, dv,
+               det)
         self._sig = sig
         self._d = d
+        self._det = det
         self._params = {
             "kernels": tuple(kparams),
             "policy": tuple(pparams),
             "v": tuple(vparams),
             "lv": tuple(lparams),
+            "lf": tuple(fparams),
+            "dynamics": tuple(dparams),
             "blocks": tuple(_block_params(blk) for blk in blocks),
             # Exact double-word split of the training rows. In float32
             # mode this is (X, 0) bit for bit (the rows ARE f32); in
@@ -690,12 +1232,11 @@ class ExtendedSweep:
             # the U_EFF = 2^-40 unit the derived margins model, so the
             # representation residual is dominated by the analysis'
             # per-op slack (ops round at ~2^-45-2^-48 against U_EFF).
-            "x_rows": _split_np(
-                np.asarray(blocks[0]["gp"].X_buf, np.float64)),
-            "one_plus_lf": _split_np(
-                1.0 + np.float64(lyapunov._lipschitz_dynamics)),
+            "x_rows": (_split_np(
+                np.asarray(blocks[0]["gp"].X_buf, np.float64))
+                if blocks else _split_np(np.zeros((1, 1)))),
+            "one_plus_lf": one_plus_lf,
         }
-        self._tau = float(lyapunov.tau)
         self._unit_maxes = np.asarray(lyapunov.discretization.unit_maxes,
                                       dtype=np.float64)
 
@@ -714,29 +1255,47 @@ class ExtendedSweep:
                 u = policy_fn(params["policy"], xh, xl)
                 qh = jnp.concatenate([xh, u[0]], axis=1)
                 ql = jnp.concatenate([xl, u[1]], axis=1)
-                outs = [pred(bp, params["kernels"], params["x_rows"],
-                             qh, ql)
-                        for pred, bp in zip(predicts, params["blocks"])]
-                mean = _concat_pairs([o[0] for o in outs])
-                err = _concat_pairs([o[1] for o in outs])
+                if det:
+                    mean = dyn_fn(params["dynamics"], qh, ql)
+                    err = None
+                else:
+                    outs = [pred(bp, params["kernels"],
+                                 params["x_rows"], qh, ql)
+                            for pred, bp in zip(predicts,
+                                                params["blocks"])]
+                    mean = _concat_pairs([o[0] for o in outs])
+                    err = _concat_pairs([o[1] for o in outs])
 
                 vx = v_fn(params["v"], (xh, xl))
                 vn = v_fn(params["v"], mean)
-                lvn = lv_fn(params["lv"], mean)          # (N, dv)
-                if dv == 1:
-                    serr = (_sum_cols(err) if err[0].shape[1] > 1
-                            else (err[0][:, 0], err[1][:, 0]))
-                    bound = df_mul((lvn[0][:, 0], lvn[1][:, 0]), serr)
-                else:
-                    bound = _sum_cols(df_mul(lvn, err))
-                dec = df_add(df_sub(vn, vx), bound)
+                dec = df_sub(vn, vx)
+                if err is not None:
+                    lvn = lv_fn(params["lv"], mean)      # (N, dv)
+                    if dv == 1:
+                        serr = (_sum_cols(err) if err[0].shape[1] > 1
+                                else (err[0][:, 0], err[1][:, 0]))
+                        bound = df_mul((lvn[0][:, 0], lvn[1][:, 0]),
+                                       serr)
+                    else:
+                        bound = _sum_cols(df_mul(lvn, err))
+                    dec = df_add(dec, bound)
 
+                n = dec[0].shape[0]
+                if lv_fn is None:
+                    # tau == 0, deterministic: the threshold is exactly
+                    # zero whatever L_v is.
+                    thr = (jnp.zeros((n,), _F32), jnp.zeros((n,), _F32))
+                    return dec, thr
                 lvx = lv_fn(params["lv"], (xh, xl))
                 lt = (_sum_cols(_df_abs(lvx)) if dv > 1
                       else (lvx[0][:, 0], lvx[1][:, 0]))
-                thr = df_neg(df_mul(df_mul(lt, params["one_plus_lf"]),
-                                    tau))
-                n = dec[0].shape[0]
+                if lf_fn is None:
+                    opl = params["one_plus_lf"]
+                else:
+                    lfx = lf_fn(params["lf"], (xh, xl))
+                    opl = df_add_f32((lfx[0][:, 0], lfx[1][:, 0]),
+                                     np.float32(1.0))
+                thr = df_neg(df_mul(df_mul(lt, opl), tau))
                 thr = (jnp.broadcast_to(thr[0], (n,)),
                        jnp.broadcast_to(thr[1], (n,)))
                 return dec, thr
@@ -796,9 +1355,37 @@ class ExtendedSweep:
             _PIPELINES[sig] = (
                 jax.jit(body),
                 jax.jit(refined_body, static_argnames=("r", "nd_")),
-                jax.jit(core), body, jax.jit(explore_body))
+                jax.jit(core), body,
+                None if det else jax.jit(explore_body))
         (self._jit_body, self._jit_refined, self._jit_core,
          self._body_raw, self._jit_explore) = _PIPELINES[sig]
+
+    @staticmethod
+    def _spotcheck_lf(lyapunov, lf_matrix):
+        """Fail loudly if lf_matrix disagrees with the callable L_f."""
+        lf = lyapunov._lipschitz_dynamics
+        if lf_matrix is None or not callable(lf):
+            return
+        grid = lyapunov.discretization
+        rng = np.random.default_rng(1)
+        idx = rng.choice(grid.nindex, size=min(grid.nindex, 256),
+                         replace=False)
+        pts = np.asarray(grid.all_points[idx], dtype=config.np_dtype)
+        got = np.asarray(lf(jnp.asarray(pts)), dtype=np.float64)
+        h64 = np.asarray(lf_matrix, np.float64)
+        want = np.abs(pts.astype(np.float64) @ h64.T)
+        got = got.reshape(len(pts), -1)
+        # Scale on the POSITIVE form |x| |H|^T: at cancelling points the
+        # f32 callable legitimately rounds |x H^T| ~ 0 at eps32 of the
+        # term magnitudes, not of the tiny result.
+        scale = np.maximum(np.abs(pts).astype(np.float64) @ np.abs(h64).T,
+                           1e-6)
+        if got.shape != want.shape or np.max(
+                np.abs(got - want) / scale) > 1e-4:
+            raise ValueError(
+                "lf_matrix does not reproduce the callable "
+                "lipschitz_dynamics on a grid sample — the extended "
+                "sweep would certify a different condition")
 
     @staticmethod
     def _spotcheck_lv(lyapunov, lv_matrix, dv):
@@ -812,10 +1399,12 @@ class ExtendedSweep:
                          replace=False)
         pts = np.asarray(grid.all_points[idx], dtype=config.np_dtype)
         got = np.asarray(lv(jnp.asarray(pts)), dtype=np.float64)
-        want = np.abs(pts.astype(np.float64)
-                      @ np.asarray(lv_matrix, np.float64).T)
+        g64 = np.asarray(lv_matrix, np.float64)
+        want = np.abs(pts.astype(np.float64) @ g64.T)
         got = got.reshape(len(pts), -1)
-        scale = np.maximum(np.abs(want), 1e-6)
+        # Positive-form scale: see _spotcheck_lf.
+        scale = np.maximum(np.abs(pts).astype(np.float64) @ np.abs(g64).T,
+                           1e-6)
         if got.shape != want.shape or np.max(
                 np.abs(got - want) / scale) > 1e-4:
             raise ValueError(
@@ -827,6 +1416,11 @@ class ExtendedSweep:
     def negative_batch(self, states, tau=None, margin=0.0):
         """Double-word decrease check; returns a device bool (N,)."""
         tau = self._tau if tau is None else float(tau)
+        if self._requires_zero_tau and tau != 0.0:
+            raise ValueError(
+                "this sweep was compiled for tau == 0 (L_v was elided "
+                "from the zero threshold); rebuild with a nonzero "
+                "instance tau to use one")
         # Native dtype in (see ``core``): f32 states pass through
         # bit-exactly; f64 states ride the exact residual split.
         return self._jit_body(self._params, jnp.asarray(states),
@@ -860,6 +1454,11 @@ class ExtendedSweep:
         are the model inputs — any construction realization is covered
         by the exploration margin's policy/perturbation rounding terms
         (``errorbounds.analytic_exploration_margin``)."""
+        if self._jit_explore is None:
+            raise NotImplementedError(
+                "extended exploration scoring needs uncertain (GP) "
+                "dynamics — deterministic dynamics have no predictive "
+                "variance to rank candidates by")
         # Native dtype in: explore_body's exact residual split scores
         # float64-mode candidates at their own coordinates (an f32 cast
         # here would score a perturbed point but return the unperturbed
