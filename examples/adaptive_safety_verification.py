@@ -141,7 +141,14 @@ def main():
     print("Grid size: {}  tau: {:.2e}".format(grid.nindex, lyap.tau))
 
     def update_margin(lyap):
-        """Re-derive the extended margin (covers the refined checks)."""
+        """Re-derive the extended margin (covers the refined checks).
+
+        ``per_point=True`` installs each state's OWN derived bound
+        instead of the grid-wide worst case, so the frontier cells the
+        loop is actively learning are not trimmed by the worst cell's
+        error (the scalar margin cost ~30x in certified growth on the
+        recorded 501^2 run).
+        """
         if args.extended:
             from safe_learning_tpu.ops.extended_verify import (
                 extended_certificate_margin)
@@ -149,7 +156,7 @@ def main():
             # lv = |x (2P)^T| is the row-wise absolute linear form.
             pm = np.asarray(lyap.lyapunov_function.matrix)
             extended_certificate_margin(lyap, lv_matrix=pm + pm.T,
-                                        refinement=n_max)
+                                        refinement=n_max, per_point=True)
 
     update_margin(lyap)
     lyap.update_safe_set(can_shrink=False, max_refinement=n_max,
@@ -173,11 +180,16 @@ def main():
     for it in range(updates):
         with Timer("update {} ({} measurements + verify)".format(
                 it + 1, data_per_update)):
-            if args.sequential:
+            if args.sequential or args.extended:
+                # Extended rigor scores candidates with the double-word
+                # pipeline and a per-call derived margin — the fused
+                # k-step sampler is the plain-f32 scorer and (correctly)
+                # refuses the extended-tagged certificate margin.
                 for _ in range(data_per_update):
                     xu, _ = sl.get_safe_sample(
                         lyap, action_variation, action_limits,
-                        positive=True, num_samples=1000, rng=rng)
+                        positive=True, num_samples=1000, rng=rng,
+                        extended=args.extended)
                     measurement = np.asarray(true_pendulum(
                         jnp.asarray(xu[:, :2]), jnp.asarray(xu[:, 2:])))
                     lyap.dynamics = lyap.dynamics.add_data_point(

@@ -48,8 +48,16 @@ def build_gp_dynamics(a, b, a_true, b_true, noise_var=0.001 ** 2,
         capacity=capacity)
 
 
+def _extra_args(p):
+    p.add_argument(
+        "--extended", action="store_true",
+        help="double-word decrease sweeps and exploration scoring with "
+             "derived conservative margins re-derived per update "
+             "(ops/extended_verify)")
+
+
 def main():
-    args = example_args(__doc__)
+    args = example_args(__doc__, extra=_extra_args)
     if args.full:
         num_states, policy_points = [2001, 1501], [55, 55]
         pretrain_iters, policy_iters = 3000, 200
@@ -156,18 +164,28 @@ def main():
 
     def update_gp():
         xu, _ = sl.get_safe_sample(lyap, action_variation, action_limits,
-                                   num_samples=1000, rng=rng)
+                                   num_samples=1000, rng=rng,
+                                   extended=args.extended)
         measurement = np.asarray(true_dynamics(
             jnp.asarray(xu[:, :2]), jnp.asarray(xu[:, 2:])))
         new_dyn = lyap.dynamics.add_data_point(xu, measurement)
         lyap.dynamics = new_dyn
         rl.dynamics = new_dyn
 
+    def certify():
+        """Margin-guarded sweep: derived extended margin, or plain f32."""
+        if args.extended:
+            from safe_learning_tpu.ops.extended_verify import (
+                extended_certificate_margin)
+
+            extended_certificate_margin(lyap)
+        lyap.update_safe_set(extended=args.extended)
+
     with Timer("initial safe policy optimization"):
         rl_optimize_policy(policy_iters)
         rl_optimize_policy(policy_iters)
         lyap.update_values()
-        lyap.update_safe_set()
+        certify()
     print("after policy opt: safe fraction {:.3f}  c_max {:.4f}".format(
         lyap.safe_set.mean(), lyap.c_max))
 
@@ -178,7 +196,7 @@ def main():
                 update_gp()
             rl_optimize_policy(policy_iters)
             lyap.update_values()
-            lyap.update_safe_set()
+            certify()
         history.append(lyap.safe_set.mean())
         print("  safe fraction {:.3f}  c_max {:.4f}  data {}".format(
             history[-1], lyap.c_max,

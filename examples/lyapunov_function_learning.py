@@ -47,8 +47,16 @@ _SOS_Q = np.array([
      0.01684, 0.02061, 0.01081]])
 
 
+def _extra_args(p):
+    p.add_argument(
+        "--extended", action="store_true",
+        help="certify each candidate with the double-word sweep and its "
+             "derived conservative margin (ops/extended_verify; the "
+             "tau=0 deterministic pipeline needs no L_v model)")
+
+
 def main():
-    args = example_args(__doc__)
+    args = example_args(__doc__, extra=_extra_args)
     if args.full:
         num_states, outer_iters, inner_iters = 251, 20, 10
         roa_horizon, gap_horizon, pretrain_iters = 500, 100, 300
@@ -162,7 +170,21 @@ def main():
     lyap_nn = sl.Lyapunov(grid, net, pendulum, l_dyn,
                           sl.GradientNorm(net, ord=1), tau, policy,
                           initial_set=np.where(initial_safe_set)[0])
-    lyap_nn.update_safe_set()
+
+    def certify():
+        """Margin-guarded sweep: derived extended margin, or plain f32.
+
+        In extended mode the derived margin is re-derived per candidate
+        (the sweep is rebuilt whenever ``lyapunov_function`` changes).
+        """
+        if args.extended:
+            from safe_learning_tpu.ops.extended_verify import (
+                extended_certificate_margin)
+
+            extended_certificate_margin(lyap_nn)
+        lyap_nn.update_safe_set(extended=args.extended)
+
+    certify()
     print("pre-trained NN safe fraction: {:.3f} ({:.1f}% of ROA)".format(
         lyap_nn.safe_set.mean(),
         100 * lyap_nn.safe_set.sum() / roa.sum()))
@@ -178,7 +200,7 @@ def main():
         sl.checkpoints.restore_checkpoint(ckpt_path, net.parameters_dict))
     lyap_nn.lyapunov_function = net
     lyap_nn.update_values()
-    lyap_nn.update_safe_set()
+    certify()
 
     # ROA classification training (notebook cells 30-35).
     # The classifier targets the FIXED level set {v < 1}: the candidate
@@ -274,7 +296,7 @@ def main():
             lyap_nn.lyapunov_function = net
             lyap_nn._lipschitz_lyapunov = sl.GradientNorm(net, ord=1)
             lyap_nn.update_values()
-            lyap_nn.update_safe_set()
+            certify()
             roa_estimate |= lyap_nn.safe_set
             c_history.append(lyap_nn.c_max)
             frac_history.append(lyap_nn.safe_set.mean())

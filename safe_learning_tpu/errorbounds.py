@@ -44,14 +44,34 @@ honest on real hardware:
   retry changes the *model*, not just the rounding, and voids the bound
   (as it voids the empirical calibration).
 
-Supported instance shape (the flagship / property-test pipeline):
-``LinearSystem``-family policy, :class:`GaussianProcess` or
-:class:`StackedGaussianProcess` dynamics with RBF kernels and optional
-``LinearSystem`` prior means, :class:`QuadraticFunction` Lyapunov
-candidate, scalar ``L_f``, and ``L_v`` given as a constant or an
-explicit :class:`ErrorModel`. Anything else raises
-``NotImplementedError`` — fall back to the empirical calibrator, which
-handles arbitrary compositions by measurement.
+Supported instance shape:
+
+- **policies** — LinearSystem / Saturation / Constant, and
+  :class:`~safe_learning_tpu.functions.neural.NeuralNetwork` MLPs with
+  relu / tanh / sigmoid / linear activations (the NeurIPS-17 flagship
+  policy);
+- **dynamics** — :class:`GaussianProcess` / :class:`StackedGaussianProcess`
+  over the full stationary kernel family (RBF, Matern 1/2 / 3/2 / 5/2),
+  Linear kernels, and their sums / products / ActiveDims restrictions,
+  with LinearSystem-or-None prior means; or DETERMINISTIC LinearSystem /
+  InvertedPendulum / CartPole / VanDerPol (the CoRL-18 flagship; no
+  error term — the bound propagates through the inner-Euler chain by
+  interval arithmetic);
+- **candidates** — QuadraticFunction, Triangulation (piecewise linear),
+  :class:`~safe_learning_tpu.functions.neural.LyapunovNetwork`, scalar
+  NeuralNetwork, each optionally scaled by a constant
+  (``-value_function``);
+- **L_f** — a real scalar, or (via ``lf_model``) any callable with an
+  :class:`ErrorModel`;
+- **L_v** — a constant, or an explicit :class:`ErrorModel` for a
+  callable. :class:`ErrorModel` now carries optional one-sided fields
+  (``anchor_bound``, ``max_input_shift``) used by the extended lane's
+  conservatively-inflated ``GradientNorm``-of-PWL realization
+  (``ops/extended_verify._lv_error_model``).
+
+Anything else raises ``NotImplementedError`` — fall back to the
+empirical calibrator, which handles arbitrary compositions by
+measurement.
 
 Reference context: the reference runs float64 end to end
 (``/root/reference/safe_learning/configuration.py:16``) so its
@@ -69,7 +89,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import config
-from .functions.base import ConstantFunction, Saturation, mxu_dot
+from .functions.base import (ConstantFunction, MultipliedFunction,
+                             Saturation, mxu_dot)
+from .functions.neural import LyapunovNetwork, NeuralNetwork
 from .functions.gp import (RBF, ActiveDims, GaussianProcess,
                            LinearKernel, Matern12, Matern32, Matern52,
                            ProductKernel, StackedGaussianProcess,
@@ -80,10 +102,25 @@ __all__ = ["ErrorModel", "analytic_certificate_margin",
            "analytic_exploration_margin"]
 
 #: Explicit rounding model for an opaque (e.g. Lambda) function used as
-#: the ``L_v`` Lipschitz bound: ``eval_bound(x) -> (N, d)`` absolute
-#: f32-evaluation error, ``input_lipschitz`` a scalar (or per-dim array)
-#: bound on the function's own Lipschitz constant over the domain.
-ErrorModel = namedtuple("ErrorModel", ["eval_bound", "input_lipschitz"])
+#: the ``L_v`` / ``L_f`` Lipschitz bound. ``eval_bound(x) -> (N, dv)``
+#: bounds the realization's deviation in the UNSOUND direction
+#: (``L_exact - L_any``, which for symmetric rounding equals the
+#: absolute evaluation error); ``input_lipschitz`` is a scalar (or
+#: per-dim array) bound on the function's own Lipschitz constant over
+#: the domain. Two optional fields support conservatively-INFLATED
+#: realizations (the extended sweep's GradientNorm-of-PWL program,
+#: ``ops/extended_verify._compile_gradnorm_pwl``), whose value can
+#: EXCEED the plain evaluation by design: ``anchor_bound(x) -> (N, dv)``
+#: bounds that one-sided excess ``L_any - L_plain`` (used only to anchor
+#: magnitudes — overestimating L makes the certificate stricter, never
+#: unsound), and ``max_input_shift`` is a per-dim cap (state units) on
+#: the input uncertainty under which the inflation argument holds (the
+#: trigger band must contain every realization's locate decision); the
+#: analysis raises if an instance exceeds it.
+ErrorModel = namedtuple(
+    "ErrorModel",
+    ["eval_bound", "input_lipschitz", "anchor_bound", "max_input_shift"],
+    defaults=[None, None])
 
 # max_t sqrt(t) e^{-t/2} (at t=1): the scale-free peak of the RBF
 # derivative magnitude, used for the input-perturbation Lipschitz
@@ -125,17 +162,336 @@ def _linear_core(fn):
     return None
 
 
-def _policy_terms(policy, u):
-    """(matrix, eval-gamma) of a supported policy; clip is 1-Lipschitz."""
-    mat = _linear_core(policy)
-    if mat is not None:
-        return mat, _gamma(mat.shape[1] + 1, u)
+# ---------------------------------------------------------------------------
+# Interval scaffolding: (value, error) pairs under the Higham model
+# ---------------------------------------------------------------------------
+# An "iv" is a tuple ``(v, e)`` of same-shape arrays: ``v`` is the bound
+# sweep's own (working-dtype) computed value — the magnitude ANCHOR —
+# and ``e`` bounds ``|y_any - y_exact|`` for ANY realization ``y_any``
+# rounding at ``u`` per op, evaluated at any input within the tracked
+# input uncertainty, against the exact-real-arithmetic value ``y_exact``
+# of the stored parameters. The anchor invariant every rule preserves:
+# ``|y_any| <= |v| + 2 e`` (one ``e`` to the exact value, one more to
+# any other realization); the anchor's own working-dtype rounding is a
+# RELATIVE perturbation of a positive-sum circuit, absorbed by
+# ``_finalize_margin``'s ``(1 + own)`` factor. These rules power the
+# neural-network and deterministic-dynamics programs below the same way
+# ``_kernel_program`` powers the GP chain.
+def _iv_hi(a):
+    """Anchor on |any realization| of an interval."""
+    return jnp.abs(a[0]) + 2.0 * a[1]
+
+
+def _iv_add(a, b, u):
+    return (a[0] + b[0],
+            a[1] + b[1] + u * (_iv_hi(a) + _iv_hi(b)))
+
+
+def _iv_mul(a, b, u):
+    hi_b = _iv_hi(b)
+    return (a[0] * b[0],
+            a[1] * hi_b + (jnp.abs(a[0]) + a[1]) * b[1]
+            + u * _iv_hi(a) * hi_b)
+
+
+def _iv_const_mul(a, c, u):
+    """Multiply by an exactly-stored constant (array or scalar)."""
+    c_abs = jnp.abs(c)
+    return a[0] * c, c_abs * a[1] + u * c_abs * _iv_hi(a)
+
+
+def _iv_matmul(a, w, u, bias=None, dw=None):
+    """``a @ w (+ bias)`` for an (N, m) interval and an (m, k) constant.
+
+    ``dw`` adds a per-entry parameter-construction error (e.g. the f32
+    on-the-fly ``W0^T W0 + eps I`` assembly of a LyapunovNetwork layer).
+    """
+    w_abs = jnp.abs(w)
+    v = mxu_dot(a[0], w)
+    hi = _iv_hi(a)
+    anchor = mxu_dot(hi, w_abs)
+    e = mxu_dot(a[1], w_abs)
+    if dw is not None:
+        e = e + mxu_dot(hi, dw)
+    if bias is not None:
+        v = v + bias[None, :]
+        anchor = anchor + jnp.abs(bias)[None, :]
+    e = e + _gamma(w.shape[0] + (2 if bias is not None else 1), u) * anchor
+    return v, e
+
+
+def _iv_sin(a, u):
+    """sin is 1-Lipschitz and |sin| <= 1 (same rule serves cos)."""
+    v = jnp.sin(a[0])
+    mag = jnp.minimum(jnp.abs(v) + a[1], 1.0)
+    return v, jnp.minimum(a[1], 2.0) + u * mag
+
+
+def _iv_cos(a, u):
+    v = jnp.cos(a[0])
+    mag = jnp.minimum(jnp.abs(v) + a[1], 1.0)
+    return v, jnp.minimum(a[1], 2.0) + u * mag
+
+
+def _iv_div(a, b, u):
+    """``a / b``; INF error when the denominator interval may reach 0
+    (the caller's finite-margin check turns that into a loud failure)."""
+    b_lo = jnp.abs(b[0]) - 2.0 * b[1]
+    q = a[0] / b[0]
+    qmag = _iv_hi(a) / jnp.maximum(b_lo, 1e-30)
+    e = (a[1] / jnp.maximum(b_lo, 1e-30)
+         + (jnp.abs(a[0]) + a[1]) * b[1] / jnp.maximum(b_lo, 1e-30) ** 2
+         + u * qmag)
+    return q, jnp.where(b_lo > 0.0, e, jnp.inf)
+
+
+#: Activation rules ``name -> (fn, input-Lipschitz, |output| cap)``.
+#: relu and clip are EXACT in floating point (max/min of representables)
+#: and 1-Lipschitz, so they propagate the error untouched.
+_IV_ACTS = {
+    None: None, "linear": None,
+    "relu": (jax.nn.relu, 1.0, None),
+    "tanh": (jnp.tanh, 1.0, 1.0),
+    "sigmoid": (jax.nn.sigmoid, 0.25, 1.0),
+}
+
+
+def _iv_activation(a, name, u):
+    if name is None or name == "linear":
+        return a
+    try:
+        rule = _IV_ACTS[name]
+    except (KeyError, TypeError):
+        raise NotImplementedError(
+            "analytic margin supports relu/tanh/sigmoid/linear "
+            "activations; got {!r} — use the empirical calibrator"
+            .format(name))
+    fn, lip, cap = rule
+    v = fn(a[0])
+    if name == "relu":
+        return v, a[1]
+    mag = jnp.abs(v) + lip * a[1]
+    if cap is not None:
+        mag = jnp.minimum(mag, cap)
+    return v, lip * a[1] + u * mag
+
+
+def _mlp_program(net, u):
+    """Interval forward pass of a :class:`NeuralNetwork`.
+
+    Returns ``fn((pts, dx)) -> (acts, du)``: the working-dtype MLP
+    output and a bound on ``|u_any(x') - u_exact(x)|`` for any
+    realization at ``|x' - x| <= dx`` — covers the NeurIPS-17 flagship
+    policy (reference ``functions.py:1665-1786``) in both the f32 and
+    the extended (``U_EFF``) rounding model.
+    """
+    from .functions.neural import NeuralNetwork
+
+    assert isinstance(net, NeuralNetwork)
+    acts = list(net.nonlinearities)
+    for name in acts:
+        if not (name is None or name in _IV_ACTS):
+            raise NotImplementedError(
+                "analytic margin supports relu/tanh/sigmoid/linear "
+                "activations; got {!r}".format(name))
+    scale = float(net.output_scale)
+
+    def fn(x_iv):
+        iv = x_iv
+        for w, b, name in zip(net.weights, net.biases, acts):
+            iv = _iv_matmul(iv, jnp.asarray(w, config.dtype), u,
+                            bias=(None if b is None
+                                  else jnp.asarray(b, config.dtype)))
+            iv = _iv_activation(iv, name, u)
+        if scale != 1.0:
+            iv = _iv_const_mul(iv, jnp.asarray(scale, config.dtype), u)
+        return iv
+    return fn
+
+
+def _policy_program(policy, u):
+    """``fn((pts, dx)) -> (acts, du)`` for a supported policy."""
+    from .functions.neural import NeuralNetwork
+
+    if isinstance(policy, Saturation):
+        inner = _policy_program(policy.fun, u)
+        lo = jnp.asarray(policy.lower, config.dtype)
+        hi = jnp.asarray(policy.upper, config.dtype)
+
+        def fn_sat(x_iv):
+            v, e = inner(x_iv)
+            # clip is exact (min/max of representables) and 1-Lipschitz.
+            return jnp.clip(v, lo, hi), e
+        return fn_sat
+
+    if isinstance(policy, LinearSystem):
+        mat_t = jnp.asarray(policy.matrix, config.dtype).T
+
+        def fn_lin(x_iv):
+            return _iv_matmul(x_iv, mat_t, u)
+        return fn_lin
+
     if isinstance(policy, ConstantFunction):
-        return None, 0.0
+        cval = jnp.atleast_2d(jnp.asarray(policy.constant, config.dtype))
+
+        def fn_const(x_iv):
+            n = x_iv[0].shape[0]
+            v = jnp.broadcast_to(cval, (n, cval.shape[1]))
+            return v, jnp.zeros_like(v)
+        return fn_const
+
+    if isinstance(policy, NeuralNetwork):
+        return _mlp_program(policy, u)
+
     raise NotImplementedError(
-        "analytic margin supports LinearSystem/Saturation/Constant "
-        "policies; got {} — use calibrate_certificate_margin"
+        "analytic margin supports LinearSystem/Saturation/Constant/"
+        "NeuralNetwork policies; got {} — use calibrate_certificate_margin"
         .format(type(policy).__name__))
+
+
+def _det_dynamics_program(dyn, u):
+    """Interval forward pass of deterministic dynamics ``f(x, u)``.
+
+    Returns ``fn((q, dq)) -> (next, d_next)`` over state-action rows,
+    mirroring the benchmark systems' denormalize -> inner-Euler ->
+    normalize chain (``dynamics.py:_OdeDynamics.evaluate``) with the
+    interval rules above, or a LinearSystem matmul. Division (cart-pole)
+    yields an INF bound when the denominator interval may reach zero,
+    which the margin's finiteness check turns into a loud failure.
+    """
+    from .dynamics import GRAVITY, CartPole, InvertedPendulum, VanDerPol
+
+    if isinstance(dyn, LinearSystem):
+        mat_t = jnp.asarray(dyn.matrix, config.dtype).T
+
+        def fn_lin(q_iv):
+            return _iv_matmul(q_iv, mat_t, u)
+        return fn_lin
+
+    if not isinstance(dyn, (InvertedPendulum, VanDerPol, CartPole)):
+        raise NotImplementedError(
+            "analytic margin supports GaussianProcess / "
+            "StackedGaussianProcess (uncertain) or LinearSystem / "
+            "InvertedPendulum / CartPole / VanDerPol (deterministic) "
+            "dynamics; got {} — use calibrate_certificate_margin"
+            .format(type(dyn).__name__))
+
+    steps = int(dyn.inner_euler_steps)
+    dt_i = jnp.asarray(float(dyn.dt) / steps, config.dtype)
+    d = int(dyn.state_dim)
+    has_act = int(dyn.action_dim) > 0
+    norm = dyn._norm_arrays()
+    if norm is None:
+        tx = tu = itx = None
+    else:
+        tx64 = np.asarray(norm[0], np.float64)
+        tx = jnp.asarray(tx64, config.dtype)
+        itx = jnp.asarray(1.0 / tx64, config.dtype)
+        tu = (None if norm[1] is None
+              else jnp.asarray(np.asarray(norm[1], np.float64),
+                               config.dtype))
+
+    def col(iv, j):
+        return iv[0][:, j:j + 1], iv[1][:, j:j + 1]
+
+    def cat(ivs):
+        return (jnp.concatenate([p[0] for p in ivs], axis=1),
+                jnp.concatenate([p[1] for p in ivs], axis=1))
+
+    if isinstance(dyn, InvertedPendulum):
+        gl = jnp.asarray(GRAVITY / float(np.asarray(dyn.length)),
+                         config.dtype)
+        inertia = float(np.asarray(dyn.mass)) * float(
+            np.asarray(dyn.length)) ** 2
+        ii = jnp.asarray(1.0 / inertia, config.dtype)
+        fi = jnp.asarray(float(np.asarray(dyn.friction)) / inertia,
+                         config.dtype)
+
+        def ode_iv(x, a):
+            ang, om = col(x, 0), col(x, 1)
+            acc = _iv_add(
+                _iv_add(_iv_const_mul(_iv_sin(ang, u), gl, u),
+                        _iv_const_mul(om, -fi, u), u),
+                _iv_const_mul(a, ii, u), u)
+            return cat([om, acc])
+
+    elif isinstance(dyn, VanDerPol):
+        damp = jnp.asarray(float(np.asarray(dyn.damping)), config.dtype)
+        one = jnp.asarray(1.0, config.dtype)
+
+        def ode_iv(x, a):
+            del a
+            xx, yy = col(x, 0), col(x, 1)
+            x_dot = _iv_const_mul(yy, -one, u)
+            x2m1 = _iv_add(_iv_mul(xx, xx, u),
+                           (jnp.full_like(xx[0], -1.0),
+                            jnp.zeros_like(xx[0])), u)
+            y_dot = _iv_add(
+                xx, _iv_const_mul(_iv_mul(x2m1, yy, u), damp, u), u)
+            return cat([x_dot, y_dot])
+
+    else:  # CartPole
+        m = float(np.asarray(dyn.pendulum_mass))
+        big_m = float(np.asarray(dyn.cart_mass))
+        length = float(np.asarray(dyn.length))
+        b = float(np.asarray(dyn.rot_friction))
+        mp = jnp.asarray(m, config.dtype)
+        bmp = jnp.asarray(big_m, config.dtype)
+        lp = jnp.asarray(length, config.dtype)
+        bml = jnp.asarray(b * (m + big_m) / (m * length), config.dtype)
+        bp = jnp.asarray(b, config.dtype)
+        mg = jnp.asarray((m + big_m) * GRAVITY, config.dtype)
+        mgl_half = jnp.asarray(0.5 * m * GRAVITY * length, config.dtype)
+        ml_half = jnp.asarray(0.5 * m * length, config.dtype)
+
+        def ode_iv(x, a):
+            theta, v, om = col(x, 1), col(x, 2), col(x, 3)
+            sin_t = _iv_sin(theta, u)
+            cos_t = _iv_cos(theta, u)
+            sin_2t = _iv_sin(_iv_const_mul(theta, 2.0, 0.0), u)
+            om2 = _iv_mul(om, om, u)
+            det = _iv_const_mul(
+                _iv_add((jnp.full_like(sin_t[0], big_m),
+                         jnp.zeros_like(sin_t[0])),
+                        _iv_const_mul(_iv_mul(sin_t, sin_t, u), mp, u),
+                        u), lp, u)
+            v_num = _iv_add(
+                _iv_add(
+                    a,
+                    _iv_const_mul(
+                        _iv_mul(_iv_const_mul(om2, 2.0, 0.0),
+                                sin_t, u), -ml_half, u), u),
+                _iv_add(
+                    _iv_const_mul(_iv_mul(om, cos_t, u), -bp, u),
+                    _iv_const_mul(sin_2t, mgl_half, u), u), u)
+            v_dot = _iv_div(_iv_const_mul(v_num, lp, u), det, u)
+            om_num = _iv_add(
+                _iv_add(
+                    _iv_mul(a, cos_t, u),
+                    _iv_const_mul(_iv_mul(om2, sin_2t, u),
+                                  -ml_half, u), u),
+                _iv_add(_iv_const_mul(om, -bml, u),
+                        _iv_const_mul(sin_t, mg, u), u), u)
+            om_dot = _iv_div(om_num, det, u)
+            return cat([v, om, v_dot, om_dot])
+
+    def fn(q_iv):
+        x = (q_iv[0][:, :d], q_iv[1][:, :d])
+        if has_act:
+            a = (q_iv[0][:, d:], q_iv[1][:, d:])
+        else:
+            a = (jnp.zeros((q_iv[0].shape[0], 1), config.dtype),) * 2
+        if tx is not None:
+            x = _iv_const_mul(x, tx[None, :], u)
+        if tu is not None and has_act:
+            a = _iv_const_mul(a, tu[None, :], u)
+        for _ in range(steps):
+            dxdt = ode_iv(x, a)
+            x = _iv_add(x, _iv_const_mul(dxdt, dt_i, u), u)
+        if itx is not None:
+            x = _iv_const_mul(x, itx[None, :], u)
+        return x
+    return fn
 
 
 def _lv_model(lipschitz_lyapunov, lipschitz_model, u):
@@ -234,9 +590,75 @@ def _candidate_model(v_fun, d, u):
             return mag, err
         return v_mag_err
 
+    if isinstance(v_fun, MultipliedFunction):
+        f1, f2 = v_fun.fun1, v_fun.fun2
+        if isinstance(f1, ConstantFunction) and np.size(f1.constant) == 1:
+            const, inner = f1, f2
+        elif isinstance(f2, ConstantFunction) and np.size(f2.constant) == 1:
+            const, inner = f2, f1
+        else:
+            raise NotImplementedError(
+                "analytic margin supports MultipliedFunction candidates "
+                "only with one scalar-constant factor")
+        inner_rule = _candidate_model(inner, d, u)
+        c_abs = abs(float(np.asarray(const.constant)))
+
+        def v_mag_err_scaled(y, y_abs, dy):
+            mag, err = inner_rule(y, y_abs, dy)
+            return c_abs * mag, c_abs * (err + u * (mag + 2.0 * err))
+        return v_mag_err_scaled
+
+    if isinstance(v_fun, LyapunovNetwork):
+        # The f32 pipeline assembles each layer kernel W0^T W0 + eps I
+        # (+ free rows) ON THE FLY (functions/neural.py:200-214), so the
+        # construction rounds at gamma per entry in the modeled unit;
+        # the extended pipeline's host-f64 construction rounds at 2^-53
+        # <= any supported u. Both are covered by the per-entry dw term.
+        layers = []
+        in_dim = v_fun.input_dim
+        for w0, w1 in zip(v_fun.posdef_weights, v_fun.extra_weights):
+            w0_c = np.asarray(w0, np.float64)
+            kern = w0_c.T @ w0_c + v_fun.eps * np.eye(in_dim)
+            gam_k = _gamma(w0_c.shape[0] + 2, u)
+            dkern = gam_k * (np.abs(w0_c).T @ np.abs(w0_c)
+                             + v_fun.eps * np.eye(in_dim))
+            if w1 is not None:
+                w1_c = np.asarray(w1, np.float64)
+                kern = np.vstack([kern, w1_c])
+                dkern = np.vstack([dkern, u * np.abs(w1_c)])
+            layers.append((jnp.asarray(kern.T, config.dtype),
+                           jnp.asarray(dkern.T, config.dtype)))
+            in_dim = kern.shape[0]
+        acts = list(v_fun.activations)
+
+        def v_mag_err_lyapnet(y, y_abs, dy):
+            iv = (y, dy)
+            for (kern_t, dkern_t), name in zip(layers, acts):
+                iv = _iv_activation(
+                    _iv_matmul(iv, kern_t, u, dw=dkern_t), name, u)
+            hi = _iv_hi(iv)
+            mag = jnp.sum(hi * hi, axis=1)
+            # |a_any^2 - a_exact^2| <= (|a_any| + |a_exact|) e.
+            err = (jnp.sum((hi + jnp.abs(iv[0]) + iv[1]) * iv[1], axis=1)
+                   + _gamma(hi.shape[1] + 1, u) * mag)
+            return mag, err
+        return v_mag_err_lyapnet
+
+    if isinstance(v_fun, NeuralNetwork):
+        if v_fun.output_dim != 1:
+            raise NotImplementedError(
+                "analytic margin needs a scalar NN candidate")
+        prog = _mlp_program(v_fun, u)
+
+        def v_mag_err_nn(y, y_abs, dy):
+            v, e = prog((y, dy))
+            return _iv_hi((v, e))[:, 0], e[:, 0]
+        return v_mag_err_nn
+
     raise NotImplementedError(
-        "analytic margin supports QuadraticFunction / Triangulation "
-        "candidates; got {}".format(type(v_fun).__name__))
+        "analytic margin supports QuadraticFunction / Triangulation / "
+        "LyapunovNetwork / NeuralNetwork candidates (optionally scaled "
+        "by a constant); got {}".format(type(v_fun).__name__))
 
 
 def _column_batch(vals, n_pts):
@@ -530,7 +952,8 @@ def _finalize_margin(worst, statics, d, u, safety):
 
 def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
                                 lipschitz_model=None, refinement=1,
-                                set_margin=True, unit_roundoff=None):
+                                set_margin=True, unit_roundoff=None,
+                                lf_model=None, per_point=False):
     """Derived (non-sampled) conservative margin for the f32 sweep.
 
     Runs an absolute-value sweep over the FULL grid computing, at every
@@ -584,11 +1007,22 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
         sub-point COORDINATE construction always rounds in f32
         regardless (the ``8 u32`` term below is deliberately
         independent of this parameter).
+    lf_model : ErrorModel, optional
+        Rounding model for a callable ``L_f`` (scalars need none).
+    per_point : bool, optional
+        Install (and return) the per-grid-point margin ARRAY instead of
+        its grid-wide maximum: each state's comparison is tightened by
+        ITS derived bound (max over the base point and, with
+        ``refinement=R``, that state's refined sub-points), so frontier
+        cells being actively learned are no longer trimmed by the worst
+        cell's error — the sweep gathers the array alongside the states
+        (``Lyapunov.update_safe_set``).
 
     Returns
     -------
-    margin : float
-        The installed (or would-be) decrease-comparison margin.
+    margin : float or (nindex,) ndarray
+        The installed (or would-be) decrease-comparison margin
+        (an array when ``per_point=True``).
     """
     if unit_roundoff is None:
         if getattr(config, "pallas_precision", "highest") != "highest":
@@ -603,27 +1037,42 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
     dyn = lyapunov.dynamics
     grid = lyapunov.discretization
     d = grid.ndim
+    det_prog = None
     if isinstance(dyn, StackedGaussianProcess):
         gp_list = dyn.unstack()
     elif isinstance(dyn, GaussianProcess):
         gp_list = [dyn]
     else:
-        raise NotImplementedError(
-            "analytic margin currently supports GaussianProcess / "
-            "StackedGaussianProcess dynamics; got {} — use "
-            "calibrate_certificate_margin".format(type(dyn).__name__))
+        gp_list = []
+        det_prog = _det_dynamics_program(dyn, u)
     v_fun = lyapunov.lyapunov_function
     v_mag_err = _candidate_model(v_fun, d, u)
-    if not isinstance(lyapunov._lipschitz_dynamics, (int, float)):
-        raise NotImplementedError("analytic margin needs a scalar L_f")
-
-    pol_mat, pol_gamma = _policy_terms(lyapunov.policy, u)
-    lvm = _lv_model(lyapunov._lipschitz_lyapunov, lipschitz_model, u)
-    lv_lip = jnp.asarray(lvm.input_lipschitz, dtype=config.dtype)
-    statics = [_gp_statics(gp, u) for gp in gp_list]
-
-    lf = float(lyapunov._lipschitz_dynamics)
     tau = float(lyapunov.tau)
+
+    lfm = None
+    lf = 0.0
+    if isinstance(lyapunov._lipschitz_dynamics, (int, float, np.floating,
+                                                 np.integer)):
+        lf = float(lyapunov._lipschitz_dynamics)
+    elif lf_model is not None:
+        lfm = lf_model
+        lf_lip = jnp.asarray(lfm.input_lipschitz, dtype=config.dtype)
+    else:
+        raise NotImplementedError(
+            "analytic margin needs a scalar L_f, or an ErrorModel via "
+            "lf_model for a callable one")
+
+    pol_prog = _policy_program(lyapunov.policy, u)
+    # At tau == 0 with deterministic dynamics L_v multiplies only the
+    # exactly-zero threshold (finite * 0 == 0 in every realization) and
+    # there is no error term: no L_v model is needed at all.
+    lv_trivial = det_prog is not None and tau == 0.0
+    if lv_trivial:
+        lvm = None
+    else:
+        lvm = _lv_model(lyapunov._lipschitz_lyapunov, lipschitz_model, u)
+        lv_lip = jnp.asarray(lvm.input_lipschitz, dtype=config.dtype)
+    statics = [_gp_statics(gp, u) for gp in gp_list]
 
     def _lv_at(x, n_pts):
         return _column_batch(
@@ -634,29 +1083,45 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
     def _lv_err_at(x, n_pts):
         return _column_batch(lvm.eval_bound(x), n_pts)
 
+    def _lv_anchor_at(x, n_pts):
+        """One-sided inflation excess of the realization (see
+        ``ErrorModel.anchor_bound``); zero for symmetric models."""
+        if lvm.anchor_bound is None:
+            return 0.0
+        return _column_batch(lvm.anchor_bound(x), n_pts)
+
+    def _shift_frac(dvec, cap):
+        """Largest input shift as a fraction of a model's headroom."""
+        cap_dev = jnp.asarray(np.asarray(cap, np.float64),
+                              dtype=config.dtype)
+        return jnp.max(dvec / cap_dev[None, :])
+
     def batch_bound(pts, dx):
-        """Per-state bound on |margin_f32 - margin_f64| (N,).
+        """Per-state bound on |margin_dev - margin_f64| (N,).
 
         ``dx`` is the state-coordinate uncertainty (zero on the base
-        grid; f32 construction rounding at refined sub-points)."""
+        grid; f32 construction rounding at refined sub-points). Also
+        returns the candidate-value error (for the level margin) and
+        the worst input-shift fraction of any headroom-capped
+        (inflated-realization) L model."""
         n_pts = pts.shape[0]
+        shift = jnp.zeros(())
         # -- policy + its rounding ------------------------------------
-        acts = lyapunov.policy(pts)
-        if pol_mat is None:
-            du = jnp.zeros_like(acts)
-        else:
-            pmat_abs = jnp.abs(pol_mat)
-            du = pol_gamma * mxu_dot(jnp.abs(pts), pmat_abs.T) \
-                + mxu_dot(dx, pmat_abs.T)
+        acts, du = pol_prog((pts, dx))
         q = jnp.concatenate([pts, acts], axis=1)
         dq = jnp.concatenate([dx, du], axis=1)
 
-        # -- GP outputs (one multi-output GP, or stacked views) -------
-        parts = [_gp_terms(st, q, dq, u) for st in statics]
-        mu_hat = jnp.concatenate([p[0] for p in parts], axis=1)
-        d_mu = jnp.concatenate([p[1] for p in parts], axis=1)
-        err_hat = jnp.concatenate([p[2] for p in parts], axis=1)
-        d_err = jnp.concatenate([p[3] for p in parts], axis=1)
+        # -- dynamics outputs -----------------------------------------
+        if det_prog is not None:
+            mu_hat, d_mu = det_prog((q, dq))
+            err_hat = d_err = None
+        else:
+            # GP posterior (one multi-output GP, or stacked views).
+            parts = [_gp_terms(st, q, dq, u) for st in statics]
+            mu_hat = jnp.concatenate([p[0] for p in parts], axis=1)
+            d_mu = jnp.concatenate([p[1] for p in parts], axis=1)
+            err_hat = jnp.concatenate([p[2] for p in parts], axis=1)
+            d_err = jnp.concatenate([p[3] for p in parts], axis=1)
 
         # -- Lyapunov value terms (candidate-model rule) ---------------
         mu_abs = jnp.abs(mu_hat)
@@ -665,37 +1130,79 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
         v_next_mag, e_v_next = v_mag_err(mu_hat, mu_abs, d_mu)
         v_x_mag, e_v_x = v_mag_err(pts, pts_abs, dx)
 
-        # -- L_v * err decrease term ----------------------------------
-        lv_abs = jnp.abs(_lv_at(mu_hat, n_pts))               # (N, dv)
-        if lv_abs.shape[1] == 1 and err_hat.shape[1] > 1:
-            lv_abs = jnp.broadcast_to(lv_abs, (n_pts, err_hat.shape[1]))
-        d_lv = _lv_err_at(mu_hat, n_pts) \
-            + 2.0 * lv_lip * d_mu_l1[:, None]
-        errterm_anchor = jnp.sum((lv_abs + d_lv) * (err_hat + d_err),
-                                 axis=1)
-        d_errterm = (jnp.sum((lv_abs + d_lv) * d_err
-                             + d_lv * (err_hat + d_err), axis=1)
-                     + _gamma(lv_abs.shape[1] + 1, u) * errterm_anchor)
+        # -- L_v * err decrease term (uncertain dynamics only) ---------
+        if err_hat is not None:
+            lv_abs = jnp.abs(_lv_at(mu_hat, n_pts))           # (N, dv)
+            if lv_abs.shape[1] == 1 and err_hat.shape[1] > 1:
+                lv_abs = jnp.broadcast_to(lv_abs,
+                                          (n_pts, err_hat.shape[1]))
+            d_lv = _lv_err_at(mu_hat, n_pts) \
+                + 2.0 * lv_lip * d_mu_l1[:, None]
+            lv_hi = lv_abs + d_lv + _lv_anchor_at(mu_hat, n_pts)
+            if lvm.max_input_shift is not None:
+                shift = jnp.maximum(
+                    shift, _shift_frac(d_mu, lvm.max_input_shift))
+            errterm_anchor = jnp.sum(lv_hi * (err_hat + d_err), axis=1)
+            d_errterm = (jnp.sum(lv_hi * d_err
+                                 + d_lv * (err_hat + d_err), axis=1)
+                         + _gamma(lv_abs.shape[1] + 1, u)
+                         * errterm_anchor)
+        else:
+            errterm_anchor = 0.0
+            d_errterm = 0.0
 
         # -- threshold ------------------------------------------------
-        lv_x = _lv_at(pts, n_pts)
-        dx_l1 = jnp.sum(dx, axis=1)
-        d_lv_x = _lv_err_at(pts, n_pts) + 2.0 * lv_lip * dx_l1[:, None]
-        thr_mag = jnp.sum(jnp.abs(lv_x) + d_lv_x, axis=1) \
-            * (1.0 + lf) * tau
-        d_thr = (jnp.sum(d_lv_x, axis=1) * (1.0 + lf) * tau
-                 + _gamma(lv_x.shape[1] + 3, u) * thr_mag)
+        if lv_trivial or tau == 0.0:
+            # thr = -L_v (1 + L_f) * 0 == 0 exactly in every
+            # realization (finite * 0); no threshold error at all.
+            d_thr = 0.0
+        else:
+            lv_x = _lv_at(pts, n_pts)
+            dx_l1 = jnp.sum(dx, axis=1)
+            d_lv_x = (_lv_err_at(pts, n_pts)
+                      + 2.0 * lv_lip * dx_l1[:, None])
+            lv_x_hi = (jnp.abs(lv_x) + d_lv_x
+                       + _lv_anchor_at(pts, n_pts))
+            if lvm.max_input_shift is not None:
+                shift = jnp.maximum(
+                    shift, _shift_frac(dx, lvm.max_input_shift))
+            if lfm is None:
+                lf_hi = lf
+                d_lf = 0.0
+            else:
+                lf_val = _column_batch(
+                    lyapunov._lipschitz_dynamics(pts), n_pts)[:, :1]
+                d_lf = (_column_batch(lfm.eval_bound(pts),
+                                      n_pts)[:, :1]
+                        + 2.0 * lf_lip * jnp.sum(dx, axis=1)[:, None])
+                lf_anchor_x = (0.0 if lfm.anchor_bound is None
+                               else _column_batch(
+                                   lfm.anchor_bound(pts), n_pts)[:, :1])
+                lf_hi = jnp.abs(lf_val) + d_lf + lf_anchor_x
+                if lfm.max_input_shift is not None:
+                    shift = jnp.maximum(
+                        shift, _shift_frac(dx, lfm.max_input_shift))
+            one_plus_lf_hi = 1.0 + lf_hi
+            thr_mag = jnp.sum(lv_x_hi * one_plus_lf_hi, axis=1) * tau
+            d_thr = ((jnp.sum(d_lv_x * one_plus_lf_hi, axis=1)
+                      + jnp.sum(lv_x_hi * d_lf, axis=1)
+                      if lfm is not None else
+                      jnp.sum(d_lv_x, axis=1) * (1.0 + lf)) * tau
+                     + _gamma(lv_x.shape[1] + 4, u) * thr_mag)
 
         # -- assemble -------------------------------------------------
         final_sums = _gamma(4, u) * (v_next_mag + v_x_mag
                                      + errterm_anchor)
         return (e_v_next + e_v_x + d_errterm + d_thr + final_sums,
-                e_v_x)
+                e_v_x, shift)
 
     bound_jit = jax.jit(batch_bound)
     worst = 0.0
     worst_v = 0.0
+    worst_shift = 0.0
     v_scale = 0.0
+    per_point_bounds = (np.zeros(lyapunov.discretization.nindex)
+                        if per_point else None)
     pts_all = grid.all_points
     refinement = int(refinement)
     if refinement < 1:
@@ -729,13 +1236,37 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
                               dtype=config.dtype) + off_dev
             dx = coord_rounding * 8.0 * u32 * (jnp.abs(pts)
                                                + off_abs[None, :])
-            eps_b, ev_b = jax.device_get(bound_jit(pts, dx))
+            eps_b, ev_b, shift_b = jax.device_get(bound_jit(pts, dx))
             worst = max(worst, float(np.max(eps_b)))
             worst_v = max(worst_v, float(np.max(ev_b)))
+            worst_shift = max(worst_shift, float(shift_b))
+            if per_point_bounds is not None:
+                seg = slice(start, start + len(eps_b))
+                # Per-state: max over the base point and that state's
+                # refined sub-points (each offset pass visits the same
+                # grid slice).
+                per_point_bounds[seg] = np.maximum(
+                    per_point_bounds[seg], np.asarray(eps_b, np.float64))
             vals = np.abs(np.asarray(lyapunov.lyapunov_function(pts)))
             v_scale = max(v_scale, float(np.max(vals)))
 
+    if worst_shift >= 1.0:
+        raise RuntimeError(
+            "the instance's input uncertainty exceeds the inflated "
+            "L model's trigger-band headroom (shift fraction "
+            "{:.2f} >= 1): the simplex-agreement argument behind the "
+            "GradientNorm rounding model does not hold — use the "
+            "empirical calibrator".format(worst_shift))
+    if not np.isfinite(worst):
+        raise RuntimeError(
+            "the derived bound is infinite (a denominator interval "
+            "reached zero in the dynamics error propagation) — use "
+            "the empirical calibrator")
     margin = _finalize_margin(worst, statics, d, u, safety)
+    if per_point_bounds is not None:
+        # The same final slack per point (see _finalize_margin).
+        margin = _finalize_margin(per_point_bounds, statics, d, u,
+                                  safety)
     eps_dtype = float(np.finfo(config.np_dtype).eps)
     level_margin = max(2.0 * float(safety) * worst_v,
                        4.0 * eps_dtype * (v_scale or 1.0))
@@ -807,10 +1338,6 @@ def analytic_exploration_margin(lyapunov, perturbations=None,
             "exploration margin supports GaussianProcess / "
             "StackedGaussianProcess dynamics")
     v_mag_err = _candidate_model(lyapunov.lyapunov_function, d, u)
-    # Candidate construction happens in f32 regardless of the scoring
-    # unit, so only the policy matrix matters here; the construction
-    # gamma is recomputed below at ``u_con``.
-    pol_mat, _ = _policy_terms(lyapunov.policy, u)
     lvm = _lv_model(lyapunov._lipschitz_lyapunov, lipschitz_model, u)
     lv_lip = jnp.asarray(lvm.input_lipschitz, dtype=config.dtype)
     statics = [_gp_statics(gp, u) for gp in gp_list]
@@ -827,6 +1354,7 @@ def analytic_exploration_margin(lyapunov, perturbations=None,
     def future_bound(q, dq):
         """Per-candidate bound on |future_any - future_exact| (N,)."""
         n_pts = q.shape[0]
+        shift = jnp.zeros(())
         parts = [_gp_terms(st, q, dq, u) for st in statics]
         mu_hat = jnp.concatenate([p[0] for p in parts], axis=1)
         d_mu = jnp.concatenate([p[1] for p in parts], axis=1)
@@ -840,23 +1368,33 @@ def analytic_exploration_margin(lyapunov, perturbations=None,
         if lv_abs.shape[1] == 1 and err_hat.shape[1] > 1:
             lv_abs = jnp.broadcast_to(lv_abs, (n_pts, err_hat.shape[1]))
         d_lv = _lv_err_at(mu_hat, n_pts) + 2.0 * lv_lip * d_mu_l1[:, None]
-        errterm_anchor = jnp.sum((lv_abs + d_lv) * (err_hat + d_err),
-                                 axis=1)
-        d_errterm = (jnp.sum((lv_abs + d_lv) * d_err
+        lv_hi = lv_abs + d_lv
+        if lvm.anchor_bound is not None:
+            lv_hi = lv_hi + _column_batch(lvm.anchor_bound(mu_hat),
+                                          n_pts)
+        if lvm.max_input_shift is not None:
+            cap = jnp.asarray(np.asarray(lvm.max_input_shift,
+                                         np.float64),
+                              dtype=config.dtype)
+            shift = jnp.maximum(shift, jnp.max(d_mu / cap[None, :]))
+        errterm_anchor = jnp.sum(lv_hi * (err_hat + d_err), axis=1)
+        d_errterm = (jnp.sum(lv_hi * d_err
                              + d_lv * (err_hat + d_err), axis=1)
                      + _gamma(lv_abs.shape[1] + 1, u) * errterm_anchor)
         # the final v + errterm add and the c_max comparison
         final = _gamma(3, u) * (v_next_mag + errterm_anchor)
-        return e_v_next + d_errterm + final
+        return e_v_next + d_errterm + final, shift
 
     bound_jit = jax.jit(future_bound)
     worst = 0.0
+    worst_shift = 0.0
     if candidates is not None:
         cands = np.asarray(candidates, dtype=config.np_dtype)
         for start in range(0, len(cands), batch_size):
             q = jnp.asarray(cands[start:start + batch_size])
-            worst = max(worst, float(jnp.max(
-                bound_jit(q, jnp.zeros_like(q)))))
+            eps_b, shift_b = bound_jit(q, jnp.zeros_like(q))
+            worst = max(worst, float(jnp.max(eps_b)))
+            worst_shift = max(worst_shift, float(shift_b))
         rows = np.zeros((0, 0))
     elif actions is not None:
         rows = np.atleast_2d(np.asarray(actions, dtype=config.np_dtype))
@@ -871,18 +1409,17 @@ def analytic_exploration_margin(lyapunov, perturbations=None,
     u32s = (float(np.finfo(np.float32).eps) / 2.0
             * float(getattr(config, "fp_error_factor", 4.0)))
     u_con = max(u, u32s)
-    if pol_mat is not None:
-        m_in = int(pol_mat.shape[1])
-        pol_gamma_con = _gamma(m_in + 1, u_con)
+    # Candidate construction (policy evaluation + perturbation add)
+    # happens in f32 regardless of the scoring pipeline: the policy
+    # program runs at the construction unit, not the scoring unit.
+    pol_prog_con = (_policy_program(lyapunov.policy, u_con)
+                    if (candidates is None and actions is None) else None)
     for start in (range(0, grid.nindex, batch_size)
                   if candidates is None else ()):
         pts = jnp.asarray(pts_all[start:start + batch_size],
                           dtype=config.dtype)
         if actions is None:
-            acts0 = jnp.asarray(lyapunov.policy(pts))
-            du_pol = (jnp.zeros_like(acts0) if pol_mat is None
-                      else pol_gamma_con * mxu_dot(jnp.abs(pts),
-                                                   jnp.abs(pol_mat).T))
+            acts0, du_pol = pol_prog_con((pts, jnp.zeros_like(pts)))
         for j in range(rows.shape[0]):
             row = jnp.asarray(rows[j], dtype=config.dtype)
             if actions is not None:
@@ -901,8 +1438,16 @@ def analytic_exploration_margin(lyapunov, perturbations=None,
                                        + jnp.abs(row)[None, :])
             q = jnp.concatenate([pts, a], axis=1)
             dq = jnp.concatenate([jnp.zeros_like(pts), du], axis=1)
-            worst = max(worst, float(jnp.max(bound_jit(q, dq))))
+            eps_b, shift_b = bound_jit(q, dq)
+            worst = max(worst, float(jnp.max(eps_b)))
+            worst_shift = max(worst_shift, float(shift_b))
 
+    if worst_shift >= 1.0:
+        raise RuntimeError(
+            "the instance's input uncertainty exceeds the inflated "
+            "L model's trigger-band headroom (shift fraction "
+            "{:.2f} >= 1) — use the empirical calibrator"
+            .format(worst_shift))
     margin = _finalize_margin(worst, statics, d, u, safety)
     if set_margin:
         lyapunov.exploration_margin = margin

@@ -368,7 +368,9 @@ def _margin_of(lyapunov):
                 f"{unit:.2e} (the extended pipeline) and cannot cover "
                 "the plain exploration scorer; use get_safe_sample("
                 "extended=True) or install a plain-pipeline margin.")
-    return margin
+    # A per-grid-point sweep margin collapses to its worst case here:
+    # exploration candidates are not grid-indexed.
+    return float(np.max(margin)) if np.ndim(margin) else margin
 
 
 def _fallback_margin(lyapunov):
@@ -389,7 +391,8 @@ def _fallback_margin(lyapunov):
             continue
         unit = getattr(lyapunov, unit_attr, None)
         if unit is None or unit >= consumer_unit:
-            return float(margin)
+            return float(np.max(margin)) if np.ndim(margin) \
+                else float(margin)
     return float(getattr(config, "certificate_margin", 0.0))
 
 

@@ -114,6 +114,17 @@ def _decrease_bound(lyapunov_function, lipschitz_lyapunov, states,
     return v_decrease + bound
 
 
+def _margin_operand(margin):
+    """Normalize a scalar-or-per-point margin for ``(N, 1)`` comparisons.
+
+    A per-point margin arrives as an ``(N,)`` array aligned with the
+    batch's states; reshaping to a column keeps ``threshold - margin``
+    an ``(N, 1)`` elementwise expression instead of an ``(N, N)``
+    broadcast."""
+    m = jnp.asarray(margin)
+    return m.reshape(-1, 1) if m.ndim == 1 else m
+
+
 @jax.jit
 def _negative_batch(policy, dynamics, lyapunov_function, lipschitz_lyapunov,
                     lipschitz_dynamics, tau, states, margin=0.0):
@@ -123,14 +134,17 @@ def _negative_batch(policy, dynamics, lyapunov_function, lipschitz_lyapunov,
     (the whole pipeline of reference ``lyapunov.py:429-441`` in one
     compiled program). ``margin`` tightens the comparison by an absolute
     conservatism term absorbing float32 pipeline rounding (see
-    ``config.certificate_margin``)."""
+    ``config.certificate_margin``); a per-point ``(N,)`` margin array
+    tightens each state by ITS derived bound
+    (``errorbounds.analytic_certificate_margin(per_point=True)``)."""
     actions = policy(states)
     next_states = dynamics(states, actions)
     decrease = _decrease_bound(lyapunov_function, lipschitz_lyapunov,
                                states, next_states)
     threshold = _threshold(lipschitz_lyapunov, lipschitz_dynamics, states,
                            tau)
-    negative = jnp.squeeze(decrease < threshold - margin, axis=1)
+    negative = jnp.squeeze(decrease < threshold - _margin_operand(margin),
+                           axis=1)
     return negative, jnp.squeeze(decrease, axis=1), \
         jnp.squeeze(jnp.broadcast_to(threshold, decrease.shape), axis=1)
 
@@ -179,7 +193,11 @@ def _refined_negative_batch(policy, dynamics, lyapunov_function,
                                next_states)
     thresholds = _threshold(lipschitz_lyapunov, lipschitz_dynamics, flat,
                             tau / r)
-    ok = (decrease < jnp.broadcast_to(thresholds, decrease.shape) - margin)
+    m = jnp.asarray(margin)
+    if m.ndim == 1:
+        # Per-STATE margin: repeat over that state's R^d sub-points.
+        m = jnp.repeat(m, r ** d).reshape(-1, 1)
+    ok = (decrease < jnp.broadcast_to(thresholds, decrease.shape) - m)
     return jnp.all(ok.reshape(states.shape[0], -1), axis=1)
 
 
@@ -233,7 +251,8 @@ def _fused_update(policy, dynamics, lyapunov_function, lipschitz_lyapunov,
                 - values.reshape(-1, 1) + bound)
     threshold = _threshold(lipschitz_lyapunov, lipschitz_dynamics, points,
                            tau)
-    negative = jnp.squeeze(decrease < threshold - margin, axis=1)
+    negative = jnp.squeeze(decrease < threshold - _margin_operand(margin),
+                           axis=1)
     eligible = negative | exempt
 
     inf = jnp.asarray(jnp.inf, dtype=values.dtype)
@@ -414,7 +433,11 @@ class Lyapunov:
         """Active conservatism margin for safety comparisons.
 
         The per-instance value when one was passed to the constructor
-        (or assigned), else ``config.certificate_margin``.
+        (or assigned), else ``config.certificate_margin``. Either a
+        scalar, or a per-grid-point ``(nindex,)`` array (installed by
+        ``errorbounds.analytic_certificate_margin(per_point=True)``)
+        that tightens each state's comparison by ITS derived bound
+        instead of the grid-wide worst case.
         """
         if self._certificate_margin is not None:
             return self._certificate_margin
@@ -426,9 +449,21 @@ class Lyapunov:
 
         Direct assignment clears any recorded derivation unit: the
         caller takes responsibility for the margin covering whichever
-        pipeline consumes it.
+        pipeline consumes it. A 1-D array installs per-grid-point
+        margins (must have ``discretization.nindex`` entries, grid
+        order).
         """
-        self._certificate_margin = None if value is None else float(value)
+        if value is None:
+            self._certificate_margin = None
+        elif np.ndim(value):
+            arr = np.asarray(value, dtype=np.float64)
+            if arr.shape != (self.discretization.nindex,):
+                raise ValueError(
+                    "per-point certificate_margin must be a "
+                    "(nindex,) array in grid order")
+            self._certificate_margin = arr
+        else:
+            self._certificate_margin = float(value)
         self._certificate_margin_unit = None
 
     @property
@@ -761,6 +796,17 @@ class Lyapunov:
         refinement_sorted = np.zeros(nindex, dtype=int)
         tau = self.tau
         margin = self.certificate_margin
+        # Per-point margins ride next to the states through the same
+        # value-order gather and padding.
+        margin_sorted = (np.asarray(margin)[order] if np.ndim(margin)
+                         else None)
+
+        def _pad_tail(arr, n):
+            if len(arr) >= n:
+                return arr
+            return np.concatenate(
+                [arr, np.broadcast_to(arr[-1:], (n - len(arr),))])
+
         unit_maxes = jnp.asarray(grid.unit_maxes, dtype=config.dtype)
 
         max_index = -1  # last sorted position of the verified prefix
@@ -773,6 +819,8 @@ class Lyapunov:
                     states,
                     np.broadcast_to(states[-1:], (batch - n_valid,
                                                   grid.ndim))])
+            m_b = (margin if margin_sorted is None
+                   else _pad_tail(margin_sorted[i:i + batch], batch))
             states_dev = _shard(jnp.asarray(states))
             # Only the boolean verdict comes back to the host (the
             # decrease/threshold outputs exist for diagnostics callers;
@@ -780,12 +828,12 @@ class Lyapunov:
             # copies per batch).
             if ext_sweep is not None:
                 negative = np.asarray(ext_sweep.negative_batch(
-                    states_dev, tau=tau, margin=margin))
+                    states_dev, tau=tau, margin=m_b))
             else:
                 negative = np.asarray(_negative_batch(
                     self.policy, self.dynamics, self.lyapunov_function,
                     self._lipschitz_lyapunov, self._lipschitz_dynamics,
-                    tau, states_dev, margin)[0])
+                    tau, states_dev, m_b)[0])
             negative = negative[:n_valid]
             safe_b = negative | exempt_sorted[i:i + n_valid]
             refinement_sorted[i:i + n_valid][safe_b] = 1
@@ -817,6 +865,11 @@ class Lyapunov:
                     for j in range(0, stop, chunk):
                         hi = min(j + chunk, stop)
                         check_states = states[bound + j:bound + hi]
+                        m_chunk = (margin if margin_sorted is None
+                                   else _pad_tail(
+                                       np.asarray(m_b)[bound + j:
+                                                       bound + hi],
+                                       chunk))
                         pad = chunk - (hi - j)
                         if pad:
                             check_states = np.vstack([
@@ -828,7 +881,7 @@ class Lyapunov:
                                 ext_sweep.refined_negative_batch(
                                     _shard(jnp.asarray(check_states)),
                                     int(max_refinement),
-                                    margin=margin))[:hi - j]
+                                    margin=m_chunk))[:hi - j]
                         else:
                             refined = np.asarray(_refined_negative_batch(
                                 self.policy, self.dynamics,
@@ -837,7 +890,7 @@ class Lyapunov:
                                 self._lipschitz_dynamics,
                                 tau, _shard(jnp.asarray(check_states)),
                                 unit_maxes, int(max_refinement),
-                                grid.ndim, margin=margin))[:hi - j]
+                                grid.ndim, margin=m_chunk))[:hi - j]
                         # A state passes if its COARSE check passed (the
                         # suffix beyond the first failure contains such
                         # states — their tau-level certificate stands;

@@ -671,11 +671,48 @@ def _compile_lv(lipschitz_lyapunov, lv_matrix, d, params):
 #: DELTA of its boundary, the PWL gradient program switches to the
 #: CELL-MAX gradient — an upper bound on every adjacent simplex's —
 #: so realization disagreement on the decision cannot change the value
-#: in the unsound direction. 2^-16 is ~2^22 above the double-word
-#: coordinate error and the margin analysis' input-shift headroom check
-#: (``ErrorModel.max_input_shift``), while triggering on only an
-#: O(d^2 * DELTA) fraction of the domain.
-_PWL_GRAD_DELTA = np.float32(2.0 ** -16)
+#: in the unsound direction. 2^-10 is ~2^28 above the double-word
+#: coordinate error, and its half-band headroom cap
+#: (``ErrorModel.max_input_shift``) comfortably admits the flagship's
+#: ill-conditioned GP posterior uncertainty (measured ~2^-11.4 of a
+#: cell on the NeurIPS-17-shaped instance at 1e-6 noise), while
+#: triggering on only an O(d^2 * DELTA) ~ 0.4% fraction of generic
+#: points.
+_PWL_GRAD_DELTA = np.float32(2.0 ** -10)
+
+
+def _pwl_gradient_cell_table(tri):
+    """Per-cell per-axis max |simplex gradient| of a scalar PWL.
+
+    Computed exactly in float64 from the f32 vertex table. The Kuhn
+    triangulation's simplex gradients ARE single-axis corner
+    differences, so the cell's max over its 2^(d-1) edges along each
+    axis bounds every simplex's gradient component in that cell.
+    Returns ``(g_tab (cells..., d), cells_shape, unit64)``.
+    """
+    grid_v = tri.discretization
+    d = grid_v.ndim
+    shape = tuple(int(s) for s in grid_v.shape)
+    cells_shape = tuple(s - 1 for s in shape)
+    theta64 = np.asarray(tri.parameters, np.float64)[:, 0]
+    vals_nd = theta64.reshape(shape)
+    lim64 = np.asarray(grid_v._limits, np.float64)
+    unit64 = ((lim64[:, 1] - lim64[:, 0])
+              / (np.asarray(grid_v.num_points, np.float64) - 1.0))
+    g_tab = np.zeros(cells_shape + (d,))
+    for ax in range(d):
+        diff = np.abs(np.diff(vals_nd, axis=ax)) / unit64[ax]
+        # Max over the cell's 2^(d-1) edges along ax = max over the
+        # other axes' {0, 1} corner choices.
+        for other in range(d):
+            if other != ax:
+                lo_s = [slice(None)] * d
+                hi_s = [slice(None)] * d
+                lo_s[other] = slice(0, -1)
+                hi_s[other] = slice(1, None)
+                diff = np.maximum(diff[tuple(lo_s)], diff[tuple(hi_s)])
+        g_tab[..., ax] = diff
+    return g_tab, cells_shape, unit64
 
 
 def _compile_gradnorm_pwl(lv, d, params):
@@ -714,27 +751,7 @@ def _compile_gradnorm_pwl(lv, d, params):
     # — a realization within DELTA of a cell face can be located in the
     # neighbor by the f32 sweep or the f64 oracle, whose simplex
     # gradients the located cell's row does not bound.
-    grid_v = inner.discretization
-    shape = tuple(int(s) for s in grid_v.shape)
-    cells_shape = tuple(s - 1 for s in shape)
-    theta64 = np.asarray(inner.parameters, np.float64)[:, 0]
-    vals_nd = theta64.reshape(shape)
-    lim64 = np.asarray(grid_v._limits, np.float64)
-    unit64 = ((lim64[:, 1] - lim64[:, 0])
-              / (np.asarray(grid_v.num_points, np.float64) - 1.0))
-    g_tab = np.zeros(cells_shape + (d,))
-    for ax in range(d):
-        diff = np.abs(np.diff(vals_nd, axis=ax)) / unit64[ax]
-        # Max over the cell's 2^(d-1) edges along ax = max over the
-        # other axes' {0, 1} corner choices.
-        for other in range(d):
-            if other != ax:
-                lo_s = [slice(None)] * d
-                hi_s = [slice(None)] * d
-                lo_s[other] = slice(0, -1)
-                hi_s[other] = slice(1, None)
-                diff = np.maximum(diff[tuple(lo_s)], diff[tuple(hi_s)])
-        g_tab[..., ax] = diff
+    g_tab, cells_shape, unit64 = _pwl_gradient_cell_table(inner)
     cell_strides = np.asarray(
         np.cumprod((cells_shape[1:] + (1,))[::-1])[::-1], np.int32)
     n_cells = int(np.prod(cells_shape))
@@ -1423,8 +1440,10 @@ class ExtendedSweep:
                 "instance tau to use one")
         # Native dtype in (see ``core``): f32 states pass through
         # bit-exactly; f64 states ride the exact residual split.
+        # ``margin`` may be a per-point (N,) array aligned with states.
         return self._jit_body(self._params, jnp.asarray(states),
-                              _split_np(tau), _split_np(float(margin)))
+                              _split_np(tau),
+                              _split_np(np.asarray(margin, np.float64)))
 
     def margins(self, states, tau=None):
         """Double-word ``decrease - threshold`` at ``states``, as float64.
@@ -1469,15 +1488,20 @@ class ExtendedSweep:
                                  _split_np(float(margin)))
 
     def refined_negative_batch(self, states, max_refinement, margin=0.0):
-        """Sound df check on the R^d sub-grids at ``tau / R``."""
+        """Sound df check on the R^d sub-grids at ``tau / R``.
+
+        A per-point (N,) margin is repeated over each state's R^d
+        sub-points (the flat layout is state-major)."""
         r = int(max_refinement)
         half = jnp.asarray(
             ((0.5 * (1.0 - 1.0 / r)) * self._unit_maxes)
             .astype(config.np_dtype))
+        m = np.asarray(margin, np.float64)
+        if m.ndim == 1:
+            m = np.repeat(m, r ** self._d)
         return self._jit_refined(self._params, jnp.asarray(states),
                                  half, _split_np(self._tau / r),
-                                 _split_np(float(margin)),
-                                 r=r, nd_=self._d)
+                                 _split_np(m), r=r, nd_=self._d)
 
 
 # ---------------------------------------------------------------------------
@@ -1514,11 +1538,75 @@ def extended_gp_evaluate(gp, points):
 # ---------------------------------------------------------------------------
 # The derived margin at U_EFF
 # ---------------------------------------------------------------------------
+def _gradnorm_error_model(lv):
+    """One-sided ``ErrorModel`` of the INFLATED GradientNorm program.
+
+    Valid ONLY for the extended pipeline's realization
+    (:func:`_compile_gradnorm_pwl`), whose cell-max inflation inside the
+    ``DELTA`` trigger band makes locate disagreement conservative; the
+    remaining deviation in the unsound direction is pure df rounding,
+    bounded relative to the neighborhood gradient magnitude. The
+    magnitude table is dilated by TWO cells per axis: one for the df
+    program's distance-1 neighborhood max, one for the bound sweep's
+    own f32 locate misassignment. ``max_input_shift`` caps the input
+    uncertainty at half the trigger band (in state units per dim) so a
+    non-ambiguous df locate implies every realization (df, f64 oracle)
+    sits in the same simplex.
+    """
+    from scipy.ndimage import maximum_filter
+
+    from ..errorbounds import ErrorModel
+
+    inner = lv.fun
+    if not (isinstance(inner, Triangulation) and inner.output_dim == 1):
+        return None
+    ordv = lv.ord
+    g_tab, cells_shape, unit64 = _pwl_gradient_cell_table(inner)
+    d = len(cells_shape)
+    dil = maximum_filter(g_tab, size=tuple([5] * d + [1]),
+                         mode="nearest")
+    if ordv is not None and np.isinf(ordv):
+        red = dil.max(axis=-1, keepdims=True)
+    elif ordv == 1:
+        red = dil.sum(axis=-1, keepdims=True)
+    elif ordv is None:
+        red = dil
+    else:
+        return None
+    n_cells = int(np.prod(cells_shape))
+    table = jnp.asarray(red.reshape(n_cells, -1), dtype=config.dtype)
+    grid_v = inner.discretization
+    lim64 = np.asarray(grid_v._limits, np.float64)
+    off = jnp.asarray(lim64[:, 0], dtype=config.dtype)
+    inv_unit = jnp.asarray(1.0 / unit64, dtype=config.dtype)
+    cmax = jnp.asarray(np.asarray(cells_shape, np.int32) - 1)
+    cell_strides = jnp.asarray(np.asarray(
+        np.cumprod((tuple(cells_shape[1:]) + (1,))[::-1])[::-1],
+        np.int32))
+    gam = (2 * d + 8) * U_EFF / (1.0 - (2 * d + 8) * U_EFF)
+
+    def _rows(x):
+        cell = jnp.clip(jnp.floor((x - off[None, :])
+                                  * inv_unit[None, :]).astype(jnp.int32),
+                        0, cmax[None, :])
+        lin = jnp.sum(cell * cell_strides[None, :], axis=1)
+        return table[lin]
+
+    def eval_bound(x):
+        return gam * _rows(x)
+
+    return ErrorModel(eval_bound, 0.0, anchor_bound=_rows,
+                      max_input_shift=0.5 * float(_PWL_GRAD_DELTA)
+                      * unit64)
+
+
 def _lv_error_model(lyapunov, lv_matrix):
     """U_EFF rounding model of the instance's L_v, or None for scalars.
 
     ``lv_matrix`` defaults to the auto-derivable form
-    (:func:`_auto_lv_matrix`) or the instance's ``extended_lv_matrix``.
+    (:func:`_auto_lv_matrix`) or the instance's ``extended_lv_matrix``;
+    a ``GradientNorm``-of-PWL L_v gets the one-sided inflated-program
+    model (:func:`_gradnorm_error_model`).
     """
     from ..errorbounds import ErrorModel
 
@@ -1527,6 +1615,8 @@ def _lv_error_model(lyapunov, lv_matrix):
     if lv_matrix is None:
         lv_matrix = getattr(lyapunov, "extended_lv_matrix", None)
     if lv_matrix is None:
+        if isinstance(lyapunov._lipschitz_lyapunov, GradientNorm):
+            return _gradnorm_error_model(lyapunov._lipschitz_lyapunov)
         return None
     g = np.atleast_2d(np.asarray(lv_matrix, dtype=np.float64))
     g_abs_t = jnp.asarray(np.abs(g).T, dtype=config.dtype)
@@ -1538,6 +1628,31 @@ def _lv_error_model(lyapunov, lv_matrix):
 
     return ErrorModel(eval_bound,
                       float(np.max(np.sum(np.abs(g), axis=1))))
+
+
+def _lf_error_model(lyapunov, lf_matrix=None):
+    """U_EFF rounding model of a callable L_f, or None for scalars."""
+    from ..errorbounds import ErrorModel
+
+    lf = lyapunov._lipschitz_dynamics
+    if not callable(lf) or isinstance(lf, ConstantFunction):
+        return None
+    if lf_matrix is None:
+        lf_matrix = getattr(lyapunov, "extended_lf_matrix", None)
+    if lf_matrix is None:
+        if isinstance(lf, GradientNorm):
+            return _gradnorm_error_model(lf)
+        return None
+    h = np.atleast_2d(np.asarray(lf_matrix, dtype=np.float64))
+    h_abs_t = jnp.asarray(np.abs(h).T, dtype=config.dtype)
+    d = lyapunov.discretization.ndim
+    gam = (d + 2) * U_EFF / (1.0 - (d + 2) * U_EFF)
+
+    def eval_bound(x):
+        return gam * jnp.abs(x) @ h_abs_t
+
+    return ErrorModel(eval_bound,
+                      float(np.max(np.sum(np.abs(h), axis=1))))
 
 
 def extended_exploration_margin(lyapunov, perturbations=None,
@@ -1569,7 +1684,8 @@ def extended_exploration_margin(lyapunov, perturbations=None,
 
 
 def extended_certificate_margin(lyapunov, lv_matrix=None, refinement=1,
-                                safety=1.0, set_margin=True):
+                                safety=1.0, set_margin=True,
+                                per_point=False):
     """Derived conservative margin for the EXTENDED sweep.
 
     Runs the parametric Higham analysis
@@ -1578,8 +1694,9 @@ def extended_certificate_margin(lyapunov, lv_matrix=None, refinement=1,
     by the bounds quoted in :data:`U_EFF` — and installs it together
     with an f32-scale LEVEL margin (the certified-level cut compares
     the f32-stored Lyapunov values regardless of how the decrease was
-    checked, so that guard must stay at f32 scale; closed form below
-    since the candidate is quadratic).
+    checked, so that guard must stay at f32 scale; closed forms below
+    for quadratic/PWL candidates, the generic candidate rounding rule
+    at the f32 unit otherwise).
 
     Returns the decrease margin. Typical values sit ~2^18 below the f32
     derived margin on the same instance, making the derived (full-
@@ -1591,7 +1708,8 @@ def extended_certificate_margin(lyapunov, lv_matrix=None, refinement=1,
     lvm = _lv_error_model(lyapunov, lv_matrix)
     margin = analytic_certificate_margin(
         lyapunov, safety=safety, lipschitz_model=lvm,
-        refinement=refinement, set_margin=False, unit_roundoff=U_EFF)
+        refinement=refinement, set_margin=False, unit_roundoff=U_EFF,
+        lf_model=_lf_error_model(lyapunov), per_point=per_point)
 
     # f32-scale LEVEL margin: the certified-level cut compares the
     # f32-stored ranking values, so this guard stays at f32 scale.
@@ -1642,9 +1760,23 @@ def extended_certificate_margin(lyapunov, lv_matrix=None, refinement=1,
             err32 = (gam32 * (d + 1) * v_mag * w_sum
                      + 2.0 * float(g_per_dim @ delta32))
     else:
-        raise NotImplementedError(
-            "extended margin supports QuadraticFunction / Triangulation "
-            "candidates")
+        # Generic candidates (LyapunovNetwork, NN, scaled): evaluate the
+        # candidate rounding rule at the f32 unit over the grid — the
+        # ranking values come from the plain f32 update_values pass.
+        from ..errorbounds import _candidate_model
+
+        rule32 = jax.jit(_candidate_model(v_fun, d, u32s))
+        err32 = 0.0
+        v_mag = 0.0
+        pts_all = grid.all_points
+        for start in range(0, grid.nindex, 2 ** 14):
+            pts = jnp.asarray(pts_all[start:start + 2 ** 14],
+                              dtype=config.dtype)
+            mag_b, err_b = jax.device_get(
+                rule32(pts, jnp.abs(pts), jnp.zeros_like(pts)))
+            err32 = max(err32, float(np.max(err_b)))
+            v_mag = max(v_mag, float(np.max(np.abs(mag_b))))
+        v_mag = v_mag or 1.0
     level_margin = max(2.0 * float(safety) * err32,
                        4.0 * eps32 * v_mag)
 

@@ -125,9 +125,12 @@ def test_unsupported_types_raise():
     grid = sl.GridWorld([[-1.0, 1.0]], 11)
     policy = sl.LinearSystem(np.zeros((1, 1)))
     v = sl.QuadraticFunction(np.eye(1))
-    dyn = sl.LinearSystem(np.array([[0.5, 0.0]]))
+    # LinearSystem dynamics are now analyzed deterministically; a bare
+    # callable is the unsupported case.
+    dyn = sl.LambdaFunction(lambda x: 0.5 * x[:, :1], input_dim=2,
+                            output_dim=1)
     lyap = sl.Lyapunov(grid, v, dyn, 0.5, 2.0, 0.1, policy)
-    with pytest.raises(NotImplementedError, match="GaussianProcess"):
+    with pytest.raises(NotImplementedError, match="dynamics"):
         analytic_certificate_margin(lyap)
 
     lyap2 = _random_instance(0)

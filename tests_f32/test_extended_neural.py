@@ -329,3 +329,115 @@ def test_zero_tau_sweep_refuses_nonzero_tau():
     # Deterministic dynamics cannot rank exploration candidates.
     with pytest.raises(NotImplementedError, match="variance"):
         sweep.score_candidates(np.zeros((4, 3), np.float32), 1.0, 0.0)
+
+
+def test_corl_derived_margin_dominates_and_contains():
+    """extended_certificate_margin on the CoRL-18 shape (deterministic
+    pendulum, tau = 0, LyapunovNetwork candidate): the derived margin
+    dominates the measured full-grid df-vs-oracle deviation and the
+    margined extended sweep stays inside the oracle's safe set."""
+    from safe_learning_tpu.ops.extended_verify import (
+        extended_certificate_margin)
+
+    lyap = _corl_like_instance()
+    margin = extended_certificate_margin(lyap)
+    assert lyap._certificate_margin_unit is not None
+    sweep = lyap._get_extended_sweep()
+    pts = np.asarray(lyap.discretization.all_points, np.float32)
+    worst = float(np.max(np.abs(sweep.margins(pts)
+                                - oracle_margins(lyap, pts))))
+    assert margin >= worst, (margin, worst)
+    # The margin is extended-precision small relative to the decrease
+    # scale (usability: certification survives the guard).
+    lyap.update_safe_set(extended=True)
+    safe64, c64 = oracle_safe_set(lyap)
+    assert lyap.safe_set.any()
+    assert not (lyap.safe_set & ~safe64).any()
+    assert safe64.mean() - lyap.safe_set.mean() < 0.05
+
+
+def test_neurips_derived_margin_dominates_and_contains():
+    """extended_certificate_margin on the NeurIPS-17 shape (NN policy,
+    -PWL candidate, GradientNorm(PWL, inf) L_v, stacked GP): one-sided
+    domination (the inflated L_v program only ever strengthens the
+    condition) plus end-to-end containment."""
+    from safe_learning_tpu.ops.extended_verify import (
+        extended_certificate_margin)
+
+    lyap = _neurips_like_instance()
+    margin = extended_certificate_margin(lyap)
+    sweep = lyap._get_extended_sweep()
+    pts = np.asarray(lyap.discretization.all_points, np.float32)
+    got = sweep.margins(pts)
+    want = oracle_margins(lyap, pts)
+    # The unsound direction (exact margin above the df margin) must be
+    # covered by the derived margin.
+    assert float(np.max(want - got)) <= margin
+    lyap.update_safe_set(extended=True)
+    safe64, _ = oracle_safe_set(lyap)
+    assert not (lyap.safe_set & ~safe64).any()
+
+
+def test_f32_derived_margin_deterministic_dynamics():
+    """The f32-lane derived margin (default unit) now covers
+    deterministic dynamics: containment through the PLAIN sweep on the
+    CoRL shape with a quadratic candidate."""
+    from safe_learning_tpu.errorbounds import analytic_certificate_margin
+
+    x_max = np.deg2rad(30)
+    norms = ((x_max, np.sqrt(9.81 / 0.5)), (0.7,))
+    pend = sl.InvertedPendulum(0.15, 0.5, 0.1, 1 / 80,
+                               normalization=norms)
+    a, b = pend.linearize()
+    k, p = sl.utils.dlqr(a, b, np.eye(2), np.eye(1))
+    policy = sl.Saturation(sl.LinearSystem(-k), -1.0, 1.0)
+    grid = sl.GridWorld([[-0.5, 0.5], [-0.5, 0.5]], 21)
+    v = sl.QuadraticFunction(p)
+    l_dyn = float(np.linalg.norm(a - b @ k, 2))
+    vals = np.asarray(v(grid.all_points)).ravel()
+    init = np.where(vals <= np.quantile(vals, 0.04))[0]
+    lyap = sl.Lyapunov(grid, v, pend, l_dyn,
+                       2.0 * float(np.linalg.norm(p, 2)), 0.0, policy,
+                       initial_set=init)
+    margin = analytic_certificate_margin(lyap)
+    assert margin > 0.0 and np.isfinite(margin)
+    from safe_learning_tpu.lyapunov import _negative_batch
+    _, dec, thr = _negative_batch(
+        lyap.policy, lyap.dynamics, lyap.lyapunov_function,
+        lyap._lipschitz_lyapunov, lyap._lipschitz_dynamics, lyap.tau,
+        jnp.asarray(grid.all_points, dtype=np.float32))
+    margins_dev = (np.asarray(dec, np.float64)
+                   - np.asarray(thr, np.float64)).ravel()
+    worst = float(np.max(np.abs(
+        margins_dev - oracle_margins(lyap, grid.all_points))))
+    assert margin >= worst, (margin, worst)
+    lyap.update_safe_set()
+    safe64, _ = oracle_safe_set(lyap)
+    assert lyap.safe_set.any()
+    assert not (lyap.safe_set & ~safe64).any()
+
+
+def test_mlp_policy_f32_derived_margin():
+    """The f32-lane derived margin accepts an MLP policy (GP dynamics,
+    quadratic candidate): domination on a measured subsample."""
+    from safe_learning_tpu.errorbounds import analytic_certificate_margin
+    from safe_learning_tpu.lyapunov import _negative_batch
+
+    rng = np.random.default_rng(3)
+    grid = sl.GridWorld([[-1.0, 1.0], [-0.8, 0.8]], 15)
+    dyn = _gp_dynamics(rng, noise=1e-3)  # well-conditioned
+    policy = _mlp_policy(1)
+    v = sl.QuadraticFunction(np.eye(2))
+    tau = float(np.min(grid.unit_maxes))
+    lyap = sl.Lyapunov(grid, v, dyn, 1.0, 2.0, tau, policy)
+    margin = analytic_certificate_margin(lyap, set_margin=False)
+    assert np.isfinite(margin) and margin > 0.0
+    pts = grid.all_points[::7]
+    _, dec, thr = _negative_batch(
+        lyap.policy, lyap.dynamics, lyap.lyapunov_function,
+        lyap._lipschitz_lyapunov, lyap._lipschitz_dynamics, lyap.tau,
+        jnp.asarray(pts, dtype=np.float32))
+    margins_dev = (np.asarray(dec, np.float64)
+                   - np.asarray(thr, np.float64)).ravel()
+    worst = float(np.max(np.abs(margins_dev - oracle_margins(lyap, pts))))
+    assert margin >= worst, (margin, worst)
