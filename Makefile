@@ -1,9 +1,23 @@
 # Development targets (reference: Makefile with test/docker targets).
 
-.PHONY: test lint bench examples notebooks clean
+.PHONY: test test-slow lint bench examples notebooks clean
 
 test:
 	bash scripts/test_code.sh
+
+# Opt-in slow proof gates: the 1000^2 pendulum bit-equality run against
+# the float64 NumPy oracle (~10 min) and the 20-seed extended-precision
+# soak. The scheduled CI job (slow-gates in .github/workflows/ci.yml)
+# runs this weekly; a pass stamps date + durations into docs/index.md.
+test-slow:
+	@t0=$$(date +%s); \
+	RUN_SLOW=1 python -m pytest tests/test_verification_oracle.py \
+	    -q -k full_scale || exit 1; \
+	t1=$$(date +%s); \
+	RUN_SLOW=1 python -m pytest tests_f32/test_extended_soak.py -q \
+	    || exit 1; \
+	t2=$$(date +%s); \
+	python scripts/record_slow_gate.py $$((t1-t0)) $$((t2-t1))
 
 lint:
 	python -m compileall -q safe_learning_tpu tests examples
