@@ -45,6 +45,9 @@ else
     python scripts/docstring_gate.py ${module}
 fi
 
+echo "=== api-doc coverage gate ==="
+python scripts/api_doc_gate.py
+
 echo "=== doctests ==="
 python -m pytest --doctest-modules ${module} -q
 
