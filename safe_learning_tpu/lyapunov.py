@@ -557,18 +557,23 @@ class Lyapunov:
         pts = getattr(self, "_points_dev", None)
         if pts is None or getattr(self, "_points_mesh", None) is not \
                 self.mesh:
-            pts = jnp.asarray(self.discretization.all_points)
+            pts = self.discretization.all_points
             if (self.mesh is not None
                     and pts.shape[0] % int(self.mesh.devices.size) == 0):
                 # Shard only when the mesh divides the grid; otherwise
                 # keep the copy replicated (correct either way — XLA
-                # still partitions the sweep internally).
+                # still partitions the sweep internally). put_global is
+                # a plain device_put on single-process meshes and the
+                # per-process shard-callback path on multi-host ones.
                 from jax.sharding import NamedSharding, PartitionSpec
+                from .parallel.distributed import put_global
 
                 axis = self.mesh.axis_names[0]
-                pts = jax.device_put(
-                    pts, NamedSharding(self.mesh, PartitionSpec(axis,
-                                                                None)))
+                pts = put_global(
+                    np.asarray(pts, dtype=config.np_dtype),
+                    NamedSharding(self.mesh, PartitionSpec(axis, None)))
+            else:
+                pts = jnp.asarray(pts)
             self._points_dev = pts
             self._points_mesh = self.mesh
         return pts
@@ -606,9 +611,18 @@ class Lyapunov:
                           int(getattr(config, "fused_sweep_limit", 0)))
         if batch_size is None and grid.nindex <= fused_limit:
             # One device pass; keep the result device-resident (host
-            # consumers convert lazily).
-            self.values = _values_batch(self.lyapunov_function,
-                                        self._device_points())
+            # consumers convert lazily). Multi-process meshes allgather
+            # to the host right away: a global array's value is not
+            # addressable from any single process.
+            vals = _values_batch(self.lyapunov_function,
+                                 self._device_points())
+            if self.mesh is not None:
+                from .parallel.distributed import (fetch_global,
+                                                   is_multiprocess_mesh)
+
+                if is_multiprocess_mesh(self.mesh):
+                    vals = fetch_global(vals)
+            self.values = vals
             return
         fun = _values_batch
         out = np.empty(grid.nindex, dtype=points.dtype)
@@ -759,16 +773,40 @@ class Lyapunov:
             unit = math.lcm(256, int(self.mesh.devices.size))
         batch = -(-min(batch, nindex) // unit) * unit
 
+        multiproc = False
+        if self.mesh is not None:
+            from .parallel.distributed import (fetch_global,
+                                               is_multiprocess_mesh,
+                                               put_global)
+
+            multiproc = is_multiprocess_mesh(self.mesh)
+            if multiproc and ext_sweep is not None:
+                raise NotImplementedError(
+                    "the extended (double-word) sweep composes its "
+                    "relay stages on the host and does not run over a "
+                    "multi-process mesh; run it per-process or use the "
+                    "plain sweep with a derived margin")
+
         def _shard(states_dev):
             """Shard a batch over the active mesh's grid axis (SPMD:
 
-            the decrease check is per-point; reductions ride the ICI)."""
+            the decrease check is per-point; reductions ride the ICI).
+            Multi-process meshes go through the callback path — every
+            process holds the same host batch and fills only its own
+            shards (plain device_put cannot address remote devices)."""
             if self.mesh is None:
-                return states_dev
+                return jnp.asarray(states_dev)
             from .parallel.mesh import grid_sharding
 
-            return jax.device_put(states_dev,
-                                  grid_sharding(self.mesh, 2))
+            sharding = grid_sharding(self.mesh, 2)
+            if multiproc:
+                return put_global(states_dev, sharding)
+            return jax.device_put(jnp.asarray(states_dev), sharding)
+
+        def _to_host(x):
+            """Materialize a sweep verdict on the host (allgather when
+            the mesh spans processes; plain copy otherwise)."""
+            return fetch_global(x) if multiproc else np.asarray(x)
 
         # Refresh v on the grid first: the fused path recomputes values
         # inside its program, so the batched/adaptive path must not rank
@@ -821,16 +859,16 @@ class Lyapunov:
                                                   grid.ndim))])
             m_b = (margin if margin_sorted is None
                    else _pad_tail(margin_sorted[i:i + batch], batch))
-            states_dev = _shard(jnp.asarray(states))
+            states_dev = _shard(states)
             # Only the boolean verdict comes back to the host (the
             # decrease/threshold outputs exist for diagnostics callers;
             # transferring them here would add two f32 grid-sized D2H
             # copies per batch).
             if ext_sweep is not None:
-                negative = np.asarray(ext_sweep.negative_batch(
+                negative = _to_host(ext_sweep.negative_batch(
                     states_dev, tau=tau, margin=m_b))
             else:
-                negative = np.asarray(_negative_batch(
+                negative = _to_host(_negative_batch(
                     self.policy, self.dynamics, self.lyapunov_function,
                     self._lipschitz_lyapunov, self._lipschitz_dynamics,
                     tau, states_dev, m_b)[0])
@@ -877,18 +915,18 @@ class Lyapunov:
                                 np.broadcast_to(check_states[-1:],
                                                 (pad, grid.ndim))])
                         if ext_sweep is not None:
-                            refined = np.asarray(
+                            refined = _to_host(
                                 ext_sweep.refined_negative_batch(
-                                    _shard(jnp.asarray(check_states)),
+                                    _shard(check_states),
                                     int(max_refinement),
                                     margin=m_chunk))[:hi - j]
                         else:
-                            refined = np.asarray(_refined_negative_batch(
+                            refined = _to_host(_refined_negative_batch(
                                 self.policy, self.dynamics,
                                 self.lyapunov_function,
                                 self._lipschitz_lyapunov,
                                 self._lipschitz_dynamics,
-                                tau, _shard(jnp.asarray(check_states)),
+                                tau, _shard(check_states),
                                 unit_maxes, int(max_refinement),
                                 grid.ndim, margin=m_chunk))[:hi - j]
                         # A state passes if its COARSE check passed (the
@@ -970,6 +1008,17 @@ class Lyapunov:
         """
         grid = self.discretization
         nindex = grid.nindex
+        if self.mesh is not None:
+            from .parallel.distributed import (is_multiprocess_mesh,
+                                               sharded_certified_level)
+
+            if is_multiprocess_mesh(self.mesh):
+                # Plain device_put cannot address remote devices; the
+                # multi-host fused form builds its global arrays from
+                # per-process shard callbacks.
+                sharded_certified_level(self, self.mesh,
+                                        can_shrink=can_shrink)
+                return
         initial = (self.initial_safe_set
                    if self.initial_safe_set is not None
                    else np.zeros(nindex, dtype=bool))

@@ -85,7 +85,7 @@ def lift64(fn):
 @contextlib.contextmanager
 def _oracle_env():
     """Float64 tracing on the CPU backend, Pallas fast paths off."""
-    cpus = [d for d in jax.devices("cpu")] if _has_cpu_backend() else []
+    cpus = _local_cpus()
     use_pallas = config.use_pallas
     config.use_pallas = False
     try:
@@ -99,11 +99,21 @@ def _oracle_env():
         config.use_pallas = use_pallas
 
 
-def _has_cpu_backend():
+def _local_cpus():
+    """Process-LOCAL CPU devices (may be empty on CPU-less backends).
+
+    ``jax.devices('cpu')`` returns the *global* list under
+    ``jax.distributed``; pinning the oracle island to another process's
+    device would make every oracle output non-addressable here.
+    """
     try:
-        return bool(jax.devices("cpu"))
+        return jax.local_devices(backend="cpu")
     except RuntimeError:
-        return False
+        return []
+
+
+def _has_cpu_backend():
+    return bool(_local_cpus())
 
 
 def oracle_margins(lyapunov, states, tau=None):

@@ -33,7 +33,52 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 __all__ = ["initialize_distributed", "make_global_mesh", "global_array",
            "global_grid_points", "is_coordinator", "fetch_global",
+           "put_global", "broadcast_from_coordinator",
+           "is_multiprocess_mesh",
            "sharded_decrease_check", "sharded_certified_level"]
+
+
+def is_multiprocess_mesh(mesh):
+    """Whether ``mesh`` spans devices of more than one process.
+
+    Multi-process meshes need the callback/allgather data paths below
+    (``put_global`` / ``fetch_global``) instead of plain ``device_put``
+    / ``np.asarray``, which only address local devices.
+    """
+    if mesh is None:
+        return False
+    procs = {d.process_index for d in mesh.devices.flat}
+    return len(procs) > 1
+
+
+def put_global(host_array, sharding):
+    """Place a host-replicated array onto a (possibly global) sharding.
+
+    Every process is expected to hold the SAME full ``host_array`` (the
+    SPMD multi-host pattern: host logic replicated, device programs
+    global); each process materializes only its addressable shards.
+    Single-process shardings take the plain ``device_put`` fast path.
+    """
+    if not is_multiprocess_mesh(sharding.mesh):
+        return jax.device_put(host_array, sharding)
+    host_array = np.asarray(host_array)
+    return jax.make_array_from_callback(host_array.shape, sharding,
+                                        lambda idx: host_array[idx])
+
+
+def broadcast_from_coordinator(tree):
+    """Broadcast a host pytree from process 0 to every process.
+
+    The multi-host form of "gate RNG-dependent host state on the
+    coordinator": process 0's value wins everywhere (e.g. the chosen
+    exploration samples and their measurements), so per-process RNG
+    streams can never diverge the learned state. No-op single-process.
+    """
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.broadcast_one_to_all(tree)
 
 
 def initialize_distributed(coordinator_address=None, num_processes=None,
@@ -140,13 +185,15 @@ def sharded_decrease_check(lyapunov, mesh):
     return negative, values
 
 
-def sharded_certified_level(lyapunov, mesh):
+def sharded_certified_level(lyapunov, mesh, can_shrink=True):
     """Full multi-host certified-level update; returns (safe, c_max).
 
     Runs the fused update (decrease check + O(n) level reduction) on the
     globally sharded grid and materializes the resulting safe set on
     every host. ``lyapunov.safe_set`` / ``c_max`` are updated like
-    ``update_safe_set(can_shrink=True)``.
+    ``update_safe_set(can_shrink=can_shrink)``. Every process must hold
+    the same host-side safe-set state (the SPMD pattern; gate
+    RNG-dependent updates on :func:`is_coordinator` and broadcast).
     """
     from ..lyapunov import _fused_update
 
@@ -154,10 +201,12 @@ def sharded_certified_level(lyapunov, mesh):
     # margin on the plain multi-host pipeline (advisor r3 finding #3).
     lyapunov._require_f32_margin()
     grid = lyapunov.discretization
-    points = global_grid_points(grid, mesh)
     initial = (np.asarray(lyapunov.initial_safe_set)
                if lyapunov.initial_safe_set is not None
                else np.zeros(grid.nindex, dtype=bool))
+    if not can_shrink:
+        initial = initial | np.asarray(lyapunov.safe_set)
+    points = global_grid_points(grid, mesh)
     exempt = global_array((grid.nindex,), np.bool_, mesh,
                           lambda index: initial[index])
     safe_dev, c_max, values, any_safe = _fused_update(
