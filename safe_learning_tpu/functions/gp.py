@@ -1243,49 +1243,72 @@ def _stacked_cache(gp, host_out=None):
 # Hyperparameter fitting
 # ---------------------------------------------------------------------------
 def fit_gp_hyperparameters(gp, steps=150, learning_rate=0.05,
-                           optimize_noise=True, min_noise=None):
+                           optimize_noise=True, min_noise=None,
+                           method="adam", bounds=None):
     """Fit kernel hyperparameters by maximizing the log marginal likelihood.
 
-    Adam in log-space over every (positive) kernel leaf and, optionally,
-    the noise variance — the capability the reference obtained through
-    gpflow's ``optimize()`` behind ``functions.py:461-546`` (its notebooks
-    never called it; here it completes the GP stack). The optimization is
-    one jitted step re-used across iterations; the returned GP has the
-    fitted hyperparameters and a refreshed Cholesky cache.
+    Optimizes in log-space over every (positive) kernel leaf and,
+    optionally, the noise variance — the capability the reference
+    obtained through gpflow's ``optimize()`` behind
+    ``functions.py:461-546`` (second-order scipy L-BFGS-B with positive
+    transforms and optional bounds; its notebooks never called it). Two
+    optimizers: ``method="adam"`` runs one jitted first-order step
+    re-used across iterations (all on device); ``method="lbfgs"``
+    mirrors gpflow — host-side ``scipy.optimize`` L-BFGS-B driven by the
+    same jitted value-and-gradient, with optional box ``bounds`` on the
+    kernel leaves. The returned GP has the fitted hyperparameters and a
+    refreshed Cholesky cache.
 
     Parameters
     ----------
     gp : GaussianProcess
     steps : int
-        Number of Adam steps.
+        Number of Adam steps / L-BFGS-B iteration cap.
     learning_rate : float
+        Adam step size (ignored by L-BFGS-B).
     optimize_noise : bool
         Also fit the observation-noise variance.
     min_noise : float, optional
         Lower bound on the fitted noise variance (defaults to 1e-8 in
         float64 mode and 1e-6 in float32, where the on-device Cholesky
         inside the likelihood needs the better conditioning).
+    method : {"adam", "lbfgs"}
+    bounds : (lo, hi), optional
+        Positive box constraint applied to EVERY kernel leaf in its
+        original (not log) space — the gpflow-transform analogue for
+        keeping a delicate marginal likelihood away from degenerate
+        lengthscales. L-BFGS-B enforces it exactly; Adam clips after
+        each step.
 
     Returns
     -------
     fitted : GaussianProcess
     history : ndarray
-        Negative log marginal likelihood per step.
+        Negative log marginal likelihood per step / L-BFGS-B evaluation.
 
     Notes
     -----
     A :class:`StackedGaussianProcess` is also accepted: its outputs are
     independent GPs, so each is fitted separately and re-batched; the
-    returned history is the summed per-output NLL.
+    returned history is the summed per-output NLL (padded with each
+    member's final value when iteration counts differ).
     """
+    if method not in ("adam", "lbfgs"):
+        raise ValueError("method must be 'adam' or 'lbfgs', got "
+                         + repr(method))
     if isinstance(gp, StackedGaussianProcess):
         fitted_members, histories = [], []
         for member in gp.unstack():
             fitted_member, history = fit_gp_hyperparameters(
                 member, steps=steps, learning_rate=learning_rate,
-                optimize_noise=optimize_noise, min_noise=min_noise)
+                optimize_noise=optimize_noise, min_noise=min_noise,
+                method=method, bounds=bounds)
             fitted_members.append(fitted_member)
             histories.append(history)
+        width = max(len(h) for h in histories)
+        histories = [np.concatenate([h, np.full(width - len(h),
+                                                h[-1] if len(h) else 0.0)])
+                     for h in histories]
         return (StackedGaussianProcess.from_gps(fitted_members),
                 np.sum(histories, axis=0))
 
@@ -1316,6 +1339,70 @@ def fit_gp_hyperparameters(gp, steps=150, learning_rate=0.05,
                                          gp.Y_buf, gp.mean_function,
                                          gp.count)
 
+    if method == "lbfgs":
+        import scipy.optimize
+
+        sizes = [int(np.prod(np.shape(leaf))) for leaf in state["kernel"]]
+        shapes = [np.shape(leaf) for leaf in state["kernel"]]
+
+        def to_vector(state):
+            parts = [np.asarray(leaf, np.float64).ravel()
+                     for leaf in state["kernel"]]
+            parts.append(np.asarray(state["noise"],
+                                    np.float64).reshape(1))
+            return np.concatenate(parts)
+
+        def from_vector(vec):
+            out, off = [], 0
+            for size, shape in zip(sizes, shapes):
+                out.append(jnp.asarray(vec[off:off + size],
+                                       dtype=config.dtype).reshape(shape))
+                off += size
+            return {"kernel": out,
+                    "noise": jnp.asarray(vec[off], dtype=config.dtype)}
+
+        value_and_grad = jax.jit(jax.value_and_grad(nll))
+        history = []
+
+        def objective(vec):
+            loss, grads = value_and_grad(from_vector(vec))
+            history.append(float(loss))
+            return float(loss), to_vector(grads)
+
+        box = None
+        if bounds is not None:
+            lo = float(np.log(max(float(bounds[0]), 1e-12)))
+            hi = float(np.log(float(bounds[1])))
+            box = [(lo, hi)] * sum(sizes) + [(None, None)]
+        elif not optimize_noise:
+            box = [(None, None)] * (sum(sizes) + 1)
+        if not optimize_noise and box is not None:
+            x0_noise = float(np.asarray(state["noise"], np.float64))
+            box[-1] = (x0_noise, x0_noise)  # pin the noise coordinate
+
+        result = scipy.optimize.minimize(
+            objective, to_vector(state), jac=True, method="L-BFGS-B",
+            bounds=box, options={"maxiter": int(steps)})
+        state = from_vector(result.x)
+        kernel, noise = unpack(state)
+        fitted = gp.replace(kernel=kernel,
+                            noise_variance=jnp.asarray(
+                                noise, dtype=config.dtype))
+        chol, chol_inv, alpha = _gp_cache(fitted)
+        return (fitted.replace(chol=chol, chol_inv=chol_inv,
+                               alpha=alpha), np.asarray(history))
+
+    def clip_kernel(state):
+        """Project the kernel leaves onto the (log-space) box."""
+        if bounds is None:
+            return state
+        lo = jnp.log(jnp.asarray(max(float(bounds[0]), 1e-12),
+                                 dtype=config.dtype))
+        hi = jnp.log(jnp.asarray(float(bounds[1]), dtype=config.dtype))
+        return {"kernel": [jnp.clip(leaf, lo, hi)
+                           for leaf in state["kernel"]],
+                "noise": state["noise"]}
+
     try:
         import optax
 
@@ -1330,7 +1417,8 @@ def fit_gp_hyperparameters(gp, steps=150, learning_rate=0.05,
         def step(state, opt_state):
             loss, grads = jax.value_and_grad(nll)(state)
             updates, opt_state = opt.update(grads, opt_state)
-            return optax.apply_updates(state, updates), opt_state, loss
+            return (clip_kernel(optax.apply_updates(state, updates)),
+                    opt_state, loss)
 
         history = np.empty(steps)
         for i in range(steps):
@@ -1342,7 +1430,7 @@ def fit_gp_hyperparameters(gp, steps=150, learning_rate=0.05,
             loss, grads = jax.value_and_grad(nll)(state)
             new = jax.tree_util.tree_map(
                 lambda w, g: w - learning_rate * g, state, grads)
-            return new, loss
+            return clip_kernel(new), loss
 
         history = np.empty(steps)
         for i in range(steps):
