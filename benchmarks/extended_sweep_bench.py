@@ -143,6 +143,38 @@ def main():
         "safe_fraction_mean": float(np.mean(np.asarray(fr)))}),
         flush=True)
 
+    # Plain (f32, single-word) sweep on the SAME instance and batch:
+    # the honest denominator for the double-word pipeline's measured
+    # cost (the roofline's ~30x flops estimate counts operations, not
+    # the VPU-scan serialization the relay actually executes).
+    from safe_learning_tpu.lyapunov import _negative_batch
+
+    @partial(jax.jit, static_argnames=("reps",))
+    def chain_plain(pts, reps):
+        def body(carry, _):
+            shift = carry
+            shifted = pts * (1.0 + 1e-6 * shift)
+            neg, _, _ = _negative_batch(
+                lyap.policy, lyap.dynamics, lyap.lyapunov_function,
+                lyap._lipschitz_lyapunov, lyap._lipschitz_dynamics,
+                lyap.tau, shifted)
+            return jnp.mean(neg.astype(jnp.float32)), None
+        frac, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
+        return frac
+
+    fp = chain_plain(base_dev, reps=args.reps)
+    fp.block_until_ready()
+    t0 = time.time()
+    fp = chain_plain(base_dev, reps=args.reps)
+    fp.block_until_ready()
+    dt_plain = time.time() - t0
+    print(json.dumps({
+        "section": "plain_throughput", "points": args.points,
+        "reps": args.reps, "seconds": round(dt_plain, 3),
+        "checks_per_sec": args.points * args.reps / dt_plain,
+        "ns_per_point": dt_plain / (args.reps * args.points) * 1e9,
+        "extended_cost_ratio": dt / dt_plain}), flush=True)
+
     if not args.no_oracle:
         from safe_learning_tpu.oracle import oracle_margins
 
