@@ -1,10 +1,14 @@
 """Randomized soak of the extended-precision certificate (RUN_SLOW).
 
 Draws verification instances across the supported family space —
-candidate form (quadratic / PWL), kernel trees (stationary families,
-Linear, ActiveDims/sums/products), noise levels spanning well- to
-ill-conditioned, single and stacked GPs, Saturation policies — and for
-each asserts the full soundness chain:
+candidate form (quadratic / PWL / LyapunovNetwork / negated PWL),
+policies (linear / Saturation / NeuralNetwork MLP), kernel trees
+(stationary families, Linear, ActiveDims/sums/products), noise levels
+spanning well- to ill-conditioned, single and stacked GPs, and
+deterministic (pendulum) dynamics at ``tau = 0`` — including the two
+flagship shapes (NeurIPS-17 NN-policy, CoRL-18 NN-candidate) the
+round-4 neural extension added — and for each asserts the full
+soundness chain:
 
 1. derived extended margin DOMINATES the measured full-grid
    df-vs-f64-oracle deviation;
@@ -34,8 +38,35 @@ pytestmark = pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
                                 reason="soak test (set RUN_SLOW=1)")
 
 
+sys.path.insert(0, os.path.dirname(__file__))
+
+from test_extended_neural import (_corl_like_instance,  # noqa: E402
+                                  _neurips_like_instance)
+
+
 def _random_soak_instance(rng):
-    """One random instance across the supported family space."""
+    """One random instance across the supported family space.
+
+    With probability ~0.3 one of the two NEURAL flagship shapes is
+    drawn (randomized seed/size) so the soak exercises the round-4
+    extension — NeuralNetwork policies, LyapunovNetwork / negated-PWL
+    candidates, GradientNorm local ``L_v``, deterministic dynamics at
+    ``tau = 0`` — under the same containment assertions.
+    """
+    roll = rng.random()
+    if roll < 0.15:
+        n = 13 + 2 * int(rng.integers(0, 4))
+        return _neurips_like_instance(seed=int(rng.integers(1 << 16)),
+                                      n_grid=(n, n - 4)), None
+    if roll < 0.3:
+        return _corl_like_instance(seed=int(rng.integers(1 << 16)),
+                                   n_grid=int(rng.integers(17, 29)),
+                                   layer_dims=(8, 8)), None
+    return _classic_soak_instance(rng)
+
+
+def _classic_soak_instance(rng):
+    """A random GP instance over the quadratic/PWL candidate family."""
     n = int(rng.integers(25, 45))
     grid = sl.GridWorld([[-1.0, 1.0], [-1.0, 1.0]], n)
     raw = rng.normal(size=(2, 2))
