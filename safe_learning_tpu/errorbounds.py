@@ -221,15 +221,20 @@ def _iv_matmul(a, w, u, bias=None, dw=None):
 
 
 def _iv_sin(a, u):
-    """sin is 1-Lipschitz and |sin| <= 1 (same rule serves cos)."""
+    """sin is 1-Lipschitz and |sin| <= 1 (same rule serves cos).
+
+    The own-rounding anchor transports the anchor invariant through the
+    activation: ``|sin(in_any)| <= |sin(v)| + 2 e`` (``|in_any - v| <=
+    2 e``: one ``e`` to the exact input, one from ``v`` being itself a
+    realization), capped at 1."""
     v = jnp.sin(a[0])
-    mag = jnp.minimum(jnp.abs(v) + a[1], 1.0)
+    mag = jnp.minimum(jnp.abs(v) + 2.0 * a[1], 1.0)
     return v, jnp.minimum(a[1], 2.0) + u * mag
 
 
 def _iv_cos(a, u):
     v = jnp.cos(a[0])
-    mag = jnp.minimum(jnp.abs(v) + a[1], 1.0)
+    mag = jnp.minimum(jnp.abs(v) + 2.0 * a[1], 1.0)
     return v, jnp.minimum(a[1], 2.0) + u * mag
 
 
@@ -270,7 +275,10 @@ def _iv_activation(a, name, u):
     v = fn(a[0])
     if name == "relu":
         return v, a[1]
-    mag = jnp.abs(v) + lip * a[1]
+    # Anchor on |act(in_any)|: the input invariant is |in_any - v| <= 2e
+    # (one e to the exact input, one from v being itself a realization),
+    # so |act(in_any)| <= |act(v)| + 2 lip e, capped at the range bound.
+    mag = jnp.abs(v) + 2.0 * lip * a[1]
     if cap is not None:
         mag = jnp.minimum(mag, cap)
     return v, lip * a[1] + u * mag
@@ -591,15 +599,7 @@ def _candidate_model(v_fun, d, u):
         return v_mag_err
 
     if isinstance(v_fun, MultipliedFunction):
-        f1, f2 = v_fun.fun1, v_fun.fun2
-        if isinstance(f1, ConstantFunction) and np.size(f1.constant) == 1:
-            const, inner = f1, f2
-        elif isinstance(f2, ConstantFunction) and np.size(f2.constant) == 1:
-            const, inner = f2, f1
-        else:
-            raise NotImplementedError(
-                "analytic margin supports MultipliedFunction candidates "
-                "only with one scalar-constant factor")
+        const, inner = v_fun.split_scalar_factor("analytic margin")
         inner_rule = _candidate_model(inner, d, u)
         c_abs = abs(float(np.asarray(const.constant)))
 
@@ -1051,9 +1051,13 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
 
     lfm = None
     lf = 0.0
-    if isinstance(lyapunov._lipschitz_dynamics, (int, float, np.floating,
-                                                 np.integer)):
-        lf = float(lyapunov._lipschitz_dynamics)
+    lf_raw = lyapunov._lipschitz_dynamics
+    if isinstance(lf_raw, ConstantFunction) and np.size(lf_raw.constant) == 1:
+        # Valid for the plain sweep via _eval_lipschitz; unwrap it here
+        # the same way the extended sweep's baked-scalar path does.
+        lf_raw = np.asarray(lf_raw.constant).reshape(()).item()
+    if isinstance(lf_raw, (int, float, np.floating, np.integer)):
+        lf = float(lf_raw)
     elif lf_model is not None:
         lfm = lf_model
         lf_lip = jnp.asarray(lfm.input_lipschitz, dtype=config.dtype)

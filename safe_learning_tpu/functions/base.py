@@ -316,6 +316,27 @@ class MultipliedFunction(Function):
         """Evaluate the function at ``points``."""
         return self.fun1.evaluate(points) * self.fun2.evaluate(points)
 
+    def split_scalar_factor(self, error_prefix):
+        """Split into ``(scalar_constant, inner_function)`` or raise.
+
+        The rigor pipelines (extended sweep, analytic margins) support
+        products only when exactly one factor is a scalar
+        :class:`ConstantFunction` (e.g. ``-value_function``, the
+        NeurIPS-17 flagship candidate); both callers share this
+        extraction so the support matrix cannot drift.
+
+        Raises ``NotImplementedError`` (prefixed with *error_prefix*)
+        otherwise.
+        """
+        f1, f2 = self.fun1, self.fun2
+        if isinstance(f1, ConstantFunction) and np.size(f1.constant) == 1:
+            return f1, f2
+        if isinstance(f2, ConstantFunction) and np.size(f2.constant) == 1:
+            return f2, f1
+        raise NotImplementedError(
+            error_prefix + " supports MultipliedFunction candidates "
+            "only with one scalar-constant factor")
+
 
 @register_pytree
 class GradientNorm(DeterministicFunction):

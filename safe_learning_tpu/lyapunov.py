@@ -686,10 +686,23 @@ class Lyapunov:
             lf_key = float(lf)
         except (TypeError, ValueError):
             lf_key = id(lf)
+
+        def _matrix_key(m):
+            # The L_v / L_f linear-form models are baked into the
+            # compiled sweep; key them by VALUE so replacing either
+            # matrix rebuilds instead of silently certifying with the
+            # stale model.
+            if m is None:
+                return None
+            arr = np.asarray(m)
+            return (arr.shape, str(arr.dtype), arr.tobytes())
+
         key = (id(self.dynamics), int(getattr(self.dynamics, "count", -1)),
                id(self.policy), id(self.lyapunov_function),
                id(self._lipschitz_lyapunov),
-               lf_key, self.tau)
+               lf_key, self.tau,
+               _matrix_key(self.extended_lv_matrix),
+               _matrix_key(self.extended_lf_matrix))
         if self._ext_sweep is None or self._ext_sweep_key != key:
             self._ext_sweep = ExtendedSweep(
                 self, lv_matrix=self.extended_lv_matrix,

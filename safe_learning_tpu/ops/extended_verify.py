@@ -123,12 +123,6 @@ def _consts():
 _split_np = df_from_f64
 
 
-def _df_abs(x):
-    """|x| on double-word pairs (exact: sign flip only)."""
-    neg = (x[0] < 0) | ((x[0] == 0) & (x[1] < 0))
-    return df_select(neg, df_neg(x), x)
-
-
 def _df_maximum(x, c):
     """Elementwise max of a pair with a (broadcast) pair ``c``."""
     lt = df_less(x, c)
@@ -529,15 +523,7 @@ def _compile_candidate(v_fun, params):
         return fn, ("quad", int(np.asarray(v_fun.matrix).shape[0]))
 
     if isinstance(v_fun, MultipliedFunction):
-        f1, f2 = v_fun.fun1, v_fun.fun2
-        if isinstance(f1, ConstantFunction) and np.size(f1.constant) == 1:
-            const, inner = f1, f2
-        elif isinstance(f2, ConstantFunction) and np.size(f2.constant) == 1:
-            const, inner = f2, f1
-        else:
-            raise NotImplementedError(
-                "extended sweep supports MultipliedFunction candidates "
-                "only with one scalar-constant factor")
+        const, inner = v_fun.split_scalar_factor("extended sweep")
         inner_fn, isig = _compile_candidate(inner, params)
         idx = len(params)
         params.append((_split_np(np.float64(np.asarray(const.constant))),))
@@ -662,7 +648,7 @@ def _compile_lv(lipschitz_lyapunov, lv_matrix, d, params):
     params.append((_split_np(g.T),))
 
     def fn(lp, x):
-        return _df_abs(df_matmul(x, lp[idx][0]))
+        return df_abs(df_matmul(x, lp[idx][0]))
     return fn, ("linabs", g.shape), int(g.shape[0])
 
 
@@ -777,7 +763,7 @@ def _compile_gradnorm_pwl(lv, d, params):
             term = (onehot[:, :, k] * dh[:, k][:, None],
                     onehot[:, :, k] * dl[:, k][:, None])
             gh, gl = df_add((gh, gl), term)
-        g = _df_abs(df_mul((gh, gl), (inv_unit[0][None, :],
+        g = df_abs(df_mul((gh, gl), (inv_unit[0][None, :],
                                       inv_unit[1][None, :])))
 
         # Ambiguity trigger on the f32 hi coordinates (the trigger band
@@ -861,7 +847,7 @@ def _compile_lf(lipschitz_dynamics, lf_matrix, d, params):
     params.append((_split_np(h.T),))
 
     def fn(lp, x):
-        return _df_abs(df_matmul(x, lp[idx][0]))
+        return df_abs(df_matmul(x, lp[idx][0]))
     return fn, ("linabs_lf", h.shape)
 
 
@@ -1193,21 +1179,34 @@ class ExtendedSweep:
             self._spotcheck_lv(lyapunov, lv_matrix, dv)
         self._requires_zero_tau = lv_trivial
 
-        lf_fn, lfsig = _compile_lf(lyapunov._lipschitz_dynamics,
-                                   lf_matrix, d, fparams)
-        if lf_fn is None:
-            try:
-                # Any real scalar (python float, int, numpy scalar).
-                one_plus_lf = _split_np(
-                    1.0 + np.float64(lyapunov._lipschitz_dynamics))
-            except (TypeError, ValueError):
-                raise NotImplementedError(
-                    "extended sweep needs a scalar L_f (or a callable "
-                    "with an lf_matrix model / a GradientNorm of a "
-                    "Triangulation)")
-        else:
+        if lv_trivial:
+            # The threshold is exactly zero: L_f multiplies nothing, so
+            # the sweep accepts any L_f without compiling or modeling it
+            # (mirrors the L_v elision above).
+            lf_fn, lfsig = None, ("zero_tau",)
             one_plus_lf = _split_np(0.0)  # unused placeholder
-            self._spotcheck_lf(lyapunov, lf_matrix)
+        else:
+            lf_fn, lfsig = _compile_lf(lyapunov._lipschitz_dynamics,
+                                       lf_matrix, d, fparams)
+            if lf_fn is None:
+                lf_scalar = lyapunov._lipschitz_dynamics
+                if isinstance(lf_scalar, ConstantFunction):
+                    # Valid for the plain sweep via _eval_lipschitz;
+                    # the baked scalar path serves it here.
+                    lf_scalar = np.asarray(lf_scalar.constant)
+                try:
+                    # Any real scalar (python float, int, numpy scalar,
+                    # size-1 array).
+                    one_plus_lf = _split_np(1.0 + np.asarray(
+                        lf_scalar, dtype=np.float64).reshape(()).item())
+                except (TypeError, ValueError):
+                    raise NotImplementedError(
+                        "extended sweep needs a scalar L_f (or a "
+                        "callable with an lf_matrix model / a "
+                        "GradientNorm of a Triangulation)")
+            else:
+                one_plus_lf = _split_np(0.0)  # unused placeholder
+                self._spotcheck_lf(lyapunov, lf_matrix)
 
         if det:
             dyn_fn, dsig = _compile_dynamics_det(lyapunov.dynamics,
@@ -1304,7 +1303,7 @@ class ExtendedSweep:
                     thr = (jnp.zeros((n,), _F32), jnp.zeros((n,), _F32))
                     return dec, thr
                 lvx = lv_fn(params["lv"], (xh, xl))
-                lt = (_sum_cols(_df_abs(lvx)) if dv > 1
+                lt = (_sum_cols(df_abs(lvx)) if dv > 1
                       else (lvx[0][:, 0], lvx[1][:, 0]))
                 if lf_fn is None:
                     opl = params["one_plus_lf"]
@@ -1357,7 +1356,7 @@ class ExtendedSweep:
                 mean = _concat_pairs([o[0] for o in outs])
                 err = _concat_pairs([o[1] for o in outs])
                 vn = v_fn(params["v"], mean)
-                lvn = _df_abs(lv_fn(params["lv"], mean))
+                lvn = df_abs(lv_fn(params["lv"], mean))
                 if dv == 1:
                     serr = (_sum_cols(err) if err[0].shape[1] > 1
                             else (err[0][:, 0], err[1][:, 0]))

@@ -441,3 +441,18 @@ def test_mlp_policy_f32_derived_margin():
                    - np.asarray(thr, np.float64)).ravel()
     worst = float(np.max(np.abs(margins_dev - oracle_margins(lyap, pts))))
     assert margin >= worst, (margin, worst)
+
+
+def test_zero_tau_sweep_accepts_any_lf():
+    """At ``tau == 0`` (deterministic) the threshold is exactly zero, so
+    L_f multiplies nothing: the sweep must accept a callable L_f — the
+    form the CoRL-18 flagship naturally passes — without demanding a
+    scalar or an lf_matrix model (round-4 review)."""
+    lyap = _corl_like_instance()
+    pts = np.asarray(lyap.discretization.all_points[:32], np.float32)
+    dec_scalar = np.asarray(lyap._get_extended_sweep().negative_batch(pts))
+    lyap._lipschitz_dynamics = sl.LambdaFunction(
+        lambda x: jnp.ones_like(x[:, :1]))
+    dec_callable = np.asarray(
+        lyap._get_extended_sweep().negative_batch(pts))
+    np.testing.assert_array_equal(dec_scalar, dec_callable)

@@ -470,3 +470,38 @@ def test_extended_sweep_cache_keys_numpy_scalar_lf_by_value():
     assert lyap._get_extended_sweep() is sweep_a
     lyap._lipschitz_dynamics = np.float32(lf * 2.0)
     assert lyap._get_extended_sweep() is not sweep_a
+
+
+def test_extended_sweep_cache_rebuilds_on_matrix_value_change():
+    """The L_v / L_f linear-form models are baked into the compiled
+    sweep as constants: replacing ``extended_lv_matrix`` with a
+    different-valued matrix must rebuild instead of silently certifying
+    with the stale model, even when the callable L_v object keeps its
+    identity (its parameters updated in place, the refit scenario); an
+    equal-valued new matrix object reuses the cache (round-4 review)."""
+    lyap = _ill_conditioned_instance()
+    scale = {"v": 2.0}
+    lyap._lipschitz_lyapunov = sl.LambdaFunction(
+        lambda x: scale["v"] * jnp.abs(x))
+    lyap.extended_lv_matrix = np.array(_LV_MAT)
+    sweep_a = lyap._get_extended_sweep()
+    lyap.extended_lv_matrix = np.array(_LV_MAT)  # new object, same value
+    assert lyap._get_extended_sweep() is sweep_a
+    # In-place refit: same callable id, new linear form.
+    scale["v"] = 3.0
+    lyap.extended_lv_matrix = 1.5 * np.asarray(_LV_MAT)
+    assert lyap._get_extended_sweep() is not sweep_a
+
+
+def test_extended_sweep_accepts_constant_function_lf():
+    """A ``ConstantFunction`` L_f (valid for the plain sweep through
+    ``_eval_lipschitz``) compiles through the baked-scalar path and
+    certifies identically to the raw scalar (round-4 review)."""
+    lyap = _ill_conditioned_instance()
+    lyap.extended_lv_matrix = _LV_MAT
+    pts = np.asarray(lyap.discretization.all_points[:64], np.float32)
+    dec_scalar = np.asarray(lyap._get_extended_sweep().negative_batch(pts))
+    lf = float(lyap._lipschitz_dynamics)
+    lyap._lipschitz_dynamics = sl.ConstantFunction(lf)
+    dec_const = np.asarray(lyap._get_extended_sweep().negative_batch(pts))
+    np.testing.assert_array_equal(dec_scalar, dec_const)
