@@ -17,7 +17,7 @@ from .functions import (AddedFunction, ConstantFunction,
                         PiecewiseConstant, QuadraticFunction, RBFNetwork,
                         GradientNorm, Saturation, Triangulation,
                         UncertainFunction)
-from .functions.gp import (ActiveDims, GaussianProcess,
+from .functions.gp import (ActiveDims, GaussianProcess, GPRCached,
                            GPSampledFunction, LinearKernel,
                            StackedSampledFunction,
                            Matern12, Matern32, Matern52, RBF,
@@ -42,7 +42,8 @@ __all__ = [
     "MultipliedFunction", "NeuralNetwork", "PiecewiseConstant",
     "GradientNorm", "QuadraticFunction", "RBFNetwork", "Saturation",
     "Triangulation",
-    "UncertainFunction", "GaussianProcess", "StackedGaussianProcess",
+    "UncertainFunction", "GaussianProcess", "GPRCached",
+    "StackedGaussianProcess",
     "GPSampledFunction", "StackedSampledFunction",
     "ActiveDims", "LinearKernel", "Matern12", "Matern32", "Matern52", "RBF",
     "fit_gp_hyperparameters", "sample_gp_function", "Lyapunov",

@@ -43,8 +43,8 @@ from .base import (DeterministicFunction, Function, UncertainFunction,
 __all__ = [
     "Kernel", "RBF", "Matern12", "Matern32", "Matern52", "LinearKernel",
     "ActiveDims", "SumKernel", "ProductKernel", "GaussianProcess",
-    "StackedGaussianProcess", "sample_gp_function", "GPSampledFunction",
-    "fit_gp_hyperparameters",
+    "GPRCached", "StackedGaussianProcess", "sample_gp_function",
+    "GPSampledFunction", "fit_gp_hyperparameters",
 ]
 
 
@@ -572,6 +572,15 @@ class GaussianProcess(UncertainFunction):
         new = new.replace(chol=chol, chol_inv=chol_inv, alpha=alpha)
         object.__setattr__(new, "_host_cache", host_new)
         return new
+
+
+#: Reference-parity alias. The reference splits the GP stack in two —
+#: ``GPRCached``, a gpflow GPR holding a cached Cholesky factor
+#: (reference ``functions.py:357-438``), wrapped by its
+#: ``GaussianProcess`` UncertainFunction — while here the cached factor
+#: (``chol``, ``chol_inv``, ``alpha``) IS the core of the one class, so
+#: the two reference names resolve to the same type.
+GPRCached = GaussianProcess
 
 
 @jax.jit

@@ -17,6 +17,8 @@ import numpy as np
 import scipy.linalg
 
 from .config import config
+from .functions.base import concatenate_inputs  # noqa: F401  (re-export:
+# the reference keeps this in utilities, ``utilities.py:162-208``)
 
 __all__ = [
     "batchify", "combinations", "linearly_spaced_combinations", "lqr",
@@ -25,6 +27,7 @@ __all__ = [
     "balanced_confusion_weights", "constrained_batch_sampler",
     "add_weight_constraint", "gradient_clipping", "monomials",
     "derivative_monomials", "TrackedMask", "tracked_mask",
+    "concatenate_inputs",
 ]
 
 

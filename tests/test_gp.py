@@ -661,3 +661,12 @@ def test_sample_gp_function_truncation_pairing_stable():
     # they stay essentially the same function.
     corr = np.corrcoef(a, b)[0, 1]
     assert corr > 0.99
+
+
+def test_gprcached_is_reference_parity_alias():
+    """Reference exposes GPRCached (functions.py:357-438) separately from
+    its GaussianProcess wrapper; here the cached factor is the core of
+    the one class, and both names must resolve to it."""
+    import safe_learning_tpu as sl
+    from safe_learning_tpu.functions.gp import GPRCached
+    assert GPRCached is sl.GaussianProcess is sl.GPRCached

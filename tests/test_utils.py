@@ -208,3 +208,13 @@ def test_tracked_mask_copies_plain_input():
     plain = np.array(m)
     plain[1] = False
     assert m.mutations == 1 and not isinstance(plain, TrackedMask)
+
+
+def test_concatenate_inputs_reexported_in_utils():
+    """The reference keeps concatenate_inputs in utilities
+    (utilities.py:162-208); porters must find it under utils too."""
+    import numpy as np
+    from safe_learning_tpu import functions, utils
+    assert utils.concatenate_inputs is functions.concatenate_inputs
+    out = utils.concatenate_inputs(np.zeros((3, 2)), np.ones((3, 1)))
+    assert out.shape == (3, 3)
