@@ -144,10 +144,21 @@ def test_extended_soak_containment_and_domination(seed):
     margin = extended_certificate_margin(lyap, lv_matrix=lv_matrix)
     sweep = ExtendedSweep(lyap, lv_matrix=lv_matrix)
     pts = np.asarray(lyap.discretization.all_points, np.float32)
-    worst = float(np.max(np.abs(sweep.margins(pts)
-                                - oracle_margins(lyap, pts))))
+    m_dw = np.asarray(sweep.margins(pts), np.float64)
+    m_or = oracle_margins(lyap, pts)
+    worst = float(np.max(np.abs(m_dw - m_or)))
     assert margin >= worst, (margin, worst)
-    assert worst < 1e-5, worst
+    # Accuracy is ONE-SIDED on PWL instances: inside the 2^-10
+    # face-ambiguity trigger band (_PWL_GRAD_DELTA) the pipeline
+    # deliberately inflates to the cell-max gradient, so a point whose
+    # next state lands within the band deviates CONSERVATIVELY (m_dw >
+    # m_or) by up to the gradient jump — seed 5 draws exactly this
+    # (f(x) at 9.5e-4 of a face). The anti-conservative side is pure
+    # double-word arithmetic and must stay at oracle accuracy; the
+    # conservative outliers must stay as rare as the band is narrow.
+    assert float(np.max(m_or - m_dw)) < 1e-5
+    outliers = (m_dw - m_or) > 1e-5
+    assert float(outliers.mean()) < 0.02, float(outliers.mean())
 
     lyap.update_safe_set(extended=True)
     safe64, c64 = oracle_safe_set(lyap)
