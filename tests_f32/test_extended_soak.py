@@ -62,7 +62,36 @@ def _random_soak_instance(rng):
         return _corl_like_instance(seed=int(rng.integers(1 << 16)),
                                    n_grid=int(rng.integers(17, 29)),
                                    layer_dims=(8, 8)), None
+    if roll < 0.4:
+        return _det_soak_instance(rng)
     return _classic_soak_instance(rng)
+
+
+def _det_soak_instance(rng):
+    """A deterministic plant (VanDerPol or CartPole) at ``tau > 0``:
+    the Euler/trig df dynamics programs under the same soundness chain."""
+    if rng.random() < 0.5:
+        dyn = sl.VanDerPol(damping=float(rng.uniform(0.6, 1.4)), dt=0.01)
+        grid = sl.GridWorld([[-1.2, 1.2]] * 2, int(rng.integers(13, 25)))
+        policy = sl.LinearSystem(np.zeros((0, 2)))  # autonomous
+        v = sl.QuadraticFunction(np.diag(rng.uniform(0.5, 1.5, 2)))
+        lf, lv = 0.6, float(rng.uniform(1.0, 3.0))
+    else:
+        norms = ((0.5, np.deg2rad(20), 1.0, 1.0), (5.0,))
+        dyn = sl.CartPole(0.1, 1.0, 0.5, rot_friction=0.01, dt=0.01,
+                          normalization=norms)
+        a, b = dyn.linearize()
+        k, p = sl.utils.dlqr(a, b, np.eye(4), np.eye(1))
+        policy = sl.Saturation(sl.LinearSystem(-k), -1.0, 1.0)
+        v = sl.QuadraticFunction(p)
+        grid = sl.GridWorld([[-1.0, 1.0]] * 4, 5)
+        lf = float(np.linalg.norm(a - b @ k, 2))
+        lv = 2.0 * float(np.linalg.norm(p, 2))
+    tau = float(np.min(grid.unit_maxes)) * float(rng.uniform(0.4, 1.0))
+    vals = np.asarray(v(grid.all_points)).ravel()
+    initial = np.where(vals <= np.quantile(vals, 0.05))[0]
+    return sl.Lyapunov(grid, v, dyn, lf, lv, tau, policy,
+                       initial_set=initial), None
 
 
 def _classic_soak_instance(rng):
