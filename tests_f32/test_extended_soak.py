@@ -13,7 +13,11 @@ soundness chain:
 1. derived extended margin DOMINATES the measured full-grid
    df-vs-f64-oracle deviation;
 2. ``update_safe_set(extended=True)`` certifies a SUBSET of the f64
-   oracle's set.
+   oracle's set;
+3. on GP draws with actions, a df-ACCEPTED exploration candidate (the
+   ``score_candidates`` verdict behind ``get_safe_sample(extended=
+   True)``, with the per-candidate derived exploration margin) is
+   EXACTLY safe under the float64 oracle's ``v_future < c_max``.
 
 Opt-in (minutes of CPU): ``RUN_SLOW=1 pytest tests_f32/test_extended_soak.py``.
 """
@@ -193,3 +197,38 @@ def test_extended_soak_containment_and_domination(seed):
     safe64, c64 = oracle_safe_set(lyap)
     assert not (lyap.safe_set & ~safe64).any()
     assert lyap.c_max <= c64 + 1e-6 * max(abs(c64), 1.0)
+
+    # 3. exploration exactness (GP draws with actions only — the df
+    #    scorer cannot rank deterministic dynamics, and the autonomous
+    #    VanDerPol draw has no action to perturb): a df-accepted
+    #    candidate is EXACTLY safe under the float64 oracle.
+    if not isinstance(lyap.dynamics,
+                      (sl.GaussianProcess, sl.StackedGaussianProcess)):
+        return
+    if lyap.policy.output_dim < 1 or not np.asarray(lyap.safe_set).any():
+        return
+    from safe_learning_tpu.explore import perturb_actions
+    from safe_learning_tpu.oracle import _oracle_env, lift64
+    from safe_learning_tpu.ops.extended_verify import (
+        extended_exploration_margin)
+    perturb = np.linspace(-0.25, 0.25, 3)[:, None].astype(np.float32)
+    states = np.asarray(lyap.discretization.all_points[::17], np.float32)
+    acts = np.asarray(lyap.policy(jnp.asarray(states)), np.float32)
+    cands = perturb_actions(states, acts, perturb)
+    m_exp = extended_exploration_margin(lyap, candidates=cands,
+                                        lv_matrix=lv_matrix)
+    _, inside, _ = map(np.asarray,
+                       sweep.score_candidates(cands, lyap.c_max, m_exp))
+    with _oracle_env():
+        dyn64 = lift64(lyap.dynamics)
+        v64 = lift64(lyap.lyapunov_function)
+        lv64 = lift64(lyap._lipschitz_lyapunov)
+        q = jnp.asarray(np.asarray(cands, np.float64), jnp.float64)
+        mean, err = dyn64(q)
+        if callable(lv64):
+            lv_at = np.abs(np.asarray(lv64(mean)))
+        else:
+            lv_at = float(lv64) * np.ones_like(np.asarray(err))
+        fut = (np.asarray(v64(mean)).ravel()
+               + np.sum(lv_at * np.asarray(err), axis=1))
+    assert not (inside & ~(fut < lyap.c_max)).any()
