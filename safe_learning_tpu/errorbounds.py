@@ -153,6 +153,19 @@ def _gamma(n, u):
     return nu / (1.0 - nu)
 
 
+def _shift_frac(dvec, cap):
+    """Largest input shift as a fraction of an inflated-realization
+    L model's trigger-band headroom (``ErrorModel.max_input_shift``).
+
+    Shared by the certificate and exploration margins — the cap/shift
+    computation must stay in lockstep for the GradientNorm model's
+    simplex-agreement argument.
+    """
+    cap_dev = jnp.asarray(np.asarray(cap, np.float64),
+                          dtype=config.dtype)
+    return jnp.max(dvec / cap_dev[None, :])
+
+
 def _linear_core(fn):
     """Unwrap a LinearSystem-family function to its matrix, or None."""
     if isinstance(fn, Saturation):
@@ -226,16 +239,31 @@ def _iv_sin(a, u):
     The own-rounding anchor transports the anchor invariant through the
     activation: ``|sin(in_any)| <= |sin(v)| + 2 e`` (``|in_any - v| <=
     2 e``: one ``e`` to the exact input, one from ``v`` being itself a
-    realization), capped at 1."""
+    realization), capped at 1.
+
+    Rounding charges TWO terms. ``u * mag`` covers the output rounding
+    (relative to the result). ``u * arg`` covers argument reduction: the
+    realizations compute ``sin(x - k * pi_approx)``, an ABSOLUTE
+    perturbation of the reduced argument that scales with ``|x|``, not
+    with ``|sin x|`` — at ``x ~= pi`` the output term alone would model
+    ~0 error while the true deviation is ``~|x| * u_red``. For both
+    consumers the reduction unit is below ``u``: ``df_sin``'s Cody-Waite
+    residual is ``~2^-49 |k| = 2^-49.6 |x| < U_EFF |x|``
+    (:func:`~safe_learning_tpu.ops.extended.df_sin`), and the f32
+    ``jnp.sin`` reduction rounds the reduced argument at
+    ``eps32 < u`` relative (the 4x ``fp_error_factor`` slack covers the
+    residual-of-pi term)."""
     v = jnp.sin(a[0])
     mag = jnp.minimum(jnp.abs(v) + 2.0 * a[1], 1.0)
-    return v, jnp.minimum(a[1], 2.0) + u * mag
+    arg = jnp.abs(a[0]) + 2.0 * a[1]
+    return v, jnp.minimum(a[1], 2.0) + u * (mag + arg)
 
 
 def _iv_cos(a, u):
     v = jnp.cos(a[0])
     mag = jnp.minimum(jnp.abs(v) + 2.0 * a[1], 1.0)
-    return v, jnp.minimum(a[1], 2.0) + u * mag
+    arg = jnp.abs(a[0]) + 2.0 * a[1]
+    return v, jnp.minimum(a[1], 2.0) + u * (mag + arg)
 
 
 def _iv_div(a, b, u):
@@ -1094,12 +1122,6 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
             return 0.0
         return _column_batch(lvm.anchor_bound(x), n_pts)
 
-    def _shift_frac(dvec, cap):
-        """Largest input shift as a fraction of a model's headroom."""
-        cap_dev = jnp.asarray(np.asarray(cap, np.float64),
-                              dtype=config.dtype)
-        return jnp.max(dvec / cap_dev[None, :])
-
     def batch_bound(pts, dx):
         """Per-state bound on |margin_dev - margin_f64| (N,).
 
@@ -1266,11 +1288,12 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
             "the derived bound is infinite (a denominator interval "
             "reached zero in the dynamics error propagation) — use "
             "the empirical calibrator")
-    margin = _finalize_margin(worst, statics, d, u, safety)
-    if per_point_bounds is not None:
-        # The same final slack per point (see _finalize_margin).
-        margin = _finalize_margin(per_point_bounds, statics, d, u,
-                                  safety)
+    # Per-point bounds get the same final slack as the scalar worst
+    # case (the finiteness check above already covers them: ``worst``
+    # is their maximum).
+    margin = _finalize_margin(
+        per_point_bounds if per_point_bounds is not None else worst,
+        statics, d, u, safety)
     eps_dtype = float(np.finfo(config.np_dtype).eps)
     level_margin = max(2.0 * float(safety) * worst_v,
                        4.0 * eps_dtype * (v_scale or 1.0))
@@ -1377,10 +1400,8 @@ def analytic_exploration_margin(lyapunov, perturbations=None,
             lv_hi = lv_hi + _column_batch(lvm.anchor_bound(mu_hat),
                                           n_pts)
         if lvm.max_input_shift is not None:
-            cap = jnp.asarray(np.asarray(lvm.max_input_shift,
-                                         np.float64),
-                              dtype=config.dtype)
-            shift = jnp.maximum(shift, jnp.max(d_mu / cap[None, :]))
+            shift = jnp.maximum(
+                shift, _shift_frac(d_mu, lvm.max_input_shift))
         errterm_anchor = jnp.sum(lv_hi * (err_hat + d_err), axis=1)
         d_errterm = (jnp.sum(lv_hi * d_err
                              + d_lv * (err_hat + d_err), axis=1)

@@ -745,6 +745,15 @@ def _compile_gradnorm_pwl(lv, d, params):
     params.append(consts + (_split_np(g_tab.reshape(n_cells, d)),))
     delta = _PWL_GRAD_DELTA
     ord_key = "inf" if (ordv is not None and np.isinf(ordv)) else ordv
+    if ord_key is not None and ord_key != "inf":
+        if ord_key != 1:
+            # Mirror GradientNorm.evaluate's ValueError: compiling an
+            # unknown ord as the L1 sum would certify a silently
+            # different condition from the declared L_v.
+            raise NotImplementedError(
+                "extended sweep supports GradientNorm ord in "
+                "{{None, 1, inf}}; got ord={!r}".format(ordv))
+        ord_key = 1
     shift_subsets = np.stack(
         np.meshgrid(*([[0, 1]] * d), indexing="ij"),
         axis=-1).reshape(-1, d).astype(np.int32)
@@ -966,6 +975,34 @@ def _build_block_predict(blk, dims, params_kernel):
 # ---------------------------------------------------------------------------
 # Deterministic dynamics compiler
 # ---------------------------------------------------------------------------
+def _check_trig_domain(dyn, grid):
+    """Refuse instances whose angles could leave df_sin's domain.
+
+    :func:`~safe_learning_tpu.ops.extended.df_sin` / ``df_cos`` are
+    rigorous only for ``|x| < 2^22`` (the Cody-Waite quadrant index must
+    be exactly representable); beyond it they return garbage SILENTLY.
+    The sweep's trig arguments are denormalized grid states (plus
+    ``2 theta`` for CartPole) drifted by the Euler sub-steps, whose
+    growth over one ``dt`` is a tiny multiple of the state magnitude for
+    any physical instance — a 2^9 headroom factor over the grid's
+    denormalized infinity norm towers over it while still catching
+    pathological normalizers at compile time instead of certifying with
+    out-of-contract trig values.
+    """
+    from ..dynamics import CartPole, InvertedPendulum
+
+    if not isinstance(dyn, (InvertedPendulum, CartPole)):
+        return
+    amax = float(np.max(np.abs(np.asarray(grid.limits, np.float64))))
+    norm = dyn._norm_arrays()
+    if norm is not None:
+        amax *= float(np.max(np.abs(np.asarray(norm[0], np.float64))))
+    if 2.0 * amax * 512.0 >= 2.0 ** 22:
+        raise NotImplementedError(
+            "extended sweep: denormalized grid states reach {:.3g}, too "
+            "close to df_sin's |x| < 2^22 validity domain".format(amax))
+
+
 def _compile_dynamics_det(dyn, params):
     """Deterministic dynamics ``f(x, u)`` in double words.
 
@@ -1209,6 +1246,8 @@ class ExtendedSweep:
                 self._spotcheck_lf(lyapunov, lf_matrix)
 
         if det:
+            _check_trig_domain(lyapunov.dynamics,
+                               lyapunov.discretization)
             dyn_fn, dsig = _compile_dynamics_det(lyapunov.dynamics,
                                                  dparams)
             n_out = d

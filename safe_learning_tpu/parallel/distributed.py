@@ -203,22 +203,37 @@ def sharded_certified_level(lyapunov, mesh, can_shrink=True):
     grid = lyapunov.discretization
     initial = (np.asarray(lyapunov.initial_safe_set)
                if lyapunov.initial_safe_set is not None
-               else np.zeros(grid.nindex, dtype=bool))
+               else None)
+    prev_safe = np.array(lyapunov.safe_set)
+    exempt_mask = (initial.copy() if initial is not None
+                   else np.zeros(grid.nindex, dtype=bool))
     if not can_shrink:
-        initial = initial | np.asarray(lyapunov.safe_set)
+        exempt_mask |= prev_safe
     points = global_grid_points(grid, mesh)
     exempt = global_array((grid.nindex,), np.bool_, mesh,
-                          lambda index: initial[index])
+                          lambda index: exempt_mask[index])
     safe_dev, c_max, values, any_safe = _fused_update(
         lyapunov.policy, lyapunov.dynamics, lyapunov.lyapunov_function,
         lyapunov._lipschitz_lyapunov, lyapunov._lipschitz_dynamics,
         lyapunov.tau, points, exempt, lyapunov.certificate_margin,
         lyapunov.level_margin, lyapunov._direct_grid_values())
     safe = np.array(fetch_global(safe_dev))  # writable host copy
-    c_max = float(c_max) if bool(any_safe) else -np.inf
-    safe |= initial
-    lyapunov.safe_set = safe
-    lyapunov.c_max = float(c_max)
+    lyapunov.c_max = float(c_max) if bool(any_safe) else -np.inf
     lyapunov.values = fetch_global(values)
-    lyapunov._refinement = np.where(safe, 1, 0)
+    # Refinement bookkeeping mirrors _update_safe_set_fused exactly so
+    # the single-process and multi-host paths stay bit-for-bit
+    # equivalent (including the checkpointed refinement levels):
+    # fused-certified states are level 1; kept-but-not-recertified
+    # states preserve their adaptive level (>= 1).
+    refinement = np.where(safe, 1, 0)
+    if not can_shrink:
+        safe |= prev_safe
+        keep = prev_safe & (refinement == 0)
+        refinement[keep] = np.maximum(
+            np.asarray(lyapunov._refinement)[keep], 1)
+    if initial is not None:
+        safe |= initial
+        refinement[initial] = np.maximum(refinement[initial], 1)
+    lyapunov.safe_set = safe
+    lyapunov._refinement = refinement
     return safe, lyapunov.c_max

@@ -132,7 +132,8 @@ def run_phases(mesh=None, mesh2d=None):
     else:
         safe, c_max = sharded_certified_level(lyap, mesh)
     out["fused"] = {"safe_sum": int(safe.sum()), "safe_hash": _hash(safe),
-                    "c_max": float(c_max)}
+                    "c_max": float(c_max),
+                    "ref_hash": _hash(np.asarray(lyap._refinement))}
 
     # Phase 2: adaptive refinement (batched path, GP instance).
     lyap_ad, _ = build_gp_instance(adaptive=True)
@@ -140,7 +141,16 @@ def run_phases(mesh=None, mesh2d=None):
     lyap_ad.update_safe_set(max_refinement=2)
     out["adaptive"] = {"safe_sum": int(np.asarray(lyap_ad.safe_set).sum()),
                        "safe_hash": _hash(np.asarray(lyap_ad.safe_set)),
-                       "c_max": float(lyap_ad.c_max)}
+                       "c_max": float(lyap_ad.c_max),
+                       "ref_hash": _hash(np.asarray(lyap_ad._refinement))}
+    # A fused can_shrink=False pass over the adaptively refined state:
+    # kept-but-not-recertified states must preserve their refinement
+    # level (> 1) identically on the single- and multi-process paths.
+    lyap_ad.update_safe_set(can_shrink=False)
+    out["adaptive"]["ref_hash_kept"] = _hash(
+        np.asarray(lyap_ad._refinement))
+    out["adaptive"]["safe_hash_kept"] = _hash(
+        np.asarray(lyap_ad.safe_set))
 
     # Phase 3: exploration round gated on the coordinator + GP append +
     # re-verification.
@@ -168,6 +178,7 @@ def run_phases(mesh=None, mesh2d=None):
         "xu_hash": _hash(xu), "y_hash": _hash(y),
         "xbuf_hash": _hash(np.asarray(gp.X_buf)),
         "safe_hash": _hash(np.asarray(lyap_gp.safe_set)),
+        "ref_hash": _hash(np.asarray(lyap_gp._refinement)),
         "c_max": float(lyap_gp.c_max)}
 
     # Phase 4: (data, model) training step.

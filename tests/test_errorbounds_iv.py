@@ -60,15 +60,30 @@ class _Chain:
         anchor = x_exact + e0 * rng.uniform(-1, 1, x_exact.shape)
         self.iv = (jnp.asarray(anchor), jnp.full(x_exact.shape, e0))
 
+    def _arg_reduction(self):
+        """Argument-reduction perturbation of a trig realization.
+
+        Both consumers reduce the argument against an approximate pi:
+        an ABSOLUTE error in the reduced argument scaling with ``|x|``,
+        at a unit at most ``u / 2`` (df_sin's Cody-Waite residual is
+        ``2^-49.6 |x|`` vs ``U_EFF = 2^-45``; f32 ``jnp.sin`` reduction
+        rounds at ``eps32 |x|`` vs ``u = 2 eps32``)."""
+        cap = (U / 2.0) * np.abs(self.any)
+        red = cap * self.rng.uniform(-1, 1, self.any.shape)
+        edge = self.rng.random(self.any.shape) < 0.5
+        return np.where(edge, np.sign(red + 1e-300) * cap, red)
+
     def sin(self):
         self.exact = np.sin(self.exact)
-        self.any = np.sin(self.any) * _rel(self.rng, self.any.shape)
+        self.any = (np.sin(self.any + self._arg_reduction())
+                    * _rel(self.rng, self.any.shape))
         self.iv = _iv_sin(self.iv, U)
         return self
 
     def cos(self):
         self.exact = np.cos(self.exact)
-        self.any = np.cos(self.any) * _rel(self.rng, self.any.shape)
+        self.any = (np.cos(self.any + self._arg_reduction())
+                    * _rel(self.rng, self.any.shape))
         self.iv = _iv_cos(self.iv, U)
         return self
 
@@ -185,6 +200,29 @@ def test_div_reports_inf_when_denominator_can_vanish():
     b = _Chain(rng, np.full((4, 1), 1e-4), e0=1e-3)  # interval reaches 0
     _, e = _iv_div(a.iv, b.iv, U)
     assert np.all(np.isinf(np.asarray(e)))
+
+
+def test_sin_bound_covers_argument_reduction_at_pi():
+    """At ``x ~= pi`` the output-relative model alone collapses: the
+    true deviation of a reduced-argument realization is
+    ``~|x| * u_red`` (absolute in the argument) while ``|sin x| ~= 0``.
+    The corrected rule's ``u * arg`` term must dominate it; the
+    pre-round-4 output-only bound (``~u |sin pi| = 5e-19``) does not."""
+    x = np.pi
+    iv = (jnp.asarray([[x]]), jnp.asarray([[0.0]]))
+    _, e = _iv_sin(iv, U)
+    e = float(np.asarray(e)[0, 0])
+    # Realization: reduction at the consumers' u/2 cap, then output
+    # rounding at the full budget.
+    y_any = np.sin(x + (U / 2.0) * x) * (1.0 + U)
+    dev = abs(y_any - np.sin(x))
+    assert dev > U * abs(np.sin(x)) + U * 1e-10  # old rule fails
+    assert dev <= e
+    # cos at pi/2 is the same corner.
+    ivc = (jnp.asarray([[np.pi / 2]]), jnp.asarray([[0.0]]))
+    _, ec = _iv_cos(ivc, U)
+    y_any = np.cos(np.pi / 2 + (U / 2.0) * (np.pi / 2)) * (1.0 + U)
+    assert abs(y_any - np.cos(np.pi / 2)) <= float(np.asarray(ec)[0, 0])
 
 
 @pytest.mark.parametrize("op", ["sin", "cos", "tanh", "sigmoid"])

@@ -505,3 +505,39 @@ def test_extended_sweep_accepts_constant_function_lf():
     lyap._lipschitz_dynamics = sl.ConstantFunction(lf)
     dec_const = np.asarray(lyap._get_extended_sweep().negative_batch(pts))
     np.testing.assert_array_equal(dec_scalar, dec_const)
+
+
+def test_gradnorm_unsupported_ord_refused():
+    """``GradientNorm(tri, ord=2)`` is constructible (``evaluate``
+    raises only when called); the extended compiler must refuse it too
+    instead of silently certifying the ord-1 condition (round-4
+    review)."""
+    from safe_learning_tpu.ops.extended_verify import _compile_gradnorm_pwl
+
+    grid = sl.GridWorld([[-1.0, 1.0], [-1.0, 1.0]], 5)
+    tri = sl.Triangulation(
+        grid, np.sum(grid.all_points ** 2, axis=1).astype(np.float32))
+    with pytest.raises(NotImplementedError, match="ord"):
+        _compile_gradnorm_pwl(sl.GradientNorm(tri, ord=2), 2, [])
+    # The supported ords still compile.
+    for ordv in (None, 1, np.inf):
+        _compile_gradnorm_pwl(sl.GradientNorm(tri, ord=ordv), 2, [])
+
+
+def test_trig_domain_guard_refuses_pathological_normalizer():
+    """df_sin/df_cos are only rigorous for |x| < 2^22: a normalizer
+    that denormalizes grid angles near that domain must fail loudly at
+    compile time instead of certifying with out-of-contract trig values
+    (round-4 review)."""
+    from safe_learning_tpu.ops.extended_verify import _check_trig_domain
+
+    grid = sl.GridWorld([[-1.0, 1.0], [-1.0, 1.0]], 5)
+    bad = sl.InvertedPendulum(0.15, 0.5, 0.1, 1 / 80,
+                              normalization=((2.0 ** 22, 1.0), (1.0,)))
+    with pytest.raises(NotImplementedError, match="df_sin"):
+        _check_trig_domain(bad, grid)
+    ok = sl.InvertedPendulum(
+        0.15, 0.5, 0.1, 1 / 80,
+        normalization=((np.deg2rad(30), 1.0), (1.0,)))
+    _check_trig_domain(ok, grid)  # physical instances pass
+    _check_trig_domain(sl.VanDerPol(), grid)  # no trig: exempt
