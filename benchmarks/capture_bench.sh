@@ -1,0 +1,54 @@
+#!/bin/bash
+# Round-long TPU bench capture protocol (VERDICT r4 item 1).
+#
+# The TPU on this machine sits behind a relay that can be down for hours;
+# round 4 ended with no device-captured headline number because the single
+# end-of-round bench.py run hit an outage. This script makes the capture
+# resilient: run it (or let a cron/loop run it) at ANY point in the round —
+# every attempt is appended with a UTC timestamp to
+# benchmarks/captures/attempts.log, and the first successful TPU-backend
+# run of the round is frozen as benchmarks/captures/bench_<UTC date>.json.
+#
+# Usage:
+#   bash benchmarks/capture_bench.sh            # one attempt now
+#   bash benchmarks/capture_bench.sh --loop     # retry every 30 min until
+#                                               # a TPU capture succeeds
+#
+# The committed capture files are the round's dated evidence: even if the
+# relay is down when the driver runs bench.py at round end (producing a
+# CPU-fallback BENCH_r{N}.json), the repo carries a device number with an
+# attempt trail proving when the chip was reachable.
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD:/root/.axon_site"
+CAPDIR="benchmarks/captures"
+LOG="$CAPDIR/attempts.log"
+mkdir -p "$CAPDIR"
+
+attempt() {
+  local stamp out json backend
+  stamp="$(date -u +%Y-%m-%dT%H:%M:%SZ)"
+  out="$(timeout 1200 python -u bench.py 2>/tmp/capture_bench_err.log)"
+  json="$(printf '%s\n' "$out" | grep -m1 '^{' || true)"
+  if [ -z "$json" ]; then
+    echo "$stamp FAIL (no JSON; exit=$?; see /tmp/capture_bench_err.log)" >> "$LOG"
+    return 1
+  fi
+  backend="$(printf '%s' "$json" | python -c 'import json,sys; print(json.load(sys.stdin).get("backend","?"))')"
+  echo "$stamp backend=$backend $json" >> "$LOG"
+  if [ "$backend" = "tpu" ]; then
+    printf '%s\n' "$json" > "$CAPDIR/bench_$(date -u +%Y-%m-%d).json"
+    echo "captured: $CAPDIR/bench_$(date -u +%Y-%m-%d).json"
+    return 0
+  fi
+  return 1
+}
+
+if [ "${1:-}" = "--loop" ]; then
+  until attempt; do
+    echo "retrying in 30 min..."
+    sleep 1800
+  done
+else
+  attempt
+fi

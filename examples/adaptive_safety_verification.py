@@ -153,10 +153,12 @@ def main():
             from safe_learning_tpu.ops.extended_verify import (
                 extended_certificate_margin)
 
-            # lv = |x (2P)^T| is the row-wise absolute linear form.
-            pm = np.asarray(lyap.lyapunov_function.matrix)
-            extended_certificate_margin(lyap, lv_matrix=pm + pm.T,
-                                        refinement=n_max, per_point=True)
+            # lv = |x (2P)^T| is auto-derived: the callable is probed
+            # against the quadratic candidate's row-wise linear form
+            # (ops.extended_verify._auto_lv_matrix) — no hand-installed
+            # matrix needed.
+            extended_certificate_margin(lyap, refinement=n_max,
+                                        per_point=True)
 
     update_margin(lyap)
     lyap.update_safe_set(can_shrink=False, max_refinement=n_max,

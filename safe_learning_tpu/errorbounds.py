@@ -89,8 +89,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import config
-from .functions.base import (ConstantFunction, MultipliedFunction,
-                             Saturation, mxu_dot)
+from .functions.base import (ConstantFunction, FunctionStack,
+                             MultipliedFunction, Saturation, mxu_dot)
 from .functions.neural import LyapunovNetwork, NeuralNetwork
 from .functions.gp import (RBF, ActiveDims, GaussianProcess,
                            LinearKernel, Matern12, Matern32, Matern52,
@@ -530,18 +530,33 @@ def _det_dynamics_program(dyn, u):
     return fn
 
 
-def _lv_model(lipschitz_lyapunov, lipschitz_model, u):
-    """Resolve the L_v rounding model (constant -> exact)."""
+def _lv_model(lyapunov, lipschitz_model, u):
+    """Resolve the L_v rounding model (constant -> exact; derivable
+    row-wise linear forms auto-modeled)."""
     if lipschitz_model is not None:
         return lipschitz_model
-    if isinstance(lipschitz_lyapunov, (int, float, ConstantFunction)):
+    lv = lyapunov._lipschitz_lyapunov
+    if isinstance(lv, (int, float, ConstantFunction)):
         # A constant is stored with identical bits in both lanes and its
         # "evaluation" is an exact broadcast: zero rounding error.
         return ErrorModel(lambda x: jnp.zeros((x.shape[0], 1)), 0.0)
+    # Auto-derivation (r5): a callable matching the row-wise absolute
+    # linear form ``|x G^T|`` — GradientNorm of a quadratic, the
+    # ubiquitous ``2|Px|`` lambda pattern (probed against the quadratic
+    # candidate), or an installed ``extended_lv_matrix`` — gets the
+    # (d+2)-op matvec model at this unit, the same resolution the
+    # extended/hybrid margins use.
+    from .ops.extended_verify import _lv_error_model
+
+    model = _lv_error_model(lyapunov, None, unit=u)
+    if model is not None:
+        return model
     raise NotImplementedError(
         "analytic margin needs an ErrorModel for non-constant L_v "
-        "functions (pass lipschitz_model=...); got {}"
-        .format(type(lipschitz_lyapunov).__name__))
+        "functions with no derivable linear-form model (pass "
+        "lipschitz_model=... or install extended_lv_matrix; the "
+        "measured oracle.calibrate_certificate_margin covers any "
+        "callable); got {}".format(type(lv).__name__))
 
 
 def _candidate_model(v_fun, d, u):
@@ -950,6 +965,26 @@ def _gp_terms(st, q, dq, u):
     return mu_hat, d_mu, err_hat, d_err
 
 
+def _gp_members(dyn):
+    """Per-output GP list of an uncertain dynamics model, or None.
+
+    Accepts the reference's per-dimension ``FunctionStack`` idiom
+    (reference ``functions.py:254-307``) directly: a stack whose
+    members are all GaussianProcesses contributes its member list —
+    the fan-out evaluation is arithmetic-identical to the per-member
+    predicts the statics model, so no hand-conversion to
+    :class:`StackedGaussianProcess` is required.
+    """
+    if isinstance(dyn, StackedGaussianProcess):
+        return dyn.unstack()
+    if isinstance(dyn, GaussianProcess):
+        return [dyn]
+    if isinstance(dyn, FunctionStack) and dyn.functions and all(
+            isinstance(f, GaussianProcess) for f in dyn.functions):
+        return list(dyn.functions)
+    return None
+
+
 def _finalize_margin(worst, statics, d, u, safety):
     """Turn the worst measured bound into the installable margin.
 
@@ -975,7 +1010,10 @@ def _finalize_margin(worst, statics, d, u, safety):
     u32_slack = (float(np.finfo(np.float32).eps) / 2.0
                  * float(getattr(config, "fp_error_factor", 4.0)))
     own = _gamma(64 * (cap_total + d + 16), u32_slack)
-    return float(safety) * worst * (1.0 + own) / (1.0 - 4.0 * u)
+    scale = float(safety) * (1.0 + own) / (1.0 - 4.0 * u)
+    if np.ndim(worst):
+        return np.asarray(worst, np.float64) * scale
+    return float(worst) * scale
 
 
 def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
@@ -1066,11 +1104,8 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
     grid = lyapunov.discretization
     d = grid.ndim
     det_prog = None
-    if isinstance(dyn, StackedGaussianProcess):
-        gp_list = dyn.unstack()
-    elif isinstance(dyn, GaussianProcess):
-        gp_list = [dyn]
-    else:
+    gp_list = _gp_members(dyn)
+    if gp_list is None:
         gp_list = []
         det_prog = _det_dynamics_program(dyn, u)
     v_fun = lyapunov.lyapunov_function
@@ -1086,13 +1121,22 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
         lf_raw = np.asarray(lf_raw.constant).reshape(()).item()
     if isinstance(lf_raw, (int, float, np.floating, np.integer)):
         lf = float(lf_raw)
-    elif lf_model is not None:
+    else:
+        if lf_model is None:
+            # Auto-derivation (r5): an installed extended_lf_matrix /
+            # GradientNorm form gets the matvec model at this unit.
+            from .ops.extended_verify import _lf_error_model
+
+            lf_model = _lf_error_model(lyapunov, unit=u)
+        if lf_model is None:
+            raise NotImplementedError(
+                "analytic margin needs a scalar L_f, or an ErrorModel "
+                "via lf_model for a callable one (or install "
+                "extended_lf_matrix; the measured "
+                "oracle.calibrate_certificate_margin covers any "
+                "callable)")
         lfm = lf_model
         lf_lip = jnp.asarray(lfm.input_lipschitz, dtype=config.dtype)
-    else:
-        raise NotImplementedError(
-            "analytic margin needs a scalar L_f, or an ErrorModel via "
-            "lf_model for a callable one")
 
     pol_prog = _policy_program(lyapunov.policy, u)
     # At tau == 0 with deterministic dynamics L_v multiplies only the
@@ -1102,7 +1146,7 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
     if lv_trivial:
         lvm = None
     else:
-        lvm = _lv_model(lyapunov._lipschitz_lyapunov, lipschitz_model, u)
+        lvm = _lv_model(lyapunov, lipschitz_model, u)
         lv_lip = jnp.asarray(lvm.input_lipschitz, dtype=config.dtype)
     statics = [_gp_statics(gp, u) for gp in gp_list]
 
@@ -1311,7 +1355,7 @@ def analytic_exploration_margin(lyapunov, perturbations=None,
                                 actions=None, limits=None, safety=1.0,
                                 batch_size=2 ** 14, lipschitz_model=None,
                                 unit_roundoff=None, set_margin=True,
-                                candidates=None):
+                                candidates=None, per_candidate=False):
     """Derived conservative margin for the EXPLORATION certificate.
 
     ``get_safe_sample`` certifies a candidate pair by
@@ -1341,6 +1385,13 @@ def analytic_exploration_margin(lyapunov, perturbations=None,
     measurement-based, this one is derived). ``unit_roundoff`` follows
     :func:`analytic_certificate_margin` — pass ``U_EFF`` when the
     candidates will be scored by the extended double-word path.
+
+    ``per_candidate=True`` (requires explicit ``candidates`` and
+    ``set_margin=False``) returns the (N,) per-row margins instead of
+    their max, so each candidate is trimmed by ITS OWN bound — the
+    exploration-frontier analogue of the sweep's per-grid-point
+    margins (``explore.get_safe_sample`` derives these automatically
+    when the instance carries a per-point ``certificate_margin``).
     """
     if unit_roundoff is None:
         if getattr(config, "pallas_precision", "highest") != "highest":
@@ -1353,19 +1404,25 @@ def analytic_exploration_margin(lyapunov, perturbations=None,
     if candidates is None and (perturbations is None) == (actions is None):
         raise ValueError("provide candidates, or exactly one of "
                          "perturbations/actions")
+    if per_candidate and candidates is None:
+        raise ValueError("per_candidate margins need the explicit "
+                         "candidate rows")
+    if per_candidate and set_margin:
+        raise ValueError("a per-candidate margin is keyed to one "
+                         "candidate matrix and cannot be installed as "
+                         "instance state; pass set_margin=False")
     dyn = lyapunov.dynamics
     grid = lyapunov.discretization
     d = grid.ndim
-    if isinstance(dyn, StackedGaussianProcess):
-        gp_list = dyn.unstack()
-    elif isinstance(dyn, GaussianProcess):
-        gp_list = [dyn]
-    else:
+    gp_list = _gp_members(dyn)
+    if gp_list is None:
         raise NotImplementedError(
             "exploration margin supports GaussianProcess / "
-            "StackedGaussianProcess dynamics")
+            "StackedGaussianProcess (or a FunctionStack of "
+            "GaussianProcesses) dynamics; for anything else use the "
+            "measurement-based oracle.calibrate_certificate_margin")
     v_mag_err = _candidate_model(lyapunov.lyapunov_function, d, u)
-    lvm = _lv_model(lyapunov._lipschitz_lyapunov, lipschitz_model, u)
+    lvm = _lv_model(lyapunov, lipschitz_model, u)
     lv_lip = jnp.asarray(lvm.input_lipschitz, dtype=config.dtype)
     statics = [_gp_statics(gp, u) for gp in gp_list]
 
@@ -1413,11 +1470,14 @@ def analytic_exploration_margin(lyapunov, perturbations=None,
     bound_jit = jax.jit(future_bound)
     worst = 0.0
     worst_shift = 0.0
+    eps_rows = []
     if candidates is not None:
         cands = np.asarray(candidates, dtype=config.np_dtype)
         for start in range(0, len(cands), batch_size):
             q = jnp.asarray(cands[start:start + batch_size])
             eps_b, shift_b = bound_jit(q, jnp.zeros_like(q))
+            if per_candidate:
+                eps_rows.append(np.asarray(eps_b, np.float64))
             worst = max(worst, float(jnp.max(eps_b)))
             worst_shift = max(worst_shift, float(shift_b))
         rows = np.zeros((0, 0))
@@ -1473,7 +1533,9 @@ def analytic_exploration_margin(lyapunov, perturbations=None,
             "L model's trigger-band headroom (shift fraction "
             "{:.2f} >= 1) — use the empirical calibrator"
             .format(worst_shift))
-    margin = _finalize_margin(worst, statics, d, u, safety)
+    margin = _finalize_margin(
+        np.concatenate(eps_rows) if per_candidate else worst,
+        statics, d, u, safety)
     if set_margin:
         lyapunov.exploration_margin = margin
         # Pipeline tag: the f32 scorer refuses a U_EFF-derived margin

@@ -223,26 +223,9 @@ def get_safe_sample(lyapunov, perturbations=None, limits=None,
 
     if extended:
         sweep = lyapunov._get_extended_sweep()
-        if perturbations is None:
-            if actions is None:
-                raise ValueError("provide either perturbations or "
-                                 "actions")
-            acts = np.atleast_2d(np.asarray(actions,
-                                            dtype=config.np_dtype))
-            action_dim = acts.shape[1]
-            n, na = len(safe_states), len(acts)
-            candidates = np.concatenate(
-                [np.repeat(safe_states, na, axis=0),
-                 np.tile(acts, (n, 1))], axis=1)
-        else:
-            perturbations = np.atleast_2d(perturbations)
-            action_dim = perturbations.shape[1]
-            pol_acts = np.asarray(lyapunov.policy(safe_states_dev),
-                                  dtype=config.np_dtype)
-            candidates = perturb_actions(safe_states, pol_acts,
-                                         perturbations.astype(
-                                             config.np_dtype),
-                                         limits=limits)
+        candidates, action_dim = _build_host_candidates(
+            lyapunov, safe_states, safe_states_dev, perturbations,
+            actions, limits)
         # Pow-2 padding (duplicate rows): ragged candidate counts
         # would otherwise retrace the scorer every call.
         candidates, n_valid = _pad_pow2(candidates)
@@ -279,8 +262,42 @@ def get_safe_sample(lyapunov, perturbations=None, limits=None,
     safe_set_dev = (_device_safe_set(lyapunov) if check_membership
                     else jnp.zeros(1, dtype=bool))
 
+    # Per-candidate rigor margins (r4 verdict): when the sweep installed
+    # PER-POINT margins (and no dedicated exploration margin exists),
+    # derive the exploration comparison's own bound over the ACTUAL
+    # candidate rows instead of collapsing to the grid-wide max — each
+    # candidate is trimmed by its own bound, like the extended scorer.
+    margin_vec = None
+    if (is_safe is None
+            and getattr(lyapunov, "exploration_margin", None) is None
+            and np.ndim(getattr(lyapunov, "certificate_margin", None))):
+        candidates, action_dim = _build_host_candidates(
+            lyapunov, safe_states, safe_states_dev, perturbations,
+            actions, limits)
+        candidates, n_valid = _pad_pow2(candidates)
+        margin_vec = _per_candidate_margin(lyapunov, candidates)
+
     if is_safe is False:
         pass  # extended scoring found nothing safe: backup fallback
+    elif margin_vec is not None:
+        mean, bound, inside = jax.device_get(_candidate_scores(
+            lyapunov.dynamics, lyapunov.lyapunov_function,
+            lyapunov._lipschitz_lyapunov, lyapunov.c_max,
+            jnp.asarray(candidates, dtype=config.dtype),
+            jnp.asarray(margin_vec, dtype=config.dtype)))
+        mean = np.asarray(mean)[:n_valid]
+        bound = np.asarray(bound)[:n_valid]
+        inside = np.array(inside)[:n_valid]
+        if check_membership:
+            idx = np.asarray(grid.state_to_index(mean))
+            inside &= np.asarray(lyapunov.safe_set)[idx]
+        ranked = np.where(inside, bound, -np.inf)
+        best = int(np.argmax(ranked))
+        if inside[best]:
+            return (np.asarray(candidates[best],
+                               dtype=config.np_dtype)[None],
+                    float(bound[best]))
+        is_safe = False
     elif perturbations is None:
         if actions is None:
             raise ValueError("provide either perturbations or actions")
@@ -333,6 +350,62 @@ def get_safe_sample(lyapunov, perturbations=None, limits=None,
     return state_actions[[max_id]], float(bound[max_id])
 
 
+def _build_host_candidates(lyapunov, safe_states, safe_states_dev,
+                           perturbations, actions, limits):
+    """Host-side candidate matrix + action_dim (shared by the extended
+    scorer and the per-candidate-margin path; the non-rigor plain path
+    constructs the same rows inside its one fused dispatch)."""
+    if perturbations is None:
+        if actions is None:
+            raise ValueError("provide either perturbations or actions")
+        acts = np.atleast_2d(np.asarray(actions, dtype=config.np_dtype))
+        action_dim = acts.shape[1]
+        n, na = len(safe_states), len(acts)
+        candidates = np.concatenate(
+            [np.repeat(safe_states, na, axis=0),
+             np.tile(acts, (n, 1))], axis=1)
+    else:
+        perturbations = np.atleast_2d(perturbations)
+        action_dim = perturbations.shape[1]
+        pol_acts = np.asarray(lyapunov.policy(safe_states_dev),
+                              dtype=config.np_dtype)
+        candidates = perturb_actions(
+            safe_states, pol_acts,
+            perturbations.astype(config.np_dtype), limits=limits)
+    return candidates, action_dim
+
+
+def _per_candidate_margin(lyapunov, candidates):
+    """(N,) plain-pipeline margins over the ACTUAL candidate rows.
+
+    Returns None when the derivation does not apply (the caller then
+    falls back to the fused path, whose ``_margin_of`` collapses a
+    per-point sweep margin to its conservative grid-wide max — the
+    exact conservatism this derivation removes, r4 verdict). The
+    margins are derived at the f32 unit via
+    :func:`~safe_learning_tpu.errorbounds.analytic_exploration_margin`
+    with ``per_candidate=True``: the f32 candidate rows ARE the model
+    inputs, so there is no construction-uncertainty term.
+    """
+    unit = getattr(lyapunov, "_certificate_margin_unit", None)
+    consumer_unit = float(np.finfo(config.np_dtype).eps) / 2.0
+    if unit is not None and unit < consumer_unit:
+        # Extended-unit sweep margin: _margin_of raises the
+        # explanatory error on the fused path.
+        return None
+    try:
+        from .errorbounds import analytic_exploration_margin
+
+        return analytic_exploration_margin(
+            lyapunov, candidates=candidates, set_margin=False,
+            per_candidate=True)
+    except (NotImplementedError, RuntimeError, AttributeError):
+        # No derivable rounding model for this instance (non-GP
+        # dynamics, unmodeled L_v, duck-typed object, non-highest
+        # matmul precision): keep the conservative collapse.
+        return None
+
+
 def _margin_of(lyapunov):
     """Conservatism margin for a (possibly duck-typed) Lyapunov object.
 
@@ -369,7 +442,10 @@ def _margin_of(lyapunov):
                 "the plain exploration scorer; use get_safe_sample("
                 "extended=True) or install a plain-pipeline margin.")
     # A per-grid-point sweep margin collapses to its worst case here:
-    # exploration candidates are not grid-indexed.
+    # exploration candidates are not grid-indexed. (get_safe_sample
+    # avoids this collapse when it can — _per_candidate_margin derives
+    # each candidate's own bound; this fallback covers instances with
+    # no derivable rounding model and duck-typed callers.)
     return float(np.max(margin)) if np.ndim(margin) else margin
 
 
@@ -568,6 +644,15 @@ def get_safe_sample_batch(lyapunov, true_dynamics, num_steps,
     safe_flags : (k,) ndarray of bool
         False entries used the backup fallback (a RuntimeWarning is
         issued, mirroring the sequential path).
+
+    Notes
+    -----
+    A per-grid-point sweep margin collapses to its grid-wide max here
+    (``_margin_of``): the k-step program constructs its candidates
+    inside the fused scan against a GP that advances between steps, so
+    the host-side per-candidate derivation :func:`get_safe_sample`
+    uses is unavailable. Call the sequential form (or install a
+    dedicated ``exploration_margin``) when that conservatism matters.
     """
     rng = np.random.default_rng() if rng is None else rng
     grid = lyapunov.discretization

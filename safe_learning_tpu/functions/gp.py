@@ -1248,6 +1248,27 @@ def _stacked_cache(gp, host_out=None):
     return (jnp.stack(chols), jnp.stack(chol_invs), jnp.stack(alphas))
 
 
+def coerce_stacked(dynamics):
+    """FunctionStack-of-GPs -> its batched StackedGaussianProcess twin.
+
+    Anything else passes through unchanged. The batched twin is proven
+    prediction-identical to the fan-out stack (``tests/test_gp.py``),
+    so pipelines that need the batched layout (``ops/extended_verify``)
+    accept the reference's per-dimension ``FunctionStack`` idiom
+    (reference ``functions.py:254-307``) without hand-conversion.
+    Members must share training inputs and ``scale``
+    (:meth:`StackedGaussianProcess.from_gps` validates and raises
+    otherwise).
+    """
+    from .base import FunctionStack
+
+    if isinstance(dynamics, FunctionStack) and dynamics.functions and \
+            all(isinstance(f, GaussianProcess)
+                for f in dynamics.functions):
+        return StackedGaussianProcess.from_gps(dynamics.functions)
+    return dynamics
+
+
 # ---------------------------------------------------------------------------
 # Hyperparameter fitting
 # ---------------------------------------------------------------------------

@@ -375,6 +375,7 @@ class Lyapunov:
         self.extended_lf_matrix = None
         self._ext_sweep = None
         self._ext_sweep_key = None
+        self._ext_matrix_keys = {}
         #: Unit roundoff each installed margin was DERIVED at (None =
         #: unrestricted: empirical/manual margins). A margin derived for
         #: a finer-than-f32 pipeline (``U_EFF``) cannot cover the plain
@@ -388,6 +389,18 @@ class Lyapunov:
         #: twin) and preferred by ``explore._margin_of`` over
         #: ``certificate_margin`` when set.
         self.exploration_margin = None
+        #: Manual override of the hybrid sweep's f32 band margin
+        #: (scalar or per-grid-point array bounding the PLAIN f32
+        #: pipeline's |computed - exact| decrease-threshold gap at
+        #: every point). ``None`` (default) auto-derives it on first
+        #: ``update_safe_set(extended="hybrid")`` via
+        #: ``ops.extended_verify.hybrid_band_margin``.
+        self.hybrid_band_margin = None
+        self._auto_band_margin = None
+        self._auto_band_key = None
+        #: Diagnostics: fraction of checked states the last hybrid
+        #: sweep routed to the extended pipeline (its cost driver).
+        self.last_band_fraction = None
 
         self.update_values()
 
@@ -687,22 +700,29 @@ class Lyapunov:
         except (TypeError, ValueError):
             lf_key = id(lf)
 
-        def _matrix_key(m):
+        def _matrix_key(m, slot):
             # The L_v / L_f linear-form models are baked into the
             # compiled sweep; key them by VALUE so replacing either
             # matrix rebuilds instead of silently certifying with the
-            # stale model.
+            # stale model. The O(size) byte dump is cached on the
+            # attribute object's identity — recomputed only when the
+            # matrix object itself is swapped, not per sweep call.
             if m is None:
                 return None
+            cached = self._ext_matrix_keys.get(slot)
+            if cached is not None and cached[0] is m:
+                return cached[1]
             arr = np.asarray(m)
-            return (arr.shape, str(arr.dtype), arr.tobytes())
+            key_m = (arr.shape, str(arr.dtype), arr.tobytes())
+            self._ext_matrix_keys[slot] = (m, key_m)
+            return key_m
 
         key = (id(self.dynamics), int(getattr(self.dynamics, "count", -1)),
                id(self.policy), id(self.lyapunov_function),
                id(self._lipschitz_lyapunov),
                lf_key, self.tau,
-               _matrix_key(self.extended_lv_matrix),
-               _matrix_key(self.extended_lf_matrix))
+               _matrix_key(self.extended_lv_matrix, "lv"),
+               _matrix_key(self.extended_lf_matrix, "lf"))
         if self._ext_sweep is None or self._ext_sweep_key != key:
             self._ext_sweep = ExtendedSweep(
                 self, lv_matrix=self.extended_lv_matrix,
@@ -717,6 +737,79 @@ class Lyapunov:
                                     self._lipschitz_lyapunov,
                                     self._lipschitz_dynamics)
         return self._ext_sweep
+
+    def _get_hybrid_band_margin(self):
+        """Per-point f32 band margin for the hybrid sweep (cached).
+
+        A manually installed :attr:`hybrid_band_margin` wins; otherwise
+        the derived array is cached on the extended sweep's structure
+        key (model changes re-derive it).
+        """
+        if self.hybrid_band_margin is not None:
+            return self.hybrid_band_margin
+        from .ops.extended_verify import hybrid_band_margin
+
+        key = self._ext_sweep_key
+        if self._auto_band_margin is None or self._auto_band_key != key:
+            self._auto_band_margin = hybrid_band_margin(
+                self, lv_matrix=self.extended_lv_matrix)
+            self._auto_band_key = key
+        return self._auto_band_margin
+
+    def _hybrid_negative(self, ext_sweep, states, m_ext, m_band, tau,
+                         shard, to_host, pad_unit):
+        """Two-pass decrease verdicts for one host batch of states.
+
+        Pass 1 runs the plain f32 pipeline and keeps every verdict
+        whose computed ``decrease - threshold`` clears the band
+        ``m_band + 2 m_ext`` on either side; pass 2 re-checks only the
+        remaining ambiguity band with the double-word pipeline. The
+        returned mask is IDENTICAL to a full extended sweep's: with
+        ``|diff32 - exact| <= m_band`` (the derived f32 bound; the f64
+        host subtraction of two f32 values is exact) and
+        ``|diff_dw - exact| <= m_ext``,
+
+        - ``diff32 < -(m_band + 2 m_ext)`` forces ``exact < -2 m_ext``
+          and hence ``diff_dw < -m_ext`` (the extended PASS verdict);
+        - ``diff32 >= m_band + 2 m_ext`` forces ``exact >= 2 m_ext``
+          and hence ``diff_dw >= m_ext`` (the extended FAIL verdict);
+        - band points take the extended verdict verbatim.
+
+        Returns ``(negative, n_band)``.
+        """
+        _, dec, thr = _negative_batch(
+            self.policy, self.dynamics, self.lyapunov_function,
+            self._lipschitz_lyapunov, self._lipschitz_dynamics, tau,
+            shard(states), 0.0)
+        diff = (to_host(dec).astype(np.float64)
+                - to_host(thr).astype(np.float64))
+        m_ext64 = np.broadcast_to(np.asarray(m_ext, np.float64),
+                                  diff.shape)
+        width = (np.broadcast_to(np.asarray(m_band, np.float64),
+                                 diff.shape) + 2.0 * m_ext64)
+        negative = diff < -width
+        band = np.abs(diff) <= width
+        n_band = int(band.sum())
+        if n_band:
+            # Pad the band batch to a power-of-two multiple of the
+            # mesh unit: bounded compile count across sweeps.
+            bucket = pad_unit
+            while bucket < n_band:
+                bucket *= 2
+            bstates = states[band]
+            bmargin = m_ext64[band]
+            if bucket > n_band:
+                bstates = np.vstack([
+                    bstates, np.broadcast_to(bstates[-1:],
+                                             (bucket - n_band,
+                                              states.shape[1]))])
+                bmargin = np.concatenate([
+                    bmargin, np.broadcast_to(bmargin[-1:],
+                                             (bucket - n_band,))])
+            verdict = to_host(ext_sweep.negative_batch(
+                shard(bstates), tau=tau, margin=bmargin))
+            negative[band] = verdict[:n_band]
+        return negative, n_band
 
     def update_safe_set(self, can_shrink=True, max_refinement=1,
                         safety_factor=1.0, parallel_iterations=None,
@@ -745,6 +838,21 @@ class Lyapunov:
         f32-scale one — the rigorous option on ill-conditioned
         instances. The level comparison still uses the f32-stored
         values, so ``level_margin`` stays at f32 scale.
+
+        ``extended="hybrid"`` delivers the IDENTICAL extended-rigor
+        certificate at near-plain-f32 cost: a plain f32 pass with the
+        derived f32 band margin decides every point whose computed
+        ``decrease - threshold`` clears the band on either side, and
+        only the ambiguity band (a sliver of the grid on
+        well-conditioned instances) is re-checked by the double-word
+        pipeline (see :meth:`_hybrid_negative` for the identity
+        argument; band incidence is reported in
+        :attr:`last_band_fraction`). Requires the same extended margin
+        installation as ``extended=True`` plus an f32 band margin
+        (auto-derived via ``ops.extended_verify.hybrid_band_margin``,
+        or installed manually as :attr:`hybrid_band_margin`). Adaptive
+        refinement re-checks go straight to the extended pipeline
+        (they only cover the failing suffix).
         """
         if safety_factor != 1.0 or parallel_iterations is not None:
             import warnings
@@ -762,7 +870,13 @@ class Lyapunov:
         nindex = grid.nindex
         batch = batch_size or max(int(config.gp_batch_size), 1)
 
+        if extended not in (False, True, "hybrid"):
+            raise ValueError(
+                "extended must be False, True, or 'hybrid'; got "
+                f"{extended!r}")
+        hybrid = extended == "hybrid"
         ext_sweep = self._get_extended_sweep() if extended else None
+        band_margin = self._get_hybrid_band_margin() if hybrid else None
         if not extended:
             self._require_f32_margin()
 
@@ -792,13 +906,12 @@ class Lyapunov:
                                                is_multiprocess_mesh,
                                                put_global)
 
+            # The extended (double-word) pipeline is pure SPMD
+            # arithmetic: its batches shard through the same
+            # put_global/fetch_global path as the plain sweep (verified
+            # bit-equal to single-process by
+            # scripts/multiprocess_dryrun.py's extended phase).
             multiproc = is_multiprocess_mesh(self.mesh)
-            if multiproc and ext_sweep is not None:
-                raise NotImplementedError(
-                    "the extended (double-word) sweep composes its "
-                    "relay stages on the host and does not run over a "
-                    "multi-process mesh; run it per-process or use the "
-                    "plain sweep with a derived margin")
 
         def _shard(states_dev):
             """Shard a batch over the active mesh's grid axis (SPMD:
@@ -851,6 +964,10 @@ class Lyapunov:
         # value-order gather and padding.
         margin_sorted = (np.asarray(margin)[order] if np.ndim(margin)
                          else None)
+        band_sorted = (np.asarray(band_margin)[order]
+                       if hybrid and np.ndim(band_margin) else None)
+        band_total = 0
+        n_checked = 0
 
         def _pad_tail(arr, n):
             if len(arr) >= n:
@@ -872,20 +989,29 @@ class Lyapunov:
                                                   grid.ndim))])
             m_b = (margin if margin_sorted is None
                    else _pad_tail(margin_sorted[i:i + batch], batch))
-            states_dev = _shard(states)
             # Only the boolean verdict comes back to the host (the
             # decrease/threshold outputs exist for diagnostics callers;
             # transferring them here would add two f32 grid-sized D2H
-            # copies per batch).
-            if ext_sweep is not None:
+            # copies per batch — except the hybrid pass, which needs
+            # them for its band filter).
+            if hybrid:
+                band_b = (band_margin if band_sorted is None
+                          else _pad_tail(band_sorted[i:i + batch],
+                                         batch))
+                negative, n_band = self._hybrid_negative(
+                    ext_sweep, states, m_b, band_b, tau, _shard,
+                    _to_host, unit)
+                band_total += n_band
+            elif ext_sweep is not None:
                 negative = _to_host(ext_sweep.negative_batch(
-                    states_dev, tau=tau, margin=m_b))
+                    _shard(states), tau=tau, margin=m_b))
             else:
                 negative = _to_host(_negative_batch(
                     self.policy, self.dynamics, self.lyapunov_function,
                     self._lipschitz_lyapunov, self._lipschitz_dynamics,
-                    tau, states_dev, m_b)[0])
+                    tau, _shard(states), m_b)[0])
             negative = negative[:n_valid]
+            n_checked += n_valid
             safe_b = negative | exempt_sorted[i:i + n_valid]
             refinement_sorted[i:i + n_valid][safe_b] = 1
 
@@ -975,6 +1101,9 @@ class Lyapunov:
 
             max_index = i + bound - 1
             break
+
+        if hybrid:
+            self.last_band_fraction = band_total / max(n_checked, 1)
 
         # Level-comparison guard, mirroring _fused_update: trim the
         # certified prefix so no state within level_margin of the first

@@ -72,12 +72,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import config
-from ..functions.base import (ConstantFunction, GradientNorm,
-                              MultipliedFunction, Saturation)
+from ..functions.base import (ConstantFunction, FunctionStack,
+                              GradientNorm, MultipliedFunction,
+                              Saturation)
 from ..functions.gp import (RBF, ActiveDims, GaussianProcess,
                             LinearKernel, Matern12, Matern32, Matern52,
                             ProductKernel, StackedGaussianProcess,
-                            SumKernel, _StationaryKernel)
+                            SumKernel, _StationaryKernel, coerce_stacked)
 from ..functions.linear import LinearSystem, QuadraticFunction
 from ..functions.neural import LyapunovNetwork, NeuralNetwork
 from ..functions.simplex import Triangulation, _vertex_strides
@@ -88,7 +89,16 @@ from .extended import (df_abs, df_add, df_add_f32, df_cos, df_div,
                        df_sub, df_tanh, eft_selfcheck, two_sum)
 
 __all__ = ["U_EFF", "ExtendedSweep", "extended_gp_evaluate",
-           "extended_certificate_margin", "extended_exploration_margin"]
+           "extended_certificate_margin", "extended_exploration_margin",
+           "hybrid_band_margin"]
+
+#: Appended to every model-shape refusal: the supported alternatives a
+#: refused instance can ALWAYS use instead of the extended pipeline.
+_FALLBACK = (" [fallback: run the plain f32 sweep/scorer with a derived"
+             " margin (errorbounds.analytic_certificate_margin /"
+             " analytic_exploration_margin) or a measured one"
+             " (oracle.calibrate_certificate_margin)]")
+
 
 #: Unit roundoff the extended pipeline is certified at. Double-word ops
 #: round at a few 2^-48 relative (Joldes et al. 2017) and the scan
@@ -191,7 +201,7 @@ def _compile_kernel(kernel, dims, params):
         if fam not in (RBF, Matern12, Matern32, Matern52):
             raise NotImplementedError(
                 "extended sweep: unsupported stationary kernel {}"
-                .format(fam.__name__))
+                .format(fam.__name__) + _FALLBACK)
         m = len(cols)
         ls64 = np.broadcast_to(np.atleast_1d(
             np.asarray(kernel.lengthscales, dtype=np.float64)), (m,))
@@ -266,7 +276,7 @@ def _compile_kernel(kernel, dims, params):
 
     raise NotImplementedError(
         "extended sweep: unsupported kernel node {}"
-        .format(type(kernel).__name__))
+        .format(type(kernel).__name__) + _FALLBACK)
 
 
 # ---------------------------------------------------------------------------
@@ -285,13 +295,13 @@ def _df_activation(name):
     if not (name is None or isinstance(name, str)):
         raise NotImplementedError(
             "extended sweep needs named activations (relu/tanh/sigmoid/"
-            "linear); got a callable")
+            "linear); got a callable" + _FALLBACK)
     try:
         return _DF_ACTS[name]
     except KeyError:
         raise NotImplementedError(
             "extended sweep supports relu/tanh/sigmoid/linear "
-            "activations; got {!r}".format(name))
+            "activations; got {!r}".format(name) + _FALLBACK)
 
 
 def _compile_mlp(net, params):
@@ -379,7 +389,8 @@ def _compile_policy(policy, params):
 
     raise NotImplementedError(
         "extended sweep supports LinearSystem/Saturation/Constant/"
-        "NeuralNetwork policies; got {}".format(type(policy).__name__))
+        "NeuralNetwork policies; got {}".format(type(policy).__name__)
+        + _FALLBACK)
 
 
 def _build_pwl_locate(v_fun):
@@ -535,7 +546,7 @@ def _compile_candidate(v_fun, params):
     if isinstance(v_fun, Triangulation):
         if v_fun.output_dim != 1:
             raise NotImplementedError(
-                "extended sweep needs a scalar PWL candidate")
+                "extended sweep needs a scalar PWL candidate" + _FALLBACK)
         locate, consts, sig, d, _ = _build_pwl_locate(v_fun)
         idx = len(params)
         params.append(consts)
@@ -579,7 +590,7 @@ def _compile_candidate(v_fun, params):
     if isinstance(v_fun, NeuralNetwork):
         if v_fun.output_dim != 1:
             raise NotImplementedError(
-                "extended sweep needs a scalar NN candidate")
+                "extended sweep needs a scalar NN candidate" + _FALLBACK)
         mlp_fn, msig = _compile_mlp(v_fun, params)
 
         def fn(vp, x):
@@ -590,23 +601,46 @@ def _compile_candidate(v_fun, params):
     raise NotImplementedError(
         "extended sweep supports QuadraticFunction / Triangulation / "
         "LyapunovNetwork / NeuralNetwork candidates (optionally scaled "
-        "by a constant); got {}".format(type(v_fun).__name__))
+        "by a constant); got {}".format(type(v_fun).__name__)
+        + _FALLBACK)
 
 
-def _auto_lv_matrix(lipschitz_lyapunov):
-    """Derive ``lv_matrix`` when the form is known exactly.
+def _auto_lv_matrix(lyapunov):
+    """Derive ``lv_matrix`` when the form is known exactly or probeable.
 
-    ``GradientNorm(QuadraticFunction, ord=None)`` — the repo's
-    first-class local-Lipschitz helper for quadratic candidates — IS
-    the row-wise absolute linear form: ``|grad v(x)| = |x (P + P^T)|``.
+    - ``GradientNorm(QuadraticFunction, ord=None)`` — the repo's
+      first-class local-Lipschitz helper for quadratic candidates — IS
+      the row-wise absolute linear form:
+      ``|grad v(x)| = |x (P + P^T)|``.
+    - A GENERIC callable L_v paired with a ``QuadraticFunction``
+      candidate is probed against the same form (the ubiquitous
+      ``2|Px|`` pattern, e.g.
+      ``LambdaFunction(lambda x: jnp.abs(x @ (2 * p)))``): when the
+      callable reproduces ``|x (P + P^T)^T|`` on a grid sample
+      (:meth:`ExtendedSweep._spotcheck_lv`, 1e-4 relative on the
+      positive anchor), the matrix is adopted. Sweep construction
+      re-runs the full spot-check, so a mismatch still fails loudly;
+      ``GradientNorm`` of anything non-quadratic keeps its dedicated
+      inflated-program model instead of this probe.
     """
     from ..functions.base import GradientNorm
 
-    if (isinstance(lipschitz_lyapunov, GradientNorm)
-            and lipschitz_lyapunov.ord is None
-            and isinstance(lipschitz_lyapunov.fun, QuadraticFunction)):
-        pm = np.asarray(lipschitz_lyapunov.fun.matrix, np.float64)
+    lv = lyapunov._lipschitz_lyapunov
+    if (isinstance(lv, GradientNorm) and lv.ord is None
+            and isinstance(lv.fun, QuadraticFunction)):
+        pm = np.asarray(lv.fun.matrix, np.float64)
         return pm + pm.T
+    if (callable(lv)
+            and not isinstance(lv, (ConstantFunction, GradientNorm))
+            and isinstance(lyapunov.lyapunov_function,
+                           QuadraticFunction)):
+        pm = np.asarray(lyapunov.lyapunov_function.matrix, np.float64)
+        g = pm + pm.T
+        try:
+            ExtendedSweep._spotcheck_lv(lyapunov, g, g.shape[0])
+        except ValueError:
+            return None
+        return g
     return None
 
 
@@ -640,7 +674,7 @@ def _compile_lv(lipschitz_lyapunov, lv_matrix, d, params):
         raise NotImplementedError(
             "extended sweep needs lv_matrix (the G of L_v(x) = |x G^T|) "
             "for a non-constant L_v; got {} with no model".format(
-                type(lipschitz_lyapunov).__name__))
+                type(lipschitz_lyapunov).__name__) + _FALLBACK)
     g = np.atleast_2d(np.asarray(lv_matrix, dtype=np.float64))
     if g.shape[1] != d:
         raise ValueError("lv_matrix must have one column per state dim")
@@ -725,7 +759,7 @@ def _compile_gradnorm_pwl(lv, d, params):
         raise NotImplementedError(
             "extended sweep supports GradientNorm of a scalar "
             "Triangulation; got GradientNorm({})"
-            .format(type(inner).__name__))
+            .format(type(inner).__name__) + _FALLBACK)
     locate, consts, isig, dpwl, strides = _build_pwl_locate(inner)
     if dpwl != d:
         raise ValueError("GradientNorm grid dimension mismatch")
@@ -741,9 +775,9 @@ def _compile_gradnorm_pwl(lv, d, params):
     cell_strides = np.asarray(
         np.cumprod((cells_shape[1:] + (1,))[::-1])[::-1], np.int32)
     n_cells = int(np.prod(cells_shape))
-    idx = len(params)
-    params.append(consts + (_split_np(g_tab.reshape(n_cells, d)),))
-    delta = _PWL_GRAD_DELTA
+    # Validate ord BEFORE mutating the shared params list: a caller
+    # that catches the NotImplementedError must not be left with a
+    # stale entry.
     ord_key = "inf" if (ordv is not None and np.isinf(ordv)) else ordv
     if ord_key is not None and ord_key != "inf":
         if ord_key != 1:
@@ -752,8 +786,12 @@ def _compile_gradnorm_pwl(lv, d, params):
             # different condition from the declared L_v.
             raise NotImplementedError(
                 "extended sweep supports GradientNorm ord in "
-                "{{None, 1, inf}}; got ord={!r}".format(ordv))
+                "{{None, 1, inf}}; got ord={!r}".format(ordv)
+                + _FALLBACK)
         ord_key = 1
+    idx = len(params)
+    params.append(consts + (_split_np(g_tab.reshape(n_cells, d)),))
+    delta = _PWL_GRAD_DELTA
     shift_subsets = np.stack(
         np.meshgrid(*([[0, 1]] * d), indexing="ij"),
         axis=-1).reshape(-1, d).astype(np.int32)
@@ -773,7 +811,7 @@ def _compile_gradnorm_pwl(lv, d, params):
                     onehot[:, :, k] * dl[:, k][:, None])
             gh, gl = df_add((gh, gl), term)
         g = df_abs(df_mul((gh, gl), (inv_unit[0][None, :],
-                                      inv_unit[1][None, :])))
+                                     inv_unit[1][None, :])))
 
         # Ambiguity trigger on the f32 hi coordinates (the trigger band
         # only needs to CONTAIN the decision boundary; DELTA towers
@@ -840,14 +878,14 @@ def _compile_lf(lipschitz_dynamics, lf_matrix, d, params):
         if dv != 1:
             raise NotImplementedError(
                 "extended sweep needs a scalar L_f; use ord=1 or "
-                "ord=inf on the GradientNorm")
+                "ord=inf on the GradientNorm" + _FALLBACK)
         return fn, ("gradlf", sig)
 
     if lf_matrix is None:
         raise NotImplementedError(
             "extended sweep needs lf_matrix (the H of L_f(x) = |x H^T|) "
             "for a callable L_f; got {} with no model".format(
-                type(lipschitz_dynamics).__name__))
+                type(lipschitz_dynamics).__name__) + _FALLBACK)
     h = np.atleast_2d(np.asarray(lf_matrix, dtype=np.float64))
     if h.shape != (1, d):
         raise ValueError("lf_matrix must be one row with one column "
@@ -873,7 +911,7 @@ def _gp_blocks(dynamics):
         raise NotImplementedError(
             "extended sweep supports GaussianProcess / "
             "StackedGaussianProcess dynamics; got {}"
-            .format(type(dynamics).__name__))
+            .format(type(dynamics).__name__) + _FALLBACK)
     blocks = []
     for gp in gps:
         host = getattr(gp, "_host_cache", None)
@@ -903,7 +941,7 @@ def _gp_blocks(dynamics):
         if mean is not None and not isinstance(mean, LinearSystem):
             raise NotImplementedError(
                 "extended sweep supports LinearSystem prior means; "
-                "got {}".format(type(mean).__name__))
+                "got {}".format(type(mean).__name__) + _FALLBACK)
         blocks.append({"gp": gp, "host": host, "mean": mean})
     return blocks
 
@@ -993,14 +1031,22 @@ def _check_trig_domain(dyn, grid):
 
     if not isinstance(dyn, (InvertedPendulum, CartPole)):
         return
-    amax = float(np.max(np.abs(np.asarray(grid.limits, np.float64))))
+    # Only the angle dimension feeds df_sin/df_cos (state layouts:
+    # pendulum (theta, omega), cart-pole (x, theta, v, omega)), so only
+    # its limit x its own normalizer entry bounds the trig argument — a
+    # large velocity/position normalizer must not reject the instance.
+    angle_dim = 0 if isinstance(dyn, InvertedPendulum) else 1
+    amax = float(np.max(np.abs(
+        np.asarray(grid.limits, np.float64)[angle_dim])))
     norm = dyn._norm_arrays()
     if norm is not None:
-        amax *= float(np.max(np.abs(np.asarray(norm[0], np.float64))))
+        amax *= float(np.abs(
+            np.asarray(norm[0], np.float64)).reshape(-1)[angle_dim])
     if 2.0 * amax * 512.0 >= 2.0 ** 22:
         raise NotImplementedError(
             "extended sweep: denormalized grid states reach {:.3g}, too "
-            "close to df_sin's |x| < 2^22 validity domain".format(amax))
+            "close to df_sin's |x| < 2^22 validity domain".format(amax)
+            + _FALLBACK)
 
 
 def _compile_dynamics_det(dyn, params):
@@ -1145,7 +1191,8 @@ def _compile_dynamics_det(dyn, params):
     raise NotImplementedError(
         "extended sweep supports GaussianProcess/StackedGaussianProcess "
         "(uncertain) or LinearSystem/InvertedPendulum/CartPole/VanDerPol "
-        "(deterministic) dynamics; got {}".format(type(dyn).__name__))
+        "(deterministic) dynamics; got {}".format(type(dyn).__name__)
+        + _FALLBACK)
 
 
 # ---------------------------------------------------------------------------
@@ -1180,17 +1227,33 @@ class ExtendedSweep:
     def __init__(self, lyapunov, lv_matrix=None, lf_matrix=None):
         eft_selfcheck()
         if lv_matrix is None:
-            lv_matrix = _auto_lv_matrix(lyapunov._lipschitz_lyapunov)
+            lv_matrix = _auto_lv_matrix(lyapunov)
         d = lyapunov.discretization.ndim
         self._tau = float(lyapunov.tau)
 
-        det = not isinstance(lyapunov.dynamics,
+        dynamics = lyapunov.dynamics
+        if isinstance(dynamics, FunctionStack):
+            # The reference's per-dimension stack idiom (reference
+            # functions.py:254-307): batch it to the prediction-
+            # identical StackedGaussianProcess twin so the df pipeline
+            # needs no hand-conversion.
+            try:
+                dynamics = coerce_stacked(dynamics)
+            except ValueError as exc:
+                raise NotImplementedError(
+                    "extended sweep: this FunctionStack of GPs cannot "
+                    "be batched ({}); construct a "
+                    "StackedGaussianProcess directly, or use the plain "
+                    "sweep with a margin from errorbounds."
+                    "analytic_certificate_margin / oracle."
+                    "calibrate_certificate_margin".format(exc)) from exc
+        det = not isinstance(dynamics,
                              (GaussianProcess, StackedGaussianProcess))
         if det:
             blocks, predicts, bsigs, widths = [], [], [], []
             nd = None
         else:
-            blocks = _gp_blocks(lyapunov.dynamics)
+            blocks = _gp_blocks(dynamics)
             nd = blocks[0]["gp"].input_dim
             for blk in blocks:
                 if blk["gp"].input_dim != nd:
@@ -1246,10 +1309,8 @@ class ExtendedSweep:
                 self._spotcheck_lf(lyapunov, lf_matrix)
 
         if det:
-            _check_trig_domain(lyapunov.dynamics,
-                               lyapunov.discretization)
-            dyn_fn, dsig = _compile_dynamics_det(lyapunov.dynamics,
-                                                 dparams)
+            _check_trig_domain(dynamics, lyapunov.discretization)
+            dyn_fn, dsig = _compile_dynamics_det(dynamics, dparams)
             n_out = d
         else:
             dyn_fn, dsig = None, ("gp",)
@@ -1638,28 +1699,40 @@ def _gradnorm_error_model(lv):
                       * unit64)
 
 
-def _lv_error_model(lyapunov, lv_matrix):
-    """U_EFF rounding model of the instance's L_v, or None for scalars.
+def _lv_error_model(lyapunov, lv_matrix, unit=U_EFF):
+    """Rounding model of the instance's L_v at ``unit``, or None.
 
     ``lv_matrix`` defaults to the auto-derivable form
     (:func:`_auto_lv_matrix`) or the instance's ``extended_lv_matrix``;
     a ``GradientNorm``-of-PWL L_v gets the one-sided inflated-program
-    model (:func:`_gradnorm_error_model`).
+    model (:func:`_gradnorm_error_model`) — valid ONLY for the extended
+    pipeline's realization, so that path is refused at any other unit
+    (the plain f32 sweep evaluates the callable itself, whose locate
+    decisions the inflation argument does not cover).
+
+    The default ``unit=U_EFF`` models the double-word pipeline; the
+    hybrid band margin passes the f32 sweep's hardware-slack-adjusted
+    unit (``errorbounds._unit_roundoff``) to bound the PLAIN
+    realization of the same row-wise linear form (the callable is
+    spot-checked against it at sweep construction, so the (d+2)-op
+    matvec model covers both).
     """
     from ..errorbounds import ErrorModel
 
     if lv_matrix is None:
-        lv_matrix = _auto_lv_matrix(lyapunov._lipschitz_lyapunov)
+        lv_matrix = _auto_lv_matrix(lyapunov)
     if lv_matrix is None:
         lv_matrix = getattr(lyapunov, "extended_lv_matrix", None)
     if lv_matrix is None:
         if isinstance(lyapunov._lipschitz_lyapunov, GradientNorm):
+            if unit != U_EFF:
+                return None
             return _gradnorm_error_model(lyapunov._lipschitz_lyapunov)
         return None
     g = np.atleast_2d(np.asarray(lv_matrix, dtype=np.float64))
     g_abs_t = jnp.asarray(np.abs(g).T, dtype=config.dtype)
     d = lyapunov.discretization.ndim
-    gam = (d + 2) * U_EFF / (1.0 - (d + 2) * U_EFF)
+    gam = (d + 2) * unit / (1.0 - (d + 2) * unit)
 
     def eval_bound(x):
         return gam * jnp.abs(x) @ g_abs_t
@@ -1668,8 +1741,10 @@ def _lv_error_model(lyapunov, lv_matrix):
                       float(np.max(np.sum(np.abs(g), axis=1))))
 
 
-def _lf_error_model(lyapunov, lf_matrix=None):
-    """U_EFF rounding model of a callable L_f, or None for scalars."""
+def _lf_error_model(lyapunov, lf_matrix=None, unit=U_EFF):
+    """Rounding model of a callable L_f at ``unit``, or None for scalars.
+
+    Same unit semantics as :func:`_lv_error_model`."""
     from ..errorbounds import ErrorModel
 
     lf = lyapunov._lipschitz_dynamics
@@ -1679,18 +1754,68 @@ def _lf_error_model(lyapunov, lf_matrix=None):
         lf_matrix = getattr(lyapunov, "extended_lf_matrix", None)
     if lf_matrix is None:
         if isinstance(lf, GradientNorm):
+            if unit != U_EFF:
+                return None
             return _gradnorm_error_model(lf)
         return None
     h = np.atleast_2d(np.asarray(lf_matrix, dtype=np.float64))
     h_abs_t = jnp.asarray(np.abs(h).T, dtype=config.dtype)
     d = lyapunov.discretization.ndim
-    gam = (d + 2) * U_EFF / (1.0 - (d + 2) * U_EFF)
+    gam = (d + 2) * unit / (1.0 - (d + 2) * unit)
 
     def eval_bound(x):
         return gam * jnp.abs(x) @ h_abs_t
 
     return ErrorModel(eval_bound,
                       float(np.max(np.sum(np.abs(h), axis=1))))
+
+
+def hybrid_band_margin(lyapunov, lv_matrix=None, refinement=1,
+                       safety=1.0):
+    """Derived PER-POINT f32 margin for the hybrid two-pass sweep.
+
+    ``update_safe_set(extended="hybrid")`` runs the plain f32 pipeline
+    once, keeps every verdict whose computed ``decrease - threshold``
+    clears this margin (plus twice the extended margin) on either side,
+    and re-checks only the remaining ambiguity band with the double-word
+    pipeline. For that filter to reproduce the full extended sweep's
+    verdicts EXACTLY, the band margin must bound the plain pipeline's
+    rounding two-sidedly at every grid point — which is precisely
+    :func:`~safe_learning_tpu.errorbounds.analytic_certificate_margin`
+    at the f32 unit; this wrapper resolves the instance's L_v/L_f
+    models the same way :func:`extended_certificate_margin` does, but
+    at the f32 unit.
+
+    Raises ``NotImplementedError`` for instances whose plain-pipeline
+    L_v/L_f realization has no f32 rounding model (``GradientNorm`` of
+    a PWL without an installed ``extended_lv_matrix``): the full
+    ``update_safe_set(extended=True)`` sweep remains available there.
+    """
+    from ..errorbounds import _unit_roundoff, analytic_certificate_margin
+
+    u32 = _unit_roundoff()
+    lvm = _lv_error_model(lyapunov, lv_matrix, unit=u32)
+    if lvm is None and callable(lyapunov._lipschitz_lyapunov) \
+            and not isinstance(lyapunov._lipschitz_lyapunov,
+                               ConstantFunction):
+        raise NotImplementedError(
+            "hybrid sweep: no f32 rounding model for the plain "
+            "realization of this L_v (a GradientNorm-of-PWL is only "
+            "modeled for the extended pipeline's inflated program) — "
+            "install extended_lv_matrix, or run "
+            "update_safe_set(extended=True)")
+    lfm = _lf_error_model(lyapunov, unit=u32)
+    if lfm is None and callable(lyapunov._lipschitz_dynamics) \
+            and not isinstance(lyapunov._lipschitz_dynamics,
+                               ConstantFunction):
+        raise NotImplementedError(
+            "hybrid sweep: no f32 rounding model for the plain "
+            "realization of this L_f — install extended_lf_matrix, or "
+            "run update_safe_set(extended=True)")
+    return analytic_certificate_margin(
+        lyapunov, safety=safety, lipschitz_model=lvm,
+        refinement=refinement, set_margin=False, lf_model=lfm,
+        per_point=True)
 
 
 def extended_exploration_margin(lyapunov, perturbations=None,

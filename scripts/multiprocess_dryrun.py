@@ -14,7 +14,11 @@ dryrun (``__graft_entry__.py``) covers:
    round with the RNG gated on process 0 and the chosen measurements
    broadcast to every process (``broadcast_from_coordinator``), then a
    re-verification — host-side GP/safe-set state stays in lockstep.
-4. **Training step** over a 2-D global ``(data, model)`` mesh: grid
+4. **Extended + hybrid rigor sweeps**: ``update_safe_set(extended=True)``
+   and ``extended="hybrid"`` with the double-word pipeline's batches
+   sharded over the global mesh, asserted equal to each other and to
+   the single-process certificates.
+5. **Training step** over a 2-D global ``(data, model)`` mesh: grid
    states sharded over ``data``, the PWL value table over ``model``,
    LyapunovNetwork/policy parameters replicated, gradients psum-reduced
    across processes by XLA.
@@ -181,7 +185,37 @@ def run_phases(mesh=None, mesh2d=None):
         "ref_hash": _hash(np.asarray(lyap_gp._refinement)),
         "c_max": float(lyap_gp.c_max)}
 
-    # Phase 4: (data, model) training step.
+    # Phase 4: extended (double-word) + hybrid sweeps over the global
+    # mesh. The rigor pipeline is pure SPMD arithmetic, so its batches
+    # shard through the same put_global/fetch_global path as the plain
+    # sweep; the hybrid mode's band filter runs on allgathered
+    # diagnostics, identical on every process.
+    from safe_learning_tpu.ops.extended_verify import (
+        extended_certificate_margin)
+
+    lyap_ext, _ = build_gp_instance()
+    lyap_ext.mesh = mesh
+    lyap_ext.extended_lv_matrix = 2.0 * np.eye(2)
+    extended_certificate_margin(lyap_ext,
+                                lv_matrix=lyap_ext.extended_lv_matrix)
+    lyap_ext.update_safe_set(extended=True)
+    out["extended"] = {
+        "safe_sum": int(np.asarray(lyap_ext.safe_set).sum()),
+        "safe_hash": _hash(np.asarray(lyap_ext.safe_set)),
+        "c_max": float(lyap_ext.c_max)}
+    lyap_ext.safe_set = np.zeros(lyap_ext.discretization.nindex,
+                                 dtype=bool)
+    lyap_ext.safe_set |= lyap_ext.initial_safe_set
+    lyap_ext.update_safe_set(extended="hybrid")
+    out["extended"]["hybrid_safe_hash"] = _hash(
+        np.asarray(lyap_ext.safe_set))
+    out["extended"]["hybrid_c_max"] = float(lyap_ext.c_max)
+    out["extended"]["band_fraction"] = float(lyap_ext.last_band_fraction)
+    assert out["extended"]["hybrid_safe_hash"] == \
+        out["extended"]["safe_hash"], "hybrid must equal extended"
+    assert out["extended"]["hybrid_c_max"] == out["extended"]["c_max"]
+
+    # Phase 5: (data, model) training step.
     grid = sl.GridWorld([[-0.5, 0.5], [-1.0, 1.0]], [8, 16])
     pend = sl.InvertedPendulum(mass=0.25, length=0.5, friction=0.1,
                                dt=0.01)
@@ -338,7 +372,8 @@ def main():
     assert ref["explore"]["count"] > 0
     for res in results:
         assert res["n_devices"] == args.nprocs, res
-        for phase in ("fused", "adaptive", "explore", "train"):
+        for phase in ("fused", "adaptive", "explore", "extended",
+                      "train"):
             assert res[phase] == ref[phase], (phase, res[phase], ref[phase])
     assert sum(r["coordinator"] for r in results) == 1
     print("multiprocess dryrun OK: {} processes x 1 device agree "

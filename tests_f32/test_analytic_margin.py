@@ -133,9 +133,16 @@ def test_unsupported_types_raise():
     with pytest.raises(NotImplementedError, match="dynamics"):
         analytic_certificate_margin(lyap)
 
+    # A 2|Px|-pattern LambdaFunction L_v is auto-probed now (r5); a
+    # genuinely nonlinear callable still has no derivable model.
     lyap2 = _random_instance(0)
+    lyap2._lipschitz_lyapunov = sl.LambdaFunction(
+        lambda x: jnp.abs(jnp.sin(2.0 * x)))
     with pytest.raises(NotImplementedError, match="ErrorModel"):
-        analytic_certificate_margin(lyap2)  # LambdaFunction L_v, no model
+        analytic_certificate_margin(lyap2)
+    # ...and the 2|Px| pattern itself derives without a hand model.
+    lyap3 = _random_instance(0)
+    assert analytic_certificate_margin(lyap3, set_margin=False) > 0.0
 
 
 def _stacked_instance():

@@ -149,13 +149,15 @@ def _classic_soak_instance(rng):
             mean_function=sl.LinearSystem([a, np.zeros((2, 1))]))
 
     lf = float(np.linalg.norm(a, 2))
+    # lv_matrix stays None in BOTH branches: the quadratic branch's
+    # 2|Px| lambda is auto-probed by _auto_lv_matrix (r5) — the soak
+    # exercises the zero-hand-installed-matrix path end to end.
     lv_matrix = None
     if rng.random() < 0.5:
         v = sl.QuadraticFunction(np.diag(rng.uniform(0.5, 1.5, 2)))
         pm = np.asarray(v.matrix, np.float64)
         lv = sl.LambdaFunction(
             lambda x, s=jnp.asarray(2.0 * np.diag(pm)): jnp.abs(x) * s)
-        lv_matrix = pm + pm.T
     else:
         theta = (np.sum(np.abs(grid.all_points), axis=1, keepdims=True)
                  .astype(np.float32))

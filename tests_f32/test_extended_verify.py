@@ -541,3 +541,73 @@ def test_trig_domain_guard_refuses_pathological_normalizer():
         normalization=((np.deg2rad(30), 1.0), (1.0,)))
     _check_trig_domain(ok, grid)  # physical instances pass
     _check_trig_domain(sl.VanDerPol(), grid)  # no trig: exempt
+    # Only the ANGLE dim feeds df_sin/df_cos: a huge velocity
+    # normalizer with a small angle normalizer must NOT be rejected
+    # (r4 advisor: per-dim scaling, not the max over all dims).
+    fast = sl.InvertedPendulum(
+        0.15, 0.5, 0.1, 1 / 80,
+        normalization=((np.deg2rad(30), 2.0 ** 22), (1.0,)))
+    _check_trig_domain(fast, grid)
+    # CartPole's angle is dim 1: big cart-position normalizer is fine,
+    # a pathological angle normalizer is not.
+    grid4 = sl.GridWorld([[-1.0, 1.0]] * 4, 3)
+    cp_ok = sl.CartPole(0.1, 0.5, 0.5, 1 / 80,
+                        normalization=((2.0 ** 22, np.deg2rad(30),
+                                        1.0, 1.0), (1.0,)))
+    _check_trig_domain(cp_ok, grid4)
+    cp_bad = sl.CartPole(0.1, 0.5, 0.5, 1 / 80,
+                         normalization=((1.0, 2.0 ** 22, 1.0, 1.0),
+                                        (1.0,)))
+    with pytest.raises(NotImplementedError, match="df_sin"):
+        _check_trig_domain(cp_bad, grid4)
+
+
+def test_auto_lv_probe_matches_hand_matrix():
+    """The 2|Px| lambda pattern auto-derives lv_matrix (r5): building
+    the sweep and margin WITHOUT any hand-installed matrix must equal
+    the hand-installed construction bit for bit."""
+    lyap = _ill_conditioned_instance(seed=9)
+    m_auto = extended_certificate_margin(lyap, set_margin=False)
+    m_hand = extended_certificate_margin(lyap, lv_matrix=_LV_MAT,
+                                         set_margin=False)
+    assert m_auto == m_hand
+    pts = np.asarray(lyap.discretization.all_points[::13], np.float32)
+    s_auto = np.asarray(ExtendedSweep(lyap).negative_batch(pts))
+    s_hand = np.asarray(
+        ExtendedSweep(lyap, lv_matrix=_LV_MAT).negative_batch(pts))
+    assert (s_auto == s_hand).all()
+    # A lambda NOT matching the quadratic's linear form is refused,
+    # with the fallback named.
+    lyap.lyapunov_function = sl.QuadraticFunction(2.0 * np.eye(2))
+    lyap._ext_sweep = None
+    with pytest.raises(NotImplementedError, match="fallback"):
+        ExtendedSweep(lyap)
+
+
+def test_function_stack_auto_batches():
+    """A FunctionStack of single-output GPs compiles via its batched
+    StackedGaussianProcess twin (r5) — verdicts and margins identical
+    to the hand-built stacked construction."""
+    lyap = _ill_conditioned_instance(seed=4)
+    stacked = lyap.dynamics
+    members = stacked.unstack()
+    # Rebuild the members as standalone GPs (fresh factors) so the
+    # FunctionStack path is a genuine user-side construction.
+    gps = [sl.GaussianProcess(m.kernel, np.asarray(stacked.X),
+                              np.asarray(stacked.Y[:, i:i + 1]),
+                              float(stacked.noise_variances[i]),
+                              beta=stacked.betas[i],
+                              mean_function=m.mean_function,
+                              capacity=stacked.capacity)
+           for i, m in enumerate(members)]
+    lyap.dynamics = sl.FunctionStack(gps)
+    lyap._ext_sweep = None
+    pts = np.asarray(lyap.discretization.all_points[::13], np.float32)
+    s_stackfun = np.asarray(ExtendedSweep(lyap).negative_batch(pts))
+    lyap2 = _ill_conditioned_instance(seed=4)
+    s_direct = np.asarray(ExtendedSweep(lyap2).negative_batch(pts))
+    assert (s_stackfun == s_direct).all()
+    # The margin derivations accept the stack directly too.
+    m_stackfun = extended_certificate_margin(lyap, set_margin=False)
+    m_direct = extended_certificate_margin(lyap2, set_margin=False)
+    assert np.isclose(m_stackfun, m_direct, rtol=1e-12)
