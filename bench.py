@@ -80,9 +80,13 @@ def _build_instance(n_points=1000, n_train=128):
 
 
 def _oracle_margins(grid, a, x_train, y_train, params, lf, tau,
-                    batch=100_000):
+                    batch=100_000, points=None):
     """Float64 NumPy oracle: per-point margin ``decrease - threshold`` and
-    Lyapunov values (negative margin <=> the point passes the check)."""
+    Lyapunov values (negative margin <=> the point passes the check).
+
+    ``points`` restricts the oracle to an explicit subsample (the 1e8
+    giant sweep validates against a random subset; the full 1e8 oracle
+    would take hours on the host)."""
     import scipy.linalg
 
     ls = params["lengthscales"]
@@ -95,10 +99,11 @@ def _oracle_margins(grid, a, x_train, y_train, params, lf, tau,
     resid = (np.asarray(y_train, np.float64)
              - np.asarray(x_train[:, :2], np.float64) @ a.T)
 
-    pts = np.asarray(grid.all_points, np.float64)
+    pts = (np.asarray(grid.all_points, np.float64) if points is None
+           else np.asarray(points, np.float64))
     vals = np.sum(pts ** 2, axis=1)
-    margin = np.empty(grid.nindex, dtype=np.float64)
-    for i in range(0, grid.nindex, batch):
+    margin = np.empty(len(pts), dtype=np.float64)
+    for i in range(0, len(pts), batch):
         chunk = pts[i:i + batch]
         xu = np.column_stack([chunk, np.zeros(len(chunk))]) / ls
         kxq = var * np.exp(-0.5 * ((x64[:, None, :] - xu[None, :, :]) ** 2)

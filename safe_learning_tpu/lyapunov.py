@@ -394,7 +394,16 @@ class Lyapunov:
         #: pipeline's |computed - exact| decrease-threshold gap at
         #: every point). ``None`` (default) auto-derives it on first
         #: ``update_safe_set(extended="hybrid")`` via
-        #: ``ops.extended_verify.hybrid_band_margin``.
+        #: ``ops.extended_verify.hybrid_band_margin`` — the DERIVED
+        #: band, which makes the hybrid certificate PROVABLY identical
+        #: to ``extended=True``. Installing the measured
+        #: ``oracle.calibrate_certificate_margin(..., set_margin=False)``
+        #: value instead shrinks the band ~100x (the derived bound's
+        #: abs-matvec conditioning overshoot) for near-plain-f32 cost;
+        #: soundness is then measurement-grade — the same assumption
+        #: the default plain sweep already makes with that margin —
+        #: while band points still get exact-grade extended verdicts
+        #: (measured on device in ``benchmarks/hybrid_sweep_bench.py``).
         self.hybrid_band_margin = None
         self._auto_band_margin = None
         self._auto_band_key = None

@@ -163,3 +163,22 @@ def test_hybrid_rejects_bad_mode():
     lyap = _well_conditioned_instance()
     with pytest.raises(ValueError, match="extended"):
         lyap.update_safe_set(extended="turbo")
+
+
+def test_hybrid_calibrated_band_containment():
+    """Tier B (measured band): installing the oracle-calibrated value
+    as hybrid_band_margin keeps the containment property — the hybrid
+    certificate never over-claims vs exact arithmetic — while the band
+    shrinks far below the derived bound's conditioning overshoot."""
+    from safe_learning_tpu.oracle import calibrate_certificate_margin
+
+    lyap = _well_conditioned_instance(seed=1)
+    extended_certificate_margin(lyap, lv_matrix=_LV_MAT)
+    lyap.hybrid_band_margin = calibrate_certificate_margin(
+        lyap, set_margin=False)
+    lyap.update_safe_set(extended="hybrid")
+    assert lyap.last_band_fraction < 0.1
+    assert 0.02 < np.array(lyap.safe_set).mean() < 0.98
+    safe64, c64 = oracle_safe_set(lyap)
+    assert not (np.array(lyap.safe_set) & ~safe64).any()
+    assert lyap.c_max <= c64 + 1e-6 * max(abs(c64), 1.0)
