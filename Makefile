@@ -1,6 +1,6 @@
 # Development targets (reference: Makefile with test/docker targets).
 
-.PHONY: test test-slow lint bench examples notebooks clean
+.PHONY: test test-slow lint bench examples notebooks docs clean
 
 test:
 	bash scripts/test_code.sh
@@ -21,6 +21,12 @@ test-slow:
 
 lint:
 	python -m compileall -q safe_learning_tpu tests examples
+
+# Static HTML docs (reference parity: the Sphinx autosummary build).
+# Renders docs/*.md + README + guides and generates the API reference
+# from the live package into docs/_build/.
+docs:
+	python scripts/build_docs.py
 
 bench:
 	python bench.py

@@ -149,6 +149,31 @@ def _negative_batch(policy, dynamics, lyapunov_function, lipschitz_lyapunov,
         jnp.squeeze(jnp.broadcast_to(threshold, decrease.shape), axis=1)
 
 
+@jax.jit
+def _hybrid_filter_batch(policy, dynamics, lyapunov_function,
+                         lipschitz_lyapunov, lipschitz_dynamics, tau,
+                         states, w_hi, w_lo):
+    """Pass-1 verdicts + ambiguity-band mask for the hybrid sweep.
+
+    Runs the plain pipeline and classifies every point against the
+    band width ON DEVICE with exact double-word compares
+    (``two_sum(dec, -thr)`` is the exact difference as a pair;
+    ``(w_hi, w_lo)`` is the conservative split of the f64 width) —
+    only two boolean masks return to the host. Tie semantics match the
+    definition in :meth:`Lyapunov._hybrid_negative`:
+    ``negative = diff < -width``; ``band = -width <= diff <= width``.
+    """
+    from .ops.extended import df_less, two_sum
+
+    _, dec, thr = _negative_batch(policy, dynamics, lyapunov_function,
+                                  lipschitz_lyapunov,
+                                  lipschitz_dynamics, tau, states, 0.0)
+    d = two_sum(dec, -thr)
+    negative = df_less(d, (-w_hi, -w_lo))
+    band = ~negative & ~df_less((w_hi, w_lo), d)
+    return negative, band
+
+
 @partial(jax.jit, static_argnames=("max_refinement", "ndim"))
 def _refined_negative_batch(policy, dynamics, lyapunov_function,
                             lipschitz_lyapunov, lipschitz_dynamics, tau,
@@ -766,7 +791,7 @@ class Lyapunov:
         return self._auto_band_margin
 
     def _hybrid_negative(self, ext_sweep, states, m_ext, m_band, tau,
-                         shard, to_host, pad_unit):
+                         shard, to_host, pad_unit, states_dev=None):
         """Two-pass decrease verdicts for one host batch of states.
 
         Pass 1 runs the plain f32 pipeline and keeps every verdict
@@ -774,9 +799,9 @@ class Lyapunov:
         ``m_band + 2 m_ext`` on either side; pass 2 re-checks only the
         remaining ambiguity band with the double-word pipeline. The
         returned mask is IDENTICAL to a full extended sweep's: with
-        ``|diff32 - exact| <= m_band`` (the derived f32 bound; the f64
-        host subtraction of two f32 values is exact) and
-        ``|diff_dw - exact| <= m_ext``,
+        ``|diff32 - exact| <= m_band`` (the derived f32 bound; the
+        on-device ``two_sum(dec, -thr)`` pair is the exact difference)
+        and ``|diff_dw - exact| <= m_ext``,
 
         - ``diff32 < -(m_band + 2 m_ext)`` forces ``exact < -2 m_ext``
           and hence ``diff_dw < -m_ext`` (the extended PASS verdict);
@@ -784,40 +809,60 @@ class Lyapunov:
           and hence ``diff_dw >= m_ext`` (the extended FAIL verdict);
         - band points take the extended verdict verbatim.
 
+        The band classification happens ON DEVICE (exact double-word
+        compares), so only two boolean masks cross back to the host —
+        transferring the f32 decrease/threshold grids per batch cost
+        ~0.8 s/Mpoint through the TPU relay, ~5x the plain sweep
+        itself (measured, ``benchmarks/hybrid_sweep_bench.py``).
+
         Returns ``(negative, n_band)``.
         """
-        _, dec, thr = _negative_batch(
+        n = len(states)
+        m_ext64 = np.broadcast_to(np.asarray(m_ext, np.float64), (n,))
+        width = (np.broadcast_to(np.asarray(m_band, np.float64), (n,))
+                 + 2.0 * m_ext64)
+        # The (hi, lo) f32 split reproduces the f64 width to ~2^-48
+        # relative; inflate so the representable band can only widen.
+        w64 = width * (1.0 + 2.0 ** -40)
+        if np.ndim(m_band) == 0 and np.ndim(m_ext) == 0:
+            w64 = w64[:1].reshape(())  # scalar width: no H2D per batch
+        w_hi = w64.astype(np.float32)
+        w_lo = (w64 - w_hi.astype(np.float64)).astype(np.float32)
+        neg_dev, band_dev = _hybrid_filter_batch(
             self.policy, self.dynamics, self.lyapunov_function,
             self._lipschitz_lyapunov, self._lipschitz_dynamics, tau,
-            shard(states), 0.0)
-        diff = (to_host(dec).astype(np.float64)
-                - to_host(thr).astype(np.float64))
-        m_ext64 = np.broadcast_to(np.asarray(m_ext, np.float64),
-                                  diff.shape)
-        width = (np.broadcast_to(np.asarray(m_band, np.float64),
-                                 diff.shape) + 2.0 * m_ext64)
-        negative = diff < -width
-        band = np.abs(diff) <= width
+            shard(states) if states_dev is None else states_dev,
+            w_hi, w_lo)
+        negative = np.array(to_host(neg_dev))
+        band = np.array(to_host(band_dev))
         n_band = int(band.sum())
         if n_band:
-            # Pad the band batch to a power-of-two multiple of the
-            # mesh unit: bounded compile count across sweeps.
-            bucket = pad_unit
-            while bucket < n_band:
-                bucket *= 2
             bstates = states[band]
             bmargin = m_ext64[band]
-            if bucket > n_band:
-                bstates = np.vstack([
-                    bstates, np.broadcast_to(bstates[-1:],
-                                             (bucket - n_band,
-                                              states.shape[1]))])
-                bmargin = np.concatenate([
-                    bmargin, np.broadcast_to(bmargin[-1:],
-                                             (bucket - n_band,))])
-            verdict = to_host(ext_sweep.negative_batch(
-                shard(bstates), tau=tau, margin=bmargin))
-            negative[band] = verdict[:n_band]
+            # The pass-1 batch can be fused-sweep-sized (plain-pipeline
+            # memory); the double-word re-check cannot — chunk the band
+            # at gp_batch_size, each chunk padded to a power-of-two
+            # multiple of the mesh unit (bounded compile count).
+            cap = max(int(config.gp_batch_size), pad_unit)
+            verdicts = np.empty(n_band, dtype=bool)
+            for j in range(0, n_band, cap):
+                hi = min(j + cap, n_band)
+                bucket = pad_unit
+                while bucket < hi - j:
+                    bucket *= 2
+                chunk = bstates[j:hi]
+                mchunk = bmargin[j:hi]
+                if bucket > hi - j:
+                    chunk = np.vstack([
+                        chunk, np.broadcast_to(chunk[-1:],
+                                               (bucket - (hi - j),
+                                                states.shape[1]))])
+                    mchunk = np.concatenate([
+                        mchunk, np.broadcast_to(mchunk[-1:],
+                                                (bucket - (hi - j),))])
+                verdicts[j:hi] = to_host(ext_sweep.negative_batch(
+                    shard(chunk), tau=tau, margin=mchunk))[:hi - j]
+            negative[band] = verdicts
         return negative, n_band
 
     def update_safe_set(self, can_shrink=True, max_refinement=1,
@@ -893,10 +938,13 @@ class Lyapunov:
                           int(getattr(config, "fused_sweep_limit", 0)))
         if not self.adaptive and nindex <= fused_limit and not extended:
             return self._update_safe_set_fused(can_shrink)
-        if self.adaptive and batch_size is None:
+        if (self.adaptive or hybrid) and batch_size is None:
             # One device pass for the main decrease check when the grid
             # fits; the batched loop below then only iterates once and
-            # the chunked refinement handles the failing suffix.
+            # the chunked refinement (adaptive) / chunked band re-check
+            # (hybrid, see _hybrid_negative) handles the small subset —
+            # pass-1 at gp_batch_size cost 16 relay round trips per
+            # Mpoint where the plain mode runs one fused program.
             batch = max(batch, min(nindex, fused_limit))
         # Round the batch UP to a multiple of 256 (lane-friendly) and of
         # the mesh's grid-axis size (jax.device_put rejects a sharded
@@ -984,6 +1032,35 @@ class Lyapunov:
             return np.concatenate(
                 [arr, np.broadcast_to(arr[-1:], (n - len(arr),))])
 
+        # Device cache of the value-sorted padded grid batches. The
+        # batched sweeps are H2D-bound through the TPU relay (measured
+        # ~0.5 s to re-upload the 1M-point grid vs ~3 ms of kernel),
+        # and the sorted states depend only on (values, batch) — reuse
+        # them across sweeps while neither changes. Capped at 2^21
+        # points so giant streamed sweeps do not pin the grid in HBM.
+        batch_dev_cache = None
+        if nindex <= 2 ** 21:
+            import hashlib
+
+            cache_key = (hashlib.sha1(values.tobytes()).hexdigest(),
+                         batch, nindex, id(self.mesh))
+            cached = getattr(self, "_sorted_batch_cache", None)
+            if cached is None or cached[0] != cache_key:
+                # The held mesh reference keeps id(self.mesh) from
+                # being reused by a NEW mesh while the key lives.
+                cached = (cache_key, {}, self.mesh)
+                self._sorted_batch_cache = cached
+            batch_dev_cache = cached[1]
+
+        def _batch_dev(i, states):
+            if batch_dev_cache is None:
+                return _shard(states)
+            dev = batch_dev_cache.get(i)
+            if dev is None:
+                dev = _shard(states)
+                batch_dev_cache[i] = dev
+            return dev
+
         unit_maxes = jnp.asarray(grid.unit_maxes, dtype=config.dtype)
 
         max_index = -1  # last sorted position of the verified prefix
@@ -1009,16 +1086,16 @@ class Lyapunov:
                                          batch))
                 negative, n_band = self._hybrid_negative(
                     ext_sweep, states, m_b, band_b, tau, _shard,
-                    _to_host, unit)
+                    _to_host, unit, states_dev=_batch_dev(i, states))
                 band_total += n_band
             elif ext_sweep is not None:
                 negative = _to_host(ext_sweep.negative_batch(
-                    _shard(states), tau=tau, margin=m_b))
+                    _batch_dev(i, states), tau=tau, margin=m_b))
             else:
                 negative = _to_host(_negative_batch(
                     self.policy, self.dynamics, self.lyapunov_function,
                     self._lipschitz_lyapunov, self._lipschitz_dynamics,
-                    tau, _shard(states), m_b)[0])
+                    tau, _batch_dev(i, states), m_b)[0])
             negative = negative[:n_valid]
             n_checked += n_valid
             safe_b = negative | exempt_sorted[i:i + n_valid]

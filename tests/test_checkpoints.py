@@ -278,3 +278,21 @@ def test_restore_prefers_newer_checkpoint_format(tmp_path):
         restored = restore_checkpoint(path, target)
     assert any("newer orbax" in str(w.message) for w in caught)
     np.testing.assert_allclose(np.asarray(restored["w"]), 2.0)
+
+
+def test_show_program_renders_compiled_pipeline(tmp_path):
+    """show_program (the reference's show_graph counterpart) renders
+    the jaxpr + optimized HLO + cost table, inline and to a file."""
+    import jax.numpy as jnp
+
+    import safe_learning_tpu as sl
+    from safe_learning_tpu.profiling import show_program
+
+    v = sl.QuadraticFunction(np.eye(2))
+    out = tmp_path / "prog.html"
+    prog = show_program(lambda x: v(x).sum(), jnp.ones((32, 2)),
+                        file=str(out))
+    html = prog._repr_html_()
+    assert "jaxpr" in html and "optimized HLO" in html
+    assert "<details" in html and "cost analysis" in html
+    assert "jaxpr" in prog.text and out.stat().st_size > 100
