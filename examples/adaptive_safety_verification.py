@@ -118,10 +118,17 @@ def _extra_args(p):
         "--extended", action="store_true",
         help="double-word sweeps (incl. the refined checks) with the "
              "derived conservative margin re-derived per update")
+    p.add_argument(
+        "--hybrid", action="store_true",
+        help="run the rigor sweeps in the hybrid band-filtered mode (extended-identical certificate, near-plain-f32 cost; see docs/performance.md)")
 
 
 def main():
     args = example_args(__doc__, extra=_extra_args)
+    if args.hybrid:
+        # "hybrid" is truthy: every `if args.extended` margin guard and
+        # `extended=args.extended` sweep call routes through unchanged.
+        args.extended = "hybrid"
     num_states = 501 if args.full else 201
     n_max = 16
     updates = 12 if args.full else 6

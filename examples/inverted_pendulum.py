@@ -54,10 +54,17 @@ def _extra_args(p):
         help="double-word decrease sweeps and exploration scoring with "
              "derived conservative margins re-derived per update "
              "(ops/extended_verify)")
+    p.add_argument(
+        "--hybrid", action="store_true",
+        help="run the rigor sweeps in the hybrid band-filtered mode (extended-identical certificate, near-plain-f32 cost; see docs/performance.md)")
 
 
 def main():
     args = example_args(__doc__, extra=_extra_args)
+    if args.hybrid:
+        # "hybrid" is truthy: every `if args.extended` margin guard and
+        # `extended=args.extended` sweep call routes through unchanged.
+        args.extended = "hybrid"
     if args.full:
         num_states, policy_points = [2001, 1501], [55, 55]
         pretrain_iters, policy_iters = 3000, 200

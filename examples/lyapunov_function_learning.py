@@ -53,10 +53,17 @@ def _extra_args(p):
         help="certify each candidate with the double-word sweep and its "
              "derived conservative margin (ops/extended_verify; the "
              "tau=0 deterministic pipeline needs no L_v model)")
+    p.add_argument(
+        "--hybrid", action="store_true",
+        help="run the rigor sweeps in the hybrid band-filtered mode (extended-identical certificate, near-plain-f32 cost; see docs/performance.md)")
 
 
 def main():
     args = example_args(__doc__, extra=_extra_args)
+    if args.hybrid:
+        # "hybrid" is truthy: every `if args.extended` margin guard and
+        # `extended=args.extended` sweep call routes through unchanged.
+        args.extended = "hybrid"
     if args.full:
         num_states, outer_iters, inner_iters = 251, 20, 10
         roa_horizon, gap_horizon, pretrain_iters = 500, 100, 300

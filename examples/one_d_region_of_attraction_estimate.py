@@ -29,9 +29,20 @@ from examples._common import Timer, example_args, maybe_save_plot  # noqa: E402
 
 
 def main():
-    args = example_args(__doc__, extra=lambda p: p.add_argument(
-        "--extended", action="store_true",
-        help="double-word sweeps with the derived conservative margin"))
+    def _extra(p):
+        p.add_argument(
+            "--extended", action="store_true",
+            help="double-word sweeps with the derived conservative "
+                 "margin")
+        p.add_argument(
+            "--hybrid", action="store_true",
+            help="run the rigor sweeps in the hybrid band-filtered mode (extended-identical certificate, near-plain-f32 cost; see docs/performance.md)")
+
+    args = example_args(__doc__, extra=_extra)
+    if args.hybrid:
+        # "hybrid" is truthy: every `if args.extended` margin guard and
+        # `extended=args.extended` sweep call routes through unchanged.
+        args.extended = "hybrid"
     num_states = 1001 if args.full else 501
     n_updates = 24 if args.full else 20
 
