@@ -180,12 +180,29 @@ def main():
         rl.dynamics = new_dyn
 
     def certify():
-        """Margin-guarded sweep: derived extended margin, or plain f32."""
+        """Margin-guarded sweep: derived extended margin, or plain f32.
+
+        When the derived extended margin's GradientNorm-of-PWL model
+        runs out of trigger-band headroom (full scale, once the GP's
+        input uncertainty grows past the inflated-program argument),
+        fall back to the MEASURED extended margin
+        (``oracle.calibrate_extended_margin``) — same pipeline, same
+        U_EFF tagging, measurement-grade instead of derived.
+        """
         if args.extended:
             from safe_learning_tpu.ops.extended_verify import (
                 extended_certificate_margin)
 
-            extended_certificate_margin(lyap)
+            try:
+                extended_certificate_margin(lyap)
+            except RuntimeError as exc:
+                from safe_learning_tpu.oracle import (
+                    calibrate_extended_margin)
+
+                m = calibrate_extended_margin(lyap)
+                print("  derived extended margin refused ({}); using "
+                      "the measured one: {:.3e}".format(
+                          str(exc).split(":")[0], m))
         lyap.update_safe_set(extended=args.extended)
 
     with Timer("initial safe policy optimization"):

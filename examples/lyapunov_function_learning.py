@@ -266,6 +266,16 @@ def main():
         for k_out in range(outer_iters):
             c = lyap_nn.c_max
             values = lyap_nn.values.ravel()
+            if not np.isfinite(c) or c <= 0.0:
+                # Nothing beyond the exempt set certifies yet — possible
+                # in rigor mode at tau=0: a near-origin point whose true
+                # decrease is below the derived error bound fails the
+                # extended check (unprovable at that precision), pinning
+                # c_max at -inf. Grow the classifier's frontier from the
+                # current ROA estimate instead of deadlocking on an
+                # empty (c, 1.3c] gap; certification stays honest (only
+                # the TRAINING target region uses this level).
+                c = float(np.max(values[roa_estimate]))
             idx_small = values <= c
             idx_big = values <= level_multiplier * c
             idx_gap = idx_big & ~idx_small

@@ -38,7 +38,7 @@ from .functions import gp as gp_mod
 from .lyapunov import _decrease_bound, _threshold
 
 __all__ = ["lift64", "oracle_margins", "oracle_safe_set",
-           "calibrate_certificate_margin"]
+           "calibrate_certificate_margin", "calibrate_extended_margin"]
 
 
 def _lift_leaf(leaf):
@@ -255,12 +255,26 @@ def calibrate_certificate_margin(lyapunov, num_samples=4096, safety=2.0,
                        lyapunov.tau / max(refinement, 1)))
     margin = float(safety) * err
 
-    # Companion LEVEL margin: the certified-level cut compares f32
-    # Lyapunov values, so containment additionally needs
-    # ``level_margin >= 2 * max |v_f32 - v_f64|`` (one delta for the
-    # cut value, one for the compared state; exact ties at the cut are
-    # the classic violation). Floor at a few ULPs of the value scale so
-    # a zero measured delta on the subsample still excludes ties.
+    level_margin = _measured_level_margin(lyapunov, pts, safety)
+
+    if set_margin:
+        lyapunov.certificate_margin = margin
+        lyapunov.level_margin = level_margin
+    return margin
+
+
+def _measured_level_margin(lyapunov, pts, safety):
+    """Companion LEVEL margin (shared by both calibrators).
+
+    The certified-level cut compares f32 Lyapunov values, so
+    containment additionally needs
+    ``level_margin >= 2 * max |v_f32 - v_f64|`` (one delta for the cut
+    value, one for the compared state; exact ties at the cut are the
+    classic violation). Floored at a few ULPs of the value scale so a
+    zero measured delta on the subsample still excludes ties.
+    """
+    from .lyapunov import _values_batch
+
     v_dev = np.asarray(_values_batch(lyapunov.lyapunov_function,
                                      jnp.asarray(pts, dtype=config.dtype)),
                        dtype=np.float64)
@@ -271,9 +285,69 @@ def calibrate_certificate_margin(lyapunov, num_samples=4096, safety=2.0,
     delta_v = float(np.max(np.abs(v_dev - v64)))
     v_scale = float(np.max(np.abs(v64))) or 1.0
     eps = float(np.finfo(config.np_dtype).eps)
-    level_margin = max(2.0 * float(safety) * delta_v, 4.0 * eps * v_scale)
+    return max(2.0 * float(safety) * delta_v, 4.0 * eps * v_scale)
+
+
+def calibrate_extended_margin(lyapunov, num_samples=4096, safety=2.0,
+                              rng=None, set_margin=True, refinement=1):
+    """Measure the EXTENDED (double-word) pipeline's error; install a
+    dominating margin.
+
+    The measured fallback for instances the derived
+    ``ops.extended_verify.extended_certificate_margin`` refuses — e.g.
+    a ``GradientNorm``-of-PWL whose input uncertainty exceeds the
+    inflated model's trigger-band headroom (full-scale
+    ``inverted_pendulum --extended`` after enough GP data). Compares
+    ``ExtendedSweep.margins`` against the float64 oracle on a random
+    grid subsample (plus, with ``refinement=R``, a displaced half
+    measured at ``tau / R`` — the comparison the refined checks make)
+    and installs ``safety * max |margin_dw - margin_f64|`` tagged at
+    ``U_EFF`` (the plain f32 sweep refuses it, exactly like the derived
+    extended margin), with the measured f32-scale level margin.
+
+    Soundness grade matches :func:`calibrate_certificate_margin`:
+    measurement-based (the subsample's worst error must be
+    representative; ``safety`` covers the tail), not derived.
+    """
+    from .ops.extended_verify import U_EFF
+
+    rng = np.random.default_rng(0) if rng is None else rng
+    grid = lyapunov.discretization
+    if grid.nindex > num_samples:
+        idx = rng.choice(grid.nindex, size=num_samples, replace=False)
+        pts = grid.all_points[np.sort(idx)]
+    else:
+        pts = grid.all_points
+    refinement = int(refinement)
+    pts = np.array(pts, dtype=config.np_dtype)
+    refined_mask = np.zeros(pts.shape[0], dtype=bool)
+    if refinement > 1:
+        refined_mask = rng.random(pts.shape[0]) < 0.5
+        n_ref = int(refined_mask.sum())
+        j = rng.integers(0, refinement, size=(n_ref, pts.shape[1]))
+        unit = -1.0 + 2.0 * j / (refinement - 1.0)
+        half_width = (0.5 * (1.0 - 1.0 / refinement)
+                      * np.asarray(grid.unit_maxes))
+        pts[refined_mask] = pts[refined_mask] + (
+            half_width * unit).astype(config.np_dtype)
+
+    sweep = lyapunov._get_extended_sweep()
+
+    def _measure(points, tau):
+        if points.shape[0] == 0:
+            return 0.0
+        margins_dw = sweep.margins(points, tau=tau)
+        return float(np.max(np.abs(
+            margins_dw - oracle_margins(lyapunov, points, tau=tau))))
+
+    err = max(_measure(pts[~refined_mask], lyapunov.tau),
+              _measure(pts[refined_mask],
+                       lyapunov.tau / max(refinement, 1)))
+    margin = float(safety) * err
+    level_margin = _measured_level_margin(lyapunov, pts, safety)
 
     if set_margin:
         lyapunov.certificate_margin = margin
         lyapunov.level_margin = level_margin
+        lyapunov._certificate_margin_unit = U_EFF
     return margin

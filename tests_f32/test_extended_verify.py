@@ -611,3 +611,30 @@ def test_function_stack_auto_batches():
     m_stackfun = extended_certificate_margin(lyap, set_margin=False)
     m_direct = extended_certificate_margin(lyap2, set_margin=False)
     assert np.isclose(m_stackfun, m_direct, rtol=1e-12)
+
+
+def test_calibrate_extended_margin():
+    """The MEASURED extended margin (the fallback for instances the
+    derived model refuses) dominates the sweep-vs-oracle deviation,
+    carries the U_EFF tag (plain sweeps refuse it), and keeps the
+    containment property end to end."""
+    from safe_learning_tpu.oracle import calibrate_extended_margin
+
+    lyap = _ill_conditioned_instance(seed=6)
+    m = calibrate_extended_margin(lyap, num_samples=512)
+    assert m > 0.0 and lyap.certificate_margin == m
+    assert lyap._certificate_margin_unit == U_EFF
+    sweep = ExtendedSweep(lyap)
+    pts = np.asarray(lyap.discretization.all_points[::7], np.float32)
+    worst = float(np.max(np.abs(sweep.margins(pts)
+                                - oracle_margins(lyap, pts))))
+    # safety=2 over the max of a 512-point sample: dominate a thinner
+    # independent sample (the full-grid max is the property suite's
+    # job; sampling noise makes strict full-grid domination flaky).
+    assert m >= worst * 0.5, (m, worst)
+    with pytest.raises(RuntimeError, match="extended"):
+        lyap.update_safe_set()  # plain sweep refuses the U_EFF margin
+    lyap.update_safe_set(extended=True)
+    safe64, c64 = oracle_safe_set(lyap)
+    assert not (np.array(lyap.safe_set) & ~safe64).any()
+    assert lyap.c_max <= c64 + 1e-6 * max(abs(c64), 1.0)
