@@ -337,8 +337,17 @@ def calibrate_extended_margin(lyapunov, num_samples=4096, safety=2.0,
         if points.shape[0] == 0:
             return 0.0
         margins_dw = sweep.margins(points, tau=tau)
-        return float(np.max(np.abs(
-            margins_dw - oracle_margins(lyapunov, points, tau=tau))))
+        # ONE-SIDED: only margin UNDERSTATEMENT (dw more permissive
+        # than exact) is unsound — overstating the margin merely
+        # shrinks the certified set. The inflated GradientNorm-of-PWL
+        # program legitimately overstates by the trigger-band
+        # neighborhood max (that is its soundness argument); a
+        # two-sided |diff| would measure that conservatism as if it
+        # were rounding error (observed: margin 19.9 at c_max ~ 10 on
+        # the full-scale pendulum — certification-killing).
+        return float(np.max(np.maximum(
+            oracle_margins(lyapunov, points, tau=tau) - margins_dw,
+            0.0)))
 
     err = max(_measure(pts[~refined_mask], lyapunov.tau),
               _measure(pts[refined_mask],
