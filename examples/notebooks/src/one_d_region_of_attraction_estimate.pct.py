@@ -173,3 +173,49 @@ plt.tight_layout()
 # - `GaussianProcess.add_data_point` is functional (returns a new GP
 #   with updated Cholesky caches, appended in $O(n^2)$) — state lives
 #   in pytrees, not a global graph.
+
+# %% [markdown]
+# ## Rigor modes (round 5)
+#
+# The same loop runs with *certified-arithmetic* sweeps: the script
+# form accepts `--extended` (double-word float32 pipeline with a
+# DERIVED conservative margin — usable even when the plain-f32 bound
+# exceeds the threshold) and `--hybrid` (the band-filtered two-pass
+# sweep: a plain f32 pass decides every unambiguous point and only the
+# ambiguity band re-runs in double words — the identical certificate
+# at near-plain cost; `docs/performance.md` records the measured
+# tiers). Below: the derived extended margin for the current posterior,
+# and the hybrid sweep reproducing the extended certificate exactly.
+
+# %%
+from safe_learning_tpu.ops.extended_verify import (
+    extended_certificate_margin)
+
+margin_ext = extended_certificate_margin(lyap)
+print("derived extended margin: {:.3e}".format(margin_ext))
+lyap.update_safe_set(extended=True)
+safe_ext, c_ext = np.array(lyap.safe_set), lyap.c_max
+
+lyap.safe_set = np.zeros(discretization.nindex, dtype=bool)
+lyap.safe_set |= lyap.initial_safe_set
+lyap.update_safe_set(extended="hybrid")
+print("hybrid == extended:",
+      bool((np.array(lyap.safe_set) == safe_ext).all()
+           and lyap.c_max == c_ext),
+      " band fraction: {:.4f}".format(lyap.last_band_fraction))
+
+# %% [markdown]
+# ## Inspecting the compiled program
+#
+# `profiling.show_program` renders what the compiler made of a traced
+# function — the jaxpr, the optimized HLO, and XLA's cost analysis —
+# inline in the notebook (the TPU-idiomatic counterpart of the
+# reference's TensorBoard `show_graph` iframe).
+
+# %%
+from safe_learning_tpu import profiling
+
+program = profiling.show_program(
+    lambda pts: lyap.lyapunov_function(pts).sum(),
+    jax.numpy.asarray(discretization.all_points))
+program
