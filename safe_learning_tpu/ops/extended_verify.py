@@ -668,6 +668,8 @@ def _compile_lv(lipschitz_lyapunov, lv_matrix, d, params):
         return fn, ("scalar",), 1
 
     if lv_matrix is None and isinstance(lipschitz_lyapunov, GradientNorm):
+        if isinstance(lipschitz_lyapunov.fun, NeuralNetwork):
+            return _compile_gradnorm_spectral(lipschitz_lyapunov, params)
         return _compile_gradnorm_pwl(lipschitz_lyapunov, d, params)
 
     if lv_matrix is None:
@@ -735,6 +737,108 @@ def _pwl_gradient_cell_table(tri):
     return g_tab, cells_shape, unit64
 
 
+#: ``sup |act'|`` per supported activation name — the chain-rule factor
+#: of the spectral gradient bound (tanh'/relu'/identity' <= 1,
+#: sigmoid' <= 1/4).
+_ACT_DERIV_SUP = {None: 1.0, "linear": 1.0, "relu": 1.0, "tanh": 1.0,
+                  "sigmoid": 0.25}
+
+#: Relative inflation applied to each f64-computed singular value so the
+#: spectral product PROVABLY upper-bounds the exact one: LAPACK's SVD is
+#: backward stable (computed sigma are exact for ``A + dA`` with
+#: ``||dA|| <= p(n) eps64 ||A||``), so a 2^-30 headroom towers over the
+#: ~2^-50 perturbation of any layer these networks use.
+_SVD_HEADROOM = 1.0 + 2.0 ** -30
+
+
+def _spectral_grad_bound(net):
+    """Global f64 bound on ``||grad net(x)||_2`` for a scalar MLP.
+
+    Chain rule over ``net(x) = scale * act_L(W_L ... act_1(W_1 x + b_1))``:
+    the Jacobian is a product of weight matrices and activation-derivative
+    diagonals, so ``||grad net(x)||_2 <= |scale| prod_l sigma_max(W_l)
+    sup|act_l'|`` at EVERY input — biases shift the activation operating
+    point but never its derivative bound. This is the same per-layer
+    spectral product the reference uses as the network's global Lipschitz
+    constant (``functions.py:1742-1786``), computed here on the host in
+    float64 from the stored weights with a documented headroom factor
+    (:data:`_SVD_HEADROOM`). Returns ``None`` for non-MLP / vector-output
+    functions; raises for activations outside the table.
+    """
+    if not isinstance(net, NeuralNetwork) or int(net.layers[-1]) != 1:
+        return None
+    c = abs(float(net.output_scale))
+    for w, act in zip(net.weights, net.nonlinearities):
+        if not (act is None or isinstance(act, str)):
+            raise NotImplementedError(
+                "spectral gradient bound needs named activations "
+                "(relu/tanh/sigmoid/linear); got a callable" + _FALLBACK)
+        if act not in _ACT_DERIV_SUP:
+            raise NotImplementedError(
+                "spectral gradient bound supports relu/tanh/sigmoid/"
+                "linear activations; got {!r}".format(act) + _FALLBACK)
+        smax = float(np.linalg.svd(np.asarray(w, np.float64),
+                                   compute_uv=False)[0])
+        c *= smax * _SVD_HEADROOM * _ACT_DERIV_SUP[act]
+    return c
+
+
+def _spectral_ord(lv):
+    """``(dv, constant)`` bounding ``GradientNorm(MLP, ord).evaluate``.
+
+    From the 2-norm bound ``C`` on the gradient row: every entry of the
+    elementwise ``|grad|`` (ord=None, ``d`` columns) is ``<= C``; the max
+    (ord=inf) is ``<= C``; the L1 sum (ord=1) is ``<= sqrt(d) C``.
+    Returns ``None`` when the inner function has no spectral bound.
+    """
+    c = _spectral_grad_bound(lv.fun)
+    if c is None:
+        return None
+    d_in = int(lv.fun.input_dim)
+    ordv = lv.ord
+    if ordv is None:
+        return d_in, c
+    if np.isinf(ordv):
+        return 1, c
+    if ordv == 1:
+        return 1, float(np.sqrt(d_in)) * c
+    raise NotImplementedError(
+        "spectral gradient bound supports GradientNorm ord in "
+        "{{None, 1, inf}}; got ord={!r}".format(ordv) + _FALLBACK)
+
+
+def _compile_gradnorm_spectral(lv, params):
+    """``GradientNorm(NeuralNetwork, ord)`` as a baked constant bound.
+
+    The per-layer spectral product (:func:`_spectral_grad_bound`)
+    DOMINATES the callable's value at every evaluation site — grid
+    states, refined sub-points, and next-state means that may exit the
+    grid domain — and dominating L_v/L_f is the certificate's
+    conservative direction (a larger constant tightens both the
+    threshold and the error term), so the baked constant keeps the
+    sweep sound wherever the pipeline evaluates it. The constant's df
+    split is exact (zero representation error). Closes the support-
+    matrix hole for neural local Lipschitz callables; the reference
+    accepts arbitrary callables everywhere (``lyapunov.py:227-263``).
+    """
+    dv_c = _spectral_ord(lv)
+    if dv_c is None:
+        raise NotImplementedError(
+            "spectral gradient bound needs a scalar-output "
+            "NeuralNetwork; got GradientNorm({})"
+            .format(type(lv.fun).__name__) + _FALLBACK)
+    dv, cord = dv_c
+    idx = len(params)
+    params.append((_split_np(np.float64(cord)),))
+
+    def fn(lp, x):
+        cst = lp[idx][0]
+        n = x[0].shape[0]
+        return (jnp.broadcast_to(cst[0], (n, dv)),
+                jnp.broadcast_to(cst[1], (n, dv)))
+    return fn, ("gradspec", dv), dv
+
+
 def _compile_gradnorm_pwl(lv, d, params):
     """``GradientNorm(Triangulation, ord)`` as a conservative df program.
 
@@ -758,7 +862,7 @@ def _compile_gradnorm_pwl(lv, d, params):
     if not (isinstance(inner, Triangulation) and inner.output_dim == 1):
         raise NotImplementedError(
             "extended sweep supports GradientNorm of a scalar "
-            "Triangulation; got GradientNorm({})"
+            "Triangulation or NeuralNetwork; got GradientNorm({})"
             .format(type(inner).__name__) + _FALLBACK)
     locate, consts, isig, dpwl, strides = _build_pwl_locate(inner)
     if dpwl != d:
@@ -874,7 +978,12 @@ def _compile_lf(lipschitz_dynamics, lf_matrix, d, params):
         return None, ("scalar",)
 
     if lf_matrix is None and isinstance(lipschitz_dynamics, GradientNorm):
-        fn, sig, dv = _compile_gradnorm_pwl(lipschitz_dynamics, d, params)
+        if isinstance(lipschitz_dynamics.fun, NeuralNetwork):
+            fn, sig, dv = _compile_gradnorm_spectral(lipschitz_dynamics,
+                                                     params)
+        else:
+            fn, sig, dv = _compile_gradnorm_pwl(lipschitz_dynamics, d,
+                                                params)
         if dv != 1:
             raise NotImplementedError(
                 "extended sweep needs a scalar L_f; use ord=1 or "
@@ -1640,23 +1749,48 @@ def extended_gp_evaluate(gp, points):
 def _gradnorm_error_model(lv):
     """One-sided ``ErrorModel`` of the INFLATED GradientNorm program.
 
-    Valid ONLY for the extended pipeline's realization
-    (:func:`_compile_gradnorm_pwl`), whose cell-max inflation inside the
-    ``DELTA`` trigger band makes locate disagreement conservative; the
-    remaining deviation in the unsound direction is pure df rounding,
-    bounded relative to the neighborhood gradient magnitude. The
-    magnitude table is dilated by TWO cells per axis: one for the df
-    program's distance-1 neighborhood max, one for the bound sweep's
-    own f32 locate misassignment. ``max_input_shift`` caps the input
-    uncertainty at half the trigger band (in state units per dim) so a
-    non-ambiguous df locate implies every realization (df, f64 oracle)
-    sits in the same simplex.
+    Valid ONLY for the extended pipeline's realizations. A
+    ``GradientNorm(NeuralNetwork)`` compiles to the baked spectral
+    constant (:func:`_compile_gradnorm_spectral`): it dominates the
+    exact callable everywhere, so the unsound deviation is zero, the
+    one-sided excess over the plain anchor is at most the constant
+    itself (the callable is nonnegative), and a constant has no input
+    sensitivity, so shifts need no headroom cap.
+
+    A ``GradientNorm(Triangulation)`` compiles to the inflated PWL
+    program (:func:`_compile_gradnorm_pwl`), whose cell-max inflation
+    inside the ``DELTA`` trigger band makes locate disagreement
+    conservative; the remaining deviation in the unsound direction is
+    pure df rounding, bounded relative to the neighborhood gradient
+    magnitude. The magnitude table is dilated by TWO cells per axis:
+    one for the df program's distance-1 neighborhood max, one for the
+    bound sweep's own f32 locate misassignment. ``max_input_shift``
+    caps the input uncertainty at half the trigger band (in state
+    units per dim) so a non-ambiguous df locate implies every
+    realization (df, f64 oracle) sits in the same simplex.
     """
     from scipy.ndimage import maximum_filter
 
     from ..errorbounds import ErrorModel
 
     inner = lv.fun
+    if isinstance(inner, NeuralNetwork):
+        try:
+            dv_c = _spectral_ord(lv)
+        except NotImplementedError:
+            return None
+        if dv_c is None:
+            return None
+        dv, cord = dv_c
+        cst = jnp.asarray(cord, dtype=config.dtype)
+
+        def _zero(x):
+            return jnp.zeros((x.shape[0], dv), dtype=config.dtype)
+
+        def _anchor(x):
+            return jnp.full((x.shape[0], dv), cst, dtype=config.dtype)
+
+        return ErrorModel(_zero, 0.0, anchor_bound=_anchor)
     if not (isinstance(inner, Triangulation) and inner.output_dim == 1):
         return None
     ordv = lv.ord

@@ -456,3 +456,167 @@ def test_zero_tau_sweep_accepts_any_lf():
     dec_callable = np.asarray(
         lyap._get_extended_sweep().negative_batch(pts))
     np.testing.assert_array_equal(dec_scalar, dec_callable)
+
+
+def _bowl_net():
+    """Exact ``||x||_1`` as a bias-free ReLU MLP — a genuine Lyapunov
+    candidate whose spectral product (sqrt(2) * 2) stays a small
+    constant factor above the true ``max |grad| = 1``."""
+    net = sl.NeuralNetwork(layers=[2, 4, 1], nonlinearities=["relu", None],
+                           use_bias=False, key=jax.random.PRNGKey(0))
+    w1 = np.array([[1.0, -1.0, 0.0, 0.0],
+                   [0.0, 0.0, 1.0, -1.0]], np.float32)
+    net.weights = (jnp.asarray(w1),
+                   jnp.asarray(np.ones((4, 1), np.float32)))
+    return net
+
+
+def _nn_instance(seed=0, ord=np.inf):
+    """NN-candidate shape exercising the spectral L_v model: ReLU-bowl
+    candidate, GradientNorm(MLP) local L_v, contracting stacked-GP
+    dynamics (residual-free mean function, so the instance certifies a
+    nonempty region under the conservative constant)."""
+    rng = np.random.default_rng(seed)
+    grid = sl.GridWorld([[-1.0, 1.0], [-0.8, 0.8]], [17, 13])
+    v_net = _bowl_net()
+    a = 0.5 * np.eye(2)
+    b = np.array([[0.02], [0.1]])
+    kernels, means = [], []
+    for dim in range(2):
+        kernels.append(
+            sl.LinearKernel(variances=[1e-3, 1e-3, 1e-3], input_dim=3)
+            + sl.ActiveDims(sl.Matern32(lengthscales=1.0, input_dim=1),
+                            [0])
+            * sl.ActiveDims(sl.LinearKernel(1e-3, input_dim=1), [0]))
+        means.append(sl.LinearSystem([a[[dim]], b[[dim]]]))
+    nt = 25
+    xt = np.column_stack([rng.uniform(-0.8, 0.8, (nt, 2)),
+                          rng.uniform(-0.5, 0.5, (nt, 1))])
+    yt = xt[:, :2] @ a.T + xt[:, 2:] @ b.T
+    dyn = sl.StackedGaussianProcess(kernels, xt, yt,
+                                    noise_variances=1e-6, betas=2.0,
+                                    mean_functions=means)
+    policy = sl.LinearSystem(np.zeros((1, 2)))
+    tau = 0.02 * float(np.min(grid.unit_maxes))
+    vals = np.asarray(v_net(grid.all_points)).ravel()
+    initial = np.where(vals <= np.quantile(vals, 0.1))[0]
+    return sl.Lyapunov(grid, v_net, dyn, 1.0,
+                       sl.GradientNorm(v_net, ord=ord), tau, policy,
+                       initial_set=initial)
+
+
+@pytest.mark.parametrize("ordv", [None, 1, np.inf])
+@pytest.mark.parametrize("acts", [("tanh", "tanh", None),
+                                  ("relu", "sigmoid", "tanh")])
+def test_spectral_bound_dominates_callable(ordv, acts):
+    """The baked spectral constant dominates the autodiff callable at
+    every ord reduction, including beyond the grid domain (next-state
+    means can exit it) and through the sigmoid 1/4 derivative factor."""
+    from safe_learning_tpu.ops.extended_verify import _spectral_ord
+
+    net = sl.NeuralNetwork(layers=[3, 24, 12, 1],
+                           nonlinearities=list(acts), output_scale=1.7,
+                           key=jax.random.PRNGKey(5))
+    lv = sl.GradientNorm(net, ord=ordv)
+    dv, cord = _spectral_ord(lv)
+    assert dv == (3 if ordv is None else 1)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-3.0, 3.0, (512, 3)).astype(np.float32)
+    got = np.asarray(lv(jnp.asarray(pts)), np.float64)
+    assert got.shape[1] == dv
+    assert float(np.max(got)) <= cord * (1.0 + 1e-4), (
+        float(np.max(got)), cord)
+
+
+def test_spectral_lv_sweep_dominates_and_contains():
+    """GradientNorm(NeuralNetwork) L_v with zero hand-installed
+    matrices: the sweep compiles the baked spectral constant, its
+    margins dominate the oracle's (callable-L_v) margins one-sidedly,
+    the derived margin resolves, and update_safe_set(extended=True)
+    stays inside the oracle's safe set."""
+    from safe_learning_tpu.ops.extended_verify import (
+        extended_certificate_margin)
+
+    lyap = _nn_instance()
+    margin = extended_certificate_margin(lyap)
+    assert np.all(np.isfinite(margin))
+    sweep = lyap._get_extended_sweep()
+    pts = np.asarray(lyap.discretization.all_points, np.float32)
+    got = sweep.margins(pts)
+    want = oracle_margins(lyap, pts)
+    # Constant >= callable everywhere: the df margin can only sit above
+    # the exact one (conservative direction).
+    assert float(np.min(got - want)) > -1e-6
+    lyap.update_safe_set(extended=True)
+    safe64, c64 = oracle_safe_set(lyap)
+    assert np.isfinite(c64)  # the instance certifies a nonempty region
+    assert lyap.safe_set.any()
+    assert not (lyap.safe_set & ~safe64).any()
+    assert lyap.c_max <= c64 + 1e-6 * max(abs(c64), 1.0)
+
+
+def test_spectral_lv_ord_none_columns():
+    """ord=None keeps one bounded column per state dim through the
+    error-term contraction (dv == n_out for the stacked GP)."""
+    lyap = _nn_instance(seed=1, ord=None)
+    sweep = lyap._get_extended_sweep()
+    pts = np.asarray(lyap.discretization.all_points[::5], np.float32)
+    got = sweep.margins(pts)
+    want = oracle_margins(lyap, pts)
+    assert float(np.min(got - want)) > -1e-6
+
+
+def test_spectral_lf_dominates():
+    """A GradientNorm(NeuralNetwork) local L_f rides the same constant:
+    threshold-side domination on a deterministic linear instance."""
+    rng = np.random.default_rng(7)
+    grid = sl.GridWorld([[-1.0, 1.0], [-1.0, 1.0]], 13)
+    lf_net = sl.NeuralNetwork(layers=[2, 12, 1],
+                              nonlinearities=["tanh", "sigmoid"],
+                              output_scale=2.0,
+                              key=jax.random.PRNGKey(2))
+    a = rng.normal(size=(2, 2)) * 0.3
+    dyn = sl.LinearSystem([a, np.zeros((2, 1))])
+    policy = sl.LinearSystem(np.zeros((1, 2)))
+    v = sl.QuadraticFunction(np.eye(2))
+    tau = float(np.min(grid.unit_maxes))
+    lyap = sl.Lyapunov(grid, v, dyn,
+                       sl.GradientNorm(lf_net, ord=np.inf), 2.0, tau,
+                       policy)
+    sweep = ExtendedSweep(lyap)
+    pts = np.asarray(grid.all_points, np.float32)
+    got = sweep.margins(pts)
+    want = oracle_margins(lyap, pts)
+    assert float(np.min(got - want)) > -1e-6
+
+
+def test_spectral_refusals():
+    """LyapunovNetwork inner functions and callable activations keep
+    their named-fallback refusals (the spectral theorem does not cover
+    them); vector-output MLPs are refused too."""
+    from safe_learning_tpu.ops.extended_verify import (
+        _compile_gradnorm_spectral, _spectral_grad_bound)
+
+    lyapnet = sl.LyapunovNetwork(2, [8], ["tanh"],
+                                 key=jax.random.PRNGKey(0))
+    assert _spectral_grad_bound(lyapnet) is None
+    lyap = _corl_like_instance()
+    lyap2 = sl.Lyapunov(lyap.discretization, lyap.lyapunov_function,
+                        lyap.dynamics, lyap._lipschitz_dynamics,
+                        sl.GradientNorm(lyap.lyapunov_function, ord=1),
+                        0.1, lyap.policy)
+    with pytest.raises(NotImplementedError, match="Triangulation or "
+                                                  "NeuralNetwork"):
+        lyap2._get_extended_sweep()
+
+    cb = sl.NeuralNetwork(layers=[2, 8, 1],
+                          nonlinearities=[jnp.tanh, None],
+                          key=jax.random.PRNGKey(1))
+    with pytest.raises(NotImplementedError, match="callable"):
+        _compile_gradnorm_spectral(sl.GradientNorm(cb, ord=1), [])
+
+    vec = sl.NeuralNetwork(layers=[2, 8, 2],
+                           nonlinearities=["tanh", None],
+                           key=jax.random.PRNGKey(1))
+    with pytest.raises(NotImplementedError, match="scalar-output"):
+        _compile_gradnorm_spectral(sl.GradientNorm(vec, ord=1), [])
