@@ -26,12 +26,13 @@ LOG="$CAPDIR/attempts.log"
 mkdir -p "$CAPDIR"
 
 attempt() {
-  local stamp out json backend
+  local stamp out rc json backend
   stamp="$(date -u +%Y-%m-%dT%H:%M:%SZ)"
   out="$(timeout 1200 python -u bench.py 2>/tmp/capture_bench_err.log)"
+  rc=$?  # capture bench.py/timeout status BEFORE the extraction pipeline
   json="$(printf '%s\n' "$out" | grep -m1 '^{' || true)"
   if [ -z "$json" ]; then
-    echo "$stamp FAIL (no JSON; exit=$?; see /tmp/capture_bench_err.log)" >> "$LOG"
+    echo "$stamp FAIL (no JSON; exit=$rc; see /tmp/capture_bench_err.log)" >> "$LOG"
     return 1
   fi
   backend="$(printf '%s' "$json" | python -c 'import json,sys; print(json.load(sys.stdin).get("backend","?"))')"

@@ -84,18 +84,26 @@ def run_policy(mode, steps, seed=0):
     from safe_learning_tpu.errorbounds import analytic_certificate_margin
 
     lyap, true_dyn = build()
-    # The SWEEP margin is identical (derived per-point) in all modes —
-    # only the EXPLORATION margin policy varies, so growth and
-    # fallback differences are attributable to exploration alone.
-    m_pp = analytic_certificate_margin(lyap, per_point=True)
-    if mode == "unguarded":
-        lyap.exploration_margin = 0.0
-    elif mode == "collapsed":
-        lyap.exploration_margin = float(np.max(m_pp))
-    elif mode != "per-candidate":
+    if mode not in ("unguarded", "collapsed", "per-candidate"):
         raise ValueError(mode)
-    # per-candidate: exploration_margin stays None and the per-point
-    # certificate margin triggers the per-candidate derivation.
+
+    # The SWEEP margin is identical (derived per-point, re-derived for
+    # the CURRENT GP at every step in every mode) — only the
+    # EXPLORATION margin policy varies, so growth and fallback
+    # differences are attributable to exploration alone. (A margin
+    # derived once for the initial GP would go stale as data arrives,
+    # conflating exploration policy with margin freshness — r5 review.)
+    def refresh_margins():
+        m_pp = analytic_certificate_margin(lyap, per_point=True)
+        if mode == "unguarded":
+            lyap.exploration_margin = 0.0
+        elif mode == "collapsed":
+            lyap.exploration_margin = float(np.max(m_pp))
+        # per-candidate: exploration_margin stays None and the
+        # per-point certificate margin triggers the per-candidate
+        # derivation.
+
+    refresh_margins()
 
     pert = np.linspace(-0.2, 0.2, 9)[:, None]
     lyap.update_safe_set()
@@ -113,8 +121,7 @@ def run_policy(mode, steps, seed=0):
                              for w in caught)
         y = np.asarray(true_dyn(jnp.asarray(sa)))
         lyap.dynamics = lyap.dynamics.add_data_point(sa, y)
-        if mode == "per-candidate":
-            analytic_certificate_margin(lyap, per_point=True)
+        refresh_margins()
         lyap.update_safe_set(can_shrink=False)
         fracs.append(float(np.asarray(lyap.safe_set).mean()))
     return fracs, fallbacks

@@ -179,6 +179,8 @@ def main():
         lyap.dynamics = new_dyn
         rl.dynamics = new_dyn
 
+    band_mode = {"measured": False}
+
     def certify():
         """Margin-guarded sweep: derived extended margin, or plain f32.
 
@@ -188,6 +190,15 @@ def main():
         fall back to the MEASURED extended margin
         (``oracle.calibrate_extended_margin``) — same pipeline, same
         U_EFF tagging, measurement-grade instead of derived.
+
+        ``--hybrid`` on this instance always takes the CALIBRATED-band
+        tier: the GradientNorm-of-PWL L_v has no f32 rounding model
+        for the plain pass-1 realization (the derived band refuses),
+        so the measured ``calibrate_certificate_margin`` band is
+        installed — re-measured at every certify so the growing GP
+        never runs on a stale band — keeping band points on the exact
+        double-word verdicts at measurement-grade band soundness (the
+        tier ``benchmarks/hybrid_sweep_bench.py`` prices).
         """
         if args.extended:
             from safe_learning_tpu.ops.extended_verify import (
@@ -203,7 +214,28 @@ def main():
                 print("  derived extended margin refused ({}); using "
                       "the measured one: {:.3e}".format(
                           str(exc).split(":")[0], m))
-        lyap.update_safe_set(extended=args.extended)
+        if band_mode["measured"]:
+            from safe_learning_tpu.oracle import (
+                calibrate_certificate_margin)
+
+            lyap.hybrid_band_margin = calibrate_certificate_margin(
+                lyap, set_margin=False)
+        try:
+            lyap.update_safe_set(extended=args.extended)
+        except NotImplementedError as exc:
+            if args.extended != "hybrid" or band_mode["measured"]:
+                raise
+            from safe_learning_tpu.oracle import (
+                calibrate_certificate_margin)
+
+            band_mode["measured"] = True
+            lyap.hybrid_band_margin = calibrate_certificate_margin(
+                lyap, set_margin=False)
+            print("  derived band margin refused ({}); using the "
+                  "measured f32 band: {:.3e}".format(
+                      str(exc).split(":")[0],
+                      float(lyap.hybrid_band_margin)))
+            lyap.update_safe_set(extended=args.extended)
 
     with Timer("initial safe policy optimization"):
         rl_optimize_policy(policy_iters)

@@ -1121,6 +1121,11 @@ def analytic_certificate_margin(lyapunov, batch_size=2 ** 14, safety=1.0,
         lf_raw = np.asarray(lf_raw.constant).reshape(()).item()
     if isinstance(lf_raw, (int, float, np.floating, np.integer)):
         lf = float(lf_raw)
+    elif det_prog is not None and tau == 0.0:
+        # thr = -L_v (1 + L_f) * 0 == 0 exactly in every realization:
+        # a callable L_f multiplies nothing and needs no model (the
+        # extended sweep elides it the same way).
+        pass
     else:
         if lf_model is None:
             # Auto-derivation (r5): an installed extended_lf_matrix /

@@ -387,16 +387,18 @@ class Lyapunov:
         if self.initial_safe_set is not None:
             self._refinement[self.initial_safe_set] = 1
 
-        #: Model of a callable ``lipschitz_lyapunov`` as the row-wise
-        #: absolute linear form ``L_v(x) = |x G^T|`` — required by the
-        #: extended-precision sweep (``update_safe_set(extended=True)``)
-        #: for non-constant L_v; installed by
-        #: ``ops.extended_verify.extended_certificate_margin``.
+        # Model of a callable ``lipschitz_lyapunov`` as the row-wise
+        # absolute linear form ``L_v(x) = |x G^T|`` — required by the
+        # extended-precision sweep (``update_safe_set(extended=True)``)
+        # for non-constant L_v; installed by
+        # ``ops.extended_verify.extended_certificate_margin``. The
+        # property setter snapshots a READ-ONLY copy (see
+        # ``extended_lv_matrix``).
         self.extended_lv_matrix = None
-        #: Companion model of a callable ``lipschitz_dynamics`` as the
-        #: single-row absolute linear form ``L_f(x) = |x H^T|`` for the
-        #: extended sweep (GradientNorm-of-Triangulation L_f compiles
-        #: directly and needs no model).
+        # Companion model of a callable ``lipschitz_dynamics`` as the
+        # single-row absolute linear form ``L_f(x) = |x H^T|`` for the
+        # extended sweep (GradientNorm-of-Triangulation L_f compiles
+        # directly and needs no model).
         self.extended_lf_matrix = None
         self._ext_sweep = None
         self._ext_sweep_key = None
@@ -439,6 +441,43 @@ class Lyapunov:
         self.update_values()
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _freeze_matrix(value):
+        """Install-time snapshot of an L_v/L_f model matrix.
+
+        A read-only float64 copy: the compiled extended sweep and its
+        identity-keyed value cache both reference THIS object, so the
+        cache can never go stale through in-place mutation (mutating
+        the installed array raises; installing a new model is an
+        assignment, which re-keys and rebuilds)."""
+        if value is None:
+            return None
+        arr = np.array(value, dtype=np.float64, copy=True)
+        arr.setflags(write=False)
+        return arr
+
+    @property
+    def extended_lv_matrix(self):
+        """Row-wise absolute linear model ``L_v(x) = |x G^T|`` of a
+        callable ``lipschitz_lyapunov`` for the extended sweep
+        (read-only snapshot; assign to replace)."""
+        return self._extended_lv_matrix
+
+    @extended_lv_matrix.setter
+    def extended_lv_matrix(self, value):
+        self._extended_lv_matrix = self._freeze_matrix(value)
+
+    @property
+    def extended_lf_matrix(self):
+        """Single-row absolute linear model ``L_f(x) = |x H^T|`` of a
+        callable ``lipschitz_dynamics`` for the extended sweep
+        (read-only snapshot; assign to replace)."""
+        return self._extended_lf_matrix
+
+    @extended_lf_matrix.setter
+    def extended_lf_matrix(self, value):
+        self._extended_lf_matrix = self._freeze_matrix(value)
+
     @property
     def safe_set(self):
         """Boolean mask of certified-safe grid states.
@@ -791,7 +830,8 @@ class Lyapunov:
         return self._auto_band_margin
 
     def _hybrid_negative(self, ext_sweep, states, m_ext, m_band, tau,
-                         shard, to_host, pad_unit, states_dev=None):
+                         shard, to_host, pad_unit, states_dev=None,
+                         n_valid=None):
         """Two-pass decrease verdicts for one host batch of states.
 
         Pass 1 runs the plain f32 pipeline and keeps every verdict
@@ -835,6 +875,12 @@ class Lyapunov:
             w_hi, w_lo)
         negative = np.array(to_host(neg_dev))
         band = np.array(to_host(band_dev))
+        if n_valid is not None and n_valid < n:
+            # Padded tail rows duplicate the last valid state; the
+            # caller discards their verdicts, so routing them through
+            # the double-word re-check would only inflate
+            # last_band_fraction and burn extended-pipeline work.
+            band[n_valid:] = False
         n_band = int(band.sum())
         if n_band:
             bstates = states[band]
@@ -1086,7 +1132,8 @@ class Lyapunov:
                                          batch))
                 negative, n_band = self._hybrid_negative(
                     ext_sweep, states, m_b, band_b, tau, _shard,
-                    _to_host, unit, states_dev=_batch_dev(i, states))
+                    _to_host, unit, states_dev=_batch_dev(i, states),
+                    n_valid=n_valid)
                 band_total += n_band
             elif ext_sweep is not None:
                 negative = _to_host(ext_sweep.negative_batch(

@@ -617,8 +617,11 @@ def _auto_lv_matrix(lyapunov):
       ``2|Px|`` pattern, e.g.
       ``LambdaFunction(lambda x: jnp.abs(x @ (2 * p)))``): when the
       callable reproduces ``|x (P + P^T)^T|`` on a grid sample
-      (:meth:`ExtendedSweep._spotcheck_lv`, 1e-4 relative on the
-      positive anchor), the matrix is adopted. Sweep construction
+      (:meth:`ExtendedSweep._spotcheck_lv`, within
+      :meth:`~ExtendedSweep._model_reltol` — 32 working-dtype unit
+      roundoffs — on the positive anchor, the exact slack the f32-unit
+      rounding models add back), the matrix is adopted. Sweep
+      construction
       re-runs the full spot-check, so a mismatch still fails loudly;
       ``GradientNorm`` of anything non-quadratic keeps its dedicated
       inflated-program model instead of this probe.
@@ -1149,8 +1152,11 @@ def _check_trig_domain(dyn, grid):
         np.asarray(grid.limits, np.float64)[angle_dim])))
     norm = dyn._norm_arrays()
     if norm is not None:
-        amax *= float(np.abs(
-            np.asarray(norm[0], np.float64)).reshape(-1)[angle_dim])
+        # Broadcast semantics match the dynamics' ``state / tx``: a
+        # scalar (size-1) normalizer applies to every dim including the
+        # angle; a per-dim vector indexes the angle's own entry.
+        tx = np.abs(np.asarray(norm[0], np.float64)).reshape(-1)
+        amax *= float(tx[angle_dim] if tx.size > angle_dim else tx[0])
     if 2.0 * amax * 512.0 >= 2.0 ** 22:
         raise NotImplementedError(
             "extended sweep: denormalized grid states reach {:.3g}, too "
@@ -1586,6 +1592,25 @@ class ExtendedSweep:
          self._body_raw, self._jit_explore) = _PIPELINES[sig]
 
     @staticmethod
+    def _model_reltol():
+        """Spot-check tolerance, matched by the f32-unit model slack.
+
+        A genuine working-dtype realization of the row-wise absolute
+        linear form rounds at most ``(d+2)`` unit roundoffs relative to
+        the POSITIVE form ``|x| |G|^T``; 32 units admits reassociated
+        but mathematically equal formulas (``|x (2P)^T|`` vs
+        ``2 |x P^T|``) across the supported dims while refusing
+        callables that genuinely differ from the form. Crucially the
+        same 32-unit slack is added back into the f32-unit rounding
+        models (:func:`_lv_error_model` / :func:`_lf_error_model`), so
+        ANY callable that passes the check deviates from the certified
+        form by less than the margins those models derive — the hybrid
+        sweep's extended-identity argument holds for probed and
+        installed models alike (round-5 review)."""
+        from ..errorbounds import _unit_roundoff
+        return 32.0 * _unit_roundoff()
+
+    @staticmethod
     def _spotcheck_lf(lyapunov, lf_matrix):
         """Fail loudly if lf_matrix disagrees with the callable L_f."""
         lf = lyapunov._lipschitz_dynamics
@@ -1606,7 +1631,7 @@ class ExtendedSweep:
         scale = np.maximum(np.abs(pts).astype(np.float64) @ np.abs(h64).T,
                            1e-6)
         if got.shape != want.shape or np.max(
-                np.abs(got - want) / scale) > 1e-4:
+                np.abs(got - want) / scale) > ExtendedSweep._model_reltol():
             raise ValueError(
                 "lf_matrix does not reproduce the callable "
                 "lipschitz_dynamics on a grid sample — the extended "
@@ -1631,7 +1656,7 @@ class ExtendedSweep:
         scale = np.maximum(np.abs(pts).astype(np.float64) @ np.abs(g64).T,
                            1e-6)
         if got.shape != want.shape or np.max(
-                np.abs(got - want) / scale) > 1e-4:
+                np.abs(got - want) / scale) > ExtendedSweep._model_reltol():
             raise ValueError(
                 "lv_matrix does not reproduce the callable "
                 "lipschitz_lyapunov on a grid sample — the extended "
@@ -1844,12 +1869,13 @@ def _lv_error_model(lyapunov, lv_matrix, unit=U_EFF):
     (the plain f32 sweep evaluates the callable itself, whose locate
     decisions the inflation argument does not cover).
 
-    The default ``unit=U_EFF`` models the double-word pipeline; the
-    hybrid band margin passes the f32 sweep's hardware-slack-adjusted
-    unit (``errorbounds._unit_roundoff``) to bound the PLAIN
-    realization of the same row-wise linear form (the callable is
-    spot-checked against it at sweep construction, so the (d+2)-op
-    matvec model covers both).
+    The default ``unit=U_EFF`` models the double-word pipeline, which
+    computes the FORM itself (the certified condition); the hybrid
+    band margin passes the f32 sweep's hardware-slack-adjusted unit
+    (``errorbounds._unit_roundoff``) to bound the PLAIN realization —
+    the CALLABLE — so the f32-unit model carries both the (d+2)-op
+    matvec rounding and the spot-check's 32-unit form-deviation slack
+    (any callable the check admits sits within it).
     """
     from ..errorbounds import ErrorModel
 
@@ -1867,6 +1893,12 @@ def _lv_error_model(lyapunov, lv_matrix, unit=U_EFF):
     g_abs_t = jnp.asarray(np.abs(g).T, dtype=config.dtype)
     d = lyapunov.discretization.ndim
     gam = (d + 2) * unit / (1.0 - (d + 2) * unit)
+    if unit != U_EFF:
+        # The plain realization is the CALLABLE, spot-checked against
+        # the form within _model_reltol (= 32 working units): add that
+        # slack so any accepted callable's residual form deviation is
+        # covered by this model, not just its own rounding.
+        gam += 32.0 * unit
 
     def eval_bound(x):
         return gam * jnp.abs(x) @ g_abs_t
@@ -1896,6 +1928,9 @@ def _lf_error_model(lyapunov, lf_matrix=None, unit=U_EFF):
     h_abs_t = jnp.asarray(np.abs(h).T, dtype=config.dtype)
     d = lyapunov.discretization.ndim
     gam = (d + 2) * unit / (1.0 - (d + 2) * unit)
+    if unit != U_EFF:
+        # Spot-check slack: see the L_v model above.
+        gam += 32.0 * unit
 
     def eval_bound(x):
         return gam * jnp.abs(x) @ h_abs_t
@@ -1924,28 +1959,37 @@ def hybrid_band_margin(lyapunov, lv_matrix=None, refinement=1,
     L_v/L_f realization has no f32 rounding model (``GradientNorm`` of
     a PWL without an installed ``extended_lv_matrix``): the full
     ``update_safe_set(extended=True)`` sweep remains available there.
+    At ``tau == 0`` with deterministic dynamics no L_v/L_f model is
+    needed at all (both multiply only the exactly-zero threshold, the
+    same elision the extended sweep makes), so callables there are
+    accepted.
     """
-    from ..errorbounds import _unit_roundoff, analytic_certificate_margin
+    from ..errorbounds import (_gp_members, _unit_roundoff,
+                               analytic_certificate_margin)
 
     u32 = _unit_roundoff()
-    lvm = _lv_error_model(lyapunov, lv_matrix, unit=u32)
-    if lvm is None and callable(lyapunov._lipschitz_lyapunov) \
-            and not isinstance(lyapunov._lipschitz_lyapunov,
-                               ConstantFunction):
-        raise NotImplementedError(
-            "hybrid sweep: no f32 rounding model for the plain "
-            "realization of this L_v (a GradientNorm-of-PWL is only "
-            "modeled for the extended pipeline's inflated program) — "
-            "install extended_lv_matrix, or run "
-            "update_safe_set(extended=True)")
-    lfm = _lf_error_model(lyapunov, unit=u32)
-    if lfm is None and callable(lyapunov._lipschitz_dynamics) \
-            and not isinstance(lyapunov._lipschitz_dynamics,
-                               ConstantFunction):
-        raise NotImplementedError(
-            "hybrid sweep: no f32 rounding model for the plain "
-            "realization of this L_f — install extended_lf_matrix, or "
-            "run update_safe_set(extended=True)")
+    lvm = lfm = None
+    lv_trivial = (_gp_members(lyapunov.dynamics) is None
+                  and float(lyapunov.tau) == 0.0)
+    if not lv_trivial:
+        lvm = _lv_error_model(lyapunov, lv_matrix, unit=u32)
+        if lvm is None and callable(lyapunov._lipschitz_lyapunov) \
+                and not isinstance(lyapunov._lipschitz_lyapunov,
+                                   ConstantFunction):
+            raise NotImplementedError(
+                "hybrid sweep: no f32 rounding model for the plain "
+                "realization of this L_v (a GradientNorm-of-PWL is "
+                "only modeled for the extended pipeline's inflated "
+                "program) — install extended_lv_matrix, or run "
+                "update_safe_set(extended=True)")
+        lfm = _lf_error_model(lyapunov, unit=u32)
+        if lfm is None and callable(lyapunov._lipschitz_dynamics) \
+                and not isinstance(lyapunov._lipschitz_dynamics,
+                                   ConstantFunction):
+            raise NotImplementedError(
+                "hybrid sweep: no f32 rounding model for the plain "
+                "realization of this L_f — install extended_lf_matrix, "
+                "or run update_safe_set(extended=True)")
     return analytic_certificate_margin(
         lyapunov, safety=safety, lipschitz_model=lvm,
         refinement=refinement, set_margin=False, lf_model=lfm,

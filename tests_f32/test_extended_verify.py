@@ -640,3 +640,62 @@ def test_calibrate_extended_margin():
     safe64, c64 = oracle_safe_set(lyap)
     assert not (np.array(lyap.safe_set) & ~safe64).any()
     assert lyap.c_max <= c64 + 1e-6 * max(abs(c64), 1.0)
+
+
+def test_extended_matrix_snapshot_is_readonly():
+    """Installed L_v/L_f model matrices are read-only snapshots: the
+    identity-keyed sweep cache can never go stale through in-place
+    mutation (the mutation raises), and mutating the ORIGINAL array
+    after install does not change the installed model (r5 review)."""
+    lyap = _ill_conditioned_instance()
+    src = 2.0 * np.eye(2)
+    lyap.extended_lv_matrix = src
+    sweep_a = lyap._get_extended_sweep()
+    with pytest.raises(ValueError):
+        lyap.extended_lv_matrix[:] = 4.0 * np.eye(2)
+    # Mutating the caller's array is invisible to the installed model.
+    src[:] = 4.0 * np.eye(2)
+    np.testing.assert_array_equal(lyap.extended_lv_matrix,
+                                  2.0 * np.eye(2))
+    assert lyap._get_extended_sweep() is sweep_a
+    # Reassignment re-keys and rebuilds.
+    lyap.extended_lv_matrix = src
+    assert lyap._get_extended_sweep() is not sweep_a
+
+
+def test_spotcheck_refuses_near_miss_callable():
+    """A callable 1e-4 relative OFF the installed form — previously
+    inside the probe tolerance, far above what the derived margins
+    cover — is now refused; a reassociated-but-equal formula still
+    passes, and the f32-unit rounding model carries the matching
+    32-unit slack (r5 review)."""
+    from safe_learning_tpu.ops.extended_verify import (
+        ExtendedSweep, U_EFF, _lv_error_model)
+
+    lyap = _ill_conditioned_instance()
+    g = np.asarray(_LV_MAT, np.float64)
+    lyap._lipschitz_lyapunov = sl.LambdaFunction(
+        lambda x: (1.0 + 1e-4) * jnp.abs(x @ jnp.asarray(g.T, x.dtype)))
+    lyap.extended_lv_matrix = g
+    with pytest.raises(ValueError, match="lv_matrix"):
+        lyap._get_extended_sweep()
+    # Reassociated formula (|x (2G)^T| / 2): equal in exact arithmetic,
+    # rounds within the tightened tolerance.
+    lyap2 = _ill_conditioned_instance()
+    lyap2._lipschitz_lyapunov = sl.LambdaFunction(
+        lambda x: 0.5 * jnp.abs(x @ jnp.asarray(2.0 * g.T, x.dtype)))
+    lyap2.extended_lv_matrix = g
+    lyap2._get_extended_sweep()  # accepted
+    # f32-unit model carries the spot-check slack on top of the matvec
+    # gamma; the U_EFF model (the df pipeline computes the form itself)
+    # does not.
+    from safe_learning_tpu.errorbounds import _unit_roundoff
+    u32 = _unit_roundoff()
+    x = jnp.asarray(np.full((1, 2), 1.0, np.float32))
+    scale = float((np.abs(np.ones((1, 2))) @ np.abs(g).T).max())
+    b32 = float(np.max(np.asarray(
+        _lv_error_model(lyap2, g, unit=u32).eval_bound(x))))
+    bdf = float(np.max(np.asarray(
+        _lv_error_model(lyap2, g, unit=U_EFF).eval_bound(x))))
+    assert b32 >= 32.0 * u32 * scale
+    assert bdf < 32.0 * u32 * scale

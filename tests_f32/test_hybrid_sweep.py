@@ -182,3 +182,27 @@ def test_hybrid_calibrated_band_containment():
     safe64, c64 = oracle_safe_set(lyap)
     assert not (np.array(lyap.safe_set) & ~safe64).any()
     assert lyap.c_max <= c64 + 1e-6 * max(abs(c64), 1.0)
+
+
+def test_hybrid_accepts_zero_tau_deterministic_callable_lv():
+    """At tau == 0 with deterministic dynamics L_v/L_f multiply only
+    the exactly-zero threshold, so the hybrid band derivation must
+    accept callables with no f32 rounding model (the CoRL-18 flagship
+    shape passes --hybrid; r5 review) — and the hybrid certificate
+    stays identical to extended=True."""
+    import jax
+
+    from test_extended_neural import _corl_like_instance
+
+    lyap = _corl_like_instance()
+    band = hybrid_band_margin(lyap)  # no NotImplementedError
+    assert np.all(np.isfinite(np.asarray(band)))
+    extended_certificate_margin(lyap)
+    lyap.update_safe_set(extended=True)
+    safe_ext = np.array(lyap.safe_set)
+    c_ext = lyap.c_max
+    lyap2 = _corl_like_instance()
+    extended_certificate_margin(lyap2)
+    lyap2.update_safe_set(extended="hybrid")
+    np.testing.assert_array_equal(np.array(lyap2.safe_set), safe_ext)
+    assert lyap2.c_max == c_ext
